@@ -1,0 +1,21 @@
+from news_data_pipeline_spark.dq.rules import (
+    ColumnExists,
+    MinRows,
+    NotNull,
+    Rule,
+    Unique,
+    config_to_rules,
+)
+from news_data_pipeline_spark.dq.engine import DQResult, run_dq, to_quarantine_records
+
+__all__ = [
+    "ColumnExists",
+    "DQResult",
+    "MinRows",
+    "NotNull",
+    "Rule",
+    "Unique",
+    "config_to_rules",
+    "run_dq",
+    "to_quarantine_records",
+]

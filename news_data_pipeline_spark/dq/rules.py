@@ -1,0 +1,144 @@
+"""Declarative data-quality rules.
+
+Typed replacement for the reference's per-table ``dq_config`` dict of
+``required_columns`` / ``not_null`` / ``unique_keys``
+(``_lib_dq_helpers.py:105-111``). Each rule knows how to express its
+violation as a boolean Column, so the engine can evaluate every rule in
+ONE pass over the data instead of the reference's one-Spark-job-per-rule
+pattern (``_lib_dq_helpers.py:126,140`` force a ``.count()`` per rule).
+
+Also fixes the reference's positional bad-key union bug (values of
+differently-named columns unioned into one key set,
+``_lib_dq_helpers.py:131`` — SURVEY §2.10): violations here are row-level
+flags, never a detached key set, so multiplicity and column identity are
+preserved by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+@dataclass(frozen=True)
+class Rule:
+    """Base rule. ``name`` feeds the quarantine ``reason`` column."""
+
+    def rule_name(self) -> str:
+        raise NotImplementedError
+
+    def violation(self, df: DataFrame) -> Column | None:
+        """Boolean Column: True where the row violates the rule.
+
+        ``None`` means the rule is schema/table-level and produces no
+        row-level violations (e.g. ColumnExists, MinRows).
+        """
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class NotNull(Rule):
+    """Null-or-empty check per column (reference ``check_not_null``,
+    ``_lib_dq_helpers.py:123-131`` — empty string counts as null)."""
+
+    columns: tuple[str, ...]
+
+    def __init__(self, *columns: str):
+        object.__setattr__(self, "columns", tuple(columns))
+
+    def rule_name(self) -> str:
+        return f"not_null({','.join(self.columns)})"
+
+    def violation(self, df: DataFrame) -> Column:
+        checks = [
+            F.col(c).isNull() | (F.col(c).cast("string") == "") for c in self.columns
+        ]
+        out = checks[0]
+        for c in checks[1:]:
+            out = out | c
+        return out
+
+
+@dataclass(frozen=True)
+class Unique(Rule):
+    """Duplicate-key check (reference ``check_duplicates``,
+    ``_lib_dq_helpers.py:138-145``).
+
+    ``quarantine_all=True`` reproduces the reference's semantics of
+    quarantining every copy of a duplicated key (``:159``);
+    ``False`` keeps the first copy by ``order_by`` and quarantines only
+    the extras — the ``dropDuplicates``-style semantics the silver layer
+    uses at ``02:66``. Both reference behaviors, made explicit
+    (SURVEY §2.10 flags that they silently coexist).
+    """
+
+    keys: tuple[str, ...]
+    quarantine_all: bool = True
+    order_by: tuple[str, ...] = field(default=())
+
+    def __init__(self, *keys: str, quarantine_all: bool = True, order_by: tuple[str, ...] = ()):
+        object.__setattr__(self, "keys", tuple(keys))
+        object.__setattr__(self, "quarantine_all", quarantine_all)
+        object.__setattr__(self, "order_by", tuple(order_by))
+
+    def rule_name(self) -> str:
+        return f"unique({','.join(self.keys)})"
+
+    def violation(self, df: DataFrame) -> Column:
+        w = Window.partitionBy(*[F.col(k) for k in self.keys])
+        if self.quarantine_all:
+            return F.count(F.lit(1)).over(w) > 1
+        order_cols = [F.col(c) for c in (self.order_by or self.keys)]
+        rn = F.row_number().over(w.orderBy(*order_cols))
+        return rn > 1
+
+
+@dataclass(frozen=True)
+class ColumnExists(Rule):
+    """Schema-level required-column check (``_lib_dq_helpers.py:133-136``)."""
+
+    columns: tuple[str, ...]
+
+    def __init__(self, *columns: str):
+        object.__setattr__(self, "columns", tuple(columns))
+
+    def rule_name(self) -> str:
+        return f"column_exists({','.join(self.columns)})"
+
+    def violation(self, df: DataFrame) -> None:
+        return None
+
+    def missing(self, df: DataFrame) -> list[str]:
+        return [c for c in self.columns if c not in df.columns]
+
+
+@dataclass(frozen=True)
+class MinRows(Rule):
+    """Minimum-row-count check — described in the reference docs
+    (``docs/pipeline_overview.md:50``) but never implemented in its code;
+    implemented here for real (SURVEY §2.10)."""
+
+    threshold: int = 1
+
+    def rule_name(self) -> str:
+        return f"min_rows({self.threshold})"
+
+    def violation(self, df: DataFrame) -> None:
+        return None
+
+
+def config_to_rules(config: dict) -> list[Rule]:
+    """Adapter from the reference's dict shape
+    (``_lib_dq_helpers.py:105-111``) to typed rules."""
+    rules: list[Rule] = []
+    if config.get("required_columns"):
+        rules.append(ColumnExists(*config["required_columns"]))
+    for col in config.get("not_null", []):
+        rules.append(NotNull(col))
+    if config.get("unique_keys"):
+        rules.append(Unique(*config["unique_keys"]))
+    if config.get("min_rows"):
+        rules.append(MinRows(config["min_rows"]))
+    return rules

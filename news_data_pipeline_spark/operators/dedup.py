@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference deduplicates only exactly (``dropDuplicates`` at ``02:66``;
+groupBy-count duplicate detection at ``_lib_dq_helpers.py:138-145``).
+A training-data pipeline needs near-dup detection too; everything here is
+composed from DataFrame ops — explode/groupBy/join — so Catalyst plans
+it, and the only shuffles are the ones the algorithms inherently need
+(one per groupBy on shingle/band keys).
+
+Scale notes (100 TB): shingling explodes row count by ~tokens-per-doc, so
+all downstream aggregates are map-side-combinable mins/sums; LSH banding
+turns the quadratic all-pairs problem into equi-joins on band buckets,
+which AQE can re-plan when buckets skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from news_data_pipeline_spark.functions.text import fingerprint
+
+
+def exact_dedup(
+    df: DataFrame, keys: Sequence[str], *, tie_break: Sequence[str]
+) -> DataFrame:
+    """Keep exactly one row per key — deterministically (first by
+    ``tie_break``), unlike ``dropDuplicates`` which keeps an arbitrary
+    row (the reference's silver dedup, ``02:66``)."""
+    w = Window.partitionBy(*keys).orderBy(*tie_break)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-dup: dedup on the normalization fingerprint
+    (case/punct/whitespace-insensitive), keeping the lowest id."""
+    return exact_dedup(
+        df.withColumn("__fp", fingerprint(F.col(text_col))),
+        keys=["__fp"],
+        tie_break=[id_col],
+    ).drop("__fp")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built from split + sequence + transform — all codegen'd; the explode
+    is the one unavoidable row-expansion.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: one min per seeded hash family.
+
+    Hash family i is ``md5(i || shingle)`` and the signature component is
+    the lexicographic MIN — a valid min-wise permutation over strings
+    that an ANSI-SQL oracle reproduces exactly (md5 + min exist in both
+    engines). One groupBy computes all components (map-side combined).
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(
+            f"mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a
+    candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The signature matrix is banded into ``bands`` groups of
+    ``rows_per_band`` components; each band hashes to a bucket key and
+    pairs emerge from an equi-self-join per bucket — no quadratic pass.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup candidates over a document table."""
+    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures(sh, num_hashes=bands * rows_per_band)
+    return lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All document pairs with n-gram Jaccard similarity >= threshold.
+
+    Exact (not approximate): inverted-index self-join on shared shingles,
+    so cost is sum over shingles of df^2 within a posting list — use the
+    MinHash/LSH path first at scale and this as the verifier on
+    candidates. Jaccard is rounded to 4dp before thresholding so the
+    oracle's float math agrees.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document (xxhash64 token hashes).
+
+    Each token votes +1/-1 per bit position by its hash bit; the sign
+    vector packs into a single BIGINT. Pure Spark expressions (xxhash64
+    has no ANSI-SQL twin, so the oracle check for this operator is
+    rows-only). Near-dup = small hamming distance between fingerprints.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    hashed = tokens.select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"bit_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("id", sig.alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(F.expr(f"{a} ^ {b}"))

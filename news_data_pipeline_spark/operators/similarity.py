@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100-TB ANN story needs:
+
+* ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  score every corpus vector with codegen'd array expressions
+  (``zip_with`` + ``aggregate``), take top-k per query with a window.
+  Cost O(|queries| * |corpus|) — the correctness baseline and the
+  re-ranker for candidates.
+* ``signbucket_topk`` — LSH-style scale path: vectors bucket by the sign
+  pattern of their leading components (a fixed, data-independent
+  hyperplane family), and scoring happens only within buckets — the
+  cross product shrinks by ~2^m. Deterministic and ANSI-SQL-expressible,
+  so the oracle verifies it end-to-end.
+
+All math is done in double precision and cosine is rounded to 6dp before
+ranking (vec_id tie-break) so results are reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _as_double(col) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Queries are broadcast (they're the small side by construction); the
+    corpus is scanned once with no shuffle until the per-query top-k,
+    which AQE plans as a partial top-k per partition.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def sign_bucket(vec: Column, m: int = 8) -> Column:
+    """Bucket key = sign bits of the first ``m`` components.
+
+    A fixed axis-aligned hyperplane family: data-independent,
+    deterministic, and expressible in ANSI SQL for oracle verification.
+    """
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(m)
+    ]
+    return F.concat(*bits)
+
+
+def signbucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only within matching sign buckets.
+
+    The join is a plain equi-join on the bucket key, so it shuffles by
+    bucket instead of cross-producting — the scale path, with
+    ``cosine_topk`` as the exact re-ranker when recall must be 1.0.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+        sign_bucket(_as_double(vec_col), m).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("c_vec"),
+        sign_bucket(_as_double(vec_col), m).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

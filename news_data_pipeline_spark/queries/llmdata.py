@@ -1,0 +1,285 @@
+"""LLM-training-data operators as declared queries: text analysis,
+deduplication (exact / MinHash-LSH / n-gram Jaccard / SimHash), and
+embedding similarity search. These extend the reference (north star in
+BASELINE.json); all but SimHash have exact ANSI-SQL oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from news_data_pipeline_spark.functions import text as T
+from news_data_pipeline_spark.operators import dedup, similarity
+from news_data_pipeline_spark.queries.registry import register
+from news_data_pipeline_spark.sources.catalog import load_table
+
+_POS = "|".join(T.POSITIVE_WORDS)
+_NEG = "|".join(T.NEGATIVE_WORDS)
+_ALL_STOPS = "|".join(w for ws in T.LANG_MARKERS.values() for w in ws)
+
+# DuckDB twin of functions.text.word_count / token_count — keep in sync.
+_DUCK_WORDS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_DUCK_TOKENS = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))"
+
+# DuckDB twin of operators.dedup.word_shingles (word n-grams, n=3).
+_DUCK_SHINGLES = """
+    SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+    FROM (SELECT doc_id AS id,
+                 regexp_split_to_array(trim(text), '\\s+') AS ws,
+                 unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
+          FROM documents) t
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+@register(
+    "document_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_WORDS}  AS n_words,
+           {_DUCK_TOKENS} AS n_tokens,
+           length(text)   AS n_chars_computed
+    FROM documents
+    """,
+)
+def document_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.word_count(F.col("text")).cast("long").alias("n_words"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.char_count(F.col("text")).cast("long").alias("n_chars_computed"),
+    )
+
+
+@register(
+    "document_quality",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               {_DUCK_WORDS} AS wc,
+               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
+                     / greatest(length(text), 1)::DOUBLE, 4) AS pr
+        FROM documents)
+    SELECT doc_id,
+           round(least(wc / 50.0, 1.0) * 0.5
+                 + (1.0 - pr) * 0.3
+                 + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
+                 4) AS quality
+    FROM m
+    """,
+)
+def document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "document_language_id",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["de"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_de,
+               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["en"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_en,
+               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["es"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_es,
+               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["fr"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_fr
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+    """,
+)
+def document_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.detect_language(F.col("text")).alias("detected_lang")
+    )
+
+
+@register(
+    "document_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# --- deduplication -----------------------------------------------------------
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT doc_id, source, lang FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs, "text", "doc_id").select(
+        "doc_id", "source", "lang"
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(md5('seed{i}:' || shingle)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )})
+    SELECT DISTINCT l.id AS id_a, r.id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) >= 0.3
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+
+
+@register("simhash_fingerprints")  # rows-only: xxhash64 has no ANSI-SQL twin
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+# --- similarity search -------------------------------------------------------
+_DUCK_COSINE_SCORE = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(qe, e)
+                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                     6) AS cosine_sim
+        FROM q, v WHERE v.vec_id <> q.query_id{bucket_filter})
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored) t
+    WHERE rn <= 5
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=_DUCK_COSINE_SCORE.format(bucket_filter=""),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def _duck_sign_bucket(side: str) -> str:
+    bits = " || ".join(
+        f"CASE WHEN {side}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+    )
+    return f"({bits})"
+
+
+@register(
+    "cosine_topk_signbucket",
+    oracle=_DUCK_COSINE_SCORE.format(
+        bucket_filter=(
+            f"\n          AND {_duck_sign_bucket('qe')} = {_duck_sign_bucket('e')}"
+        )
+    ),
+)
+def cosine_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.signbucket_topk(emb, queries, k=5, m=8)
+
+
+@register(
+    "embedding_label_stats",
+    oracle="""
+    WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(sqrt(list_dot_product(e, e))), 6) AS avg_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(similarity.l2_norm(vec)), 6).alias("avg_norm"),
+    )
+
+
+# --- multimodal plumbing -----------------------------------------------------
+@register(
+    "binary_column_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text)                  AS content_hash
+    FROM documents
+    """,
+)
+def binary_column_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing: payloads as ``binary`` + typed
+    metadata. Decode/feature-extract for real media lives in
+    ``multimodal`` (stubbed — no codec libs in this container); the
+    Spark-side schema/UDF plumbing is real and tested."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+    )

@@ -1,0 +1,277 @@
+"""Reference-pipeline parity queries: star schema, gold models, DQ split,
+and the silver-layer text transforms — run against the ``documents``
+fixture (the stand-in for news articles).
+
+Mapping to the reference:
+* dim/fact builders  -> ``03_gold_modeling_news_articles.py:34-77``
+* gold aggregates    -> ``03:133-155``
+* DQ valid/quarantine-> ``_lib_dq_helpers.py:105-190`` + ``02:38-62``
+* text transforms    -> ``02:63-93`` (HTML strip, domain, counts, sentiment)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from news_data_pipeline_spark.dq import NotNull, Unique, run_dq
+from news_data_pipeline_spark.functions import text as T
+from news_data_pipeline_spark.model.star import build_dim, build_fact, dim_date
+from news_data_pipeline_spark.queries.registry import register
+from news_data_pipeline_spark.sources.catalog import load_table
+
+# Shared CTE for the DQ queries: fixture docs plus deterministic dirty
+# rows (nulls + an injected duplicate key), built in-memory because
+# /root/testdata is read-only (FIXTURES.md). The oracle repeats the same
+# literals.
+_DIRTY_ROWS = [
+    (9000001, None, "en", "srcX", 0),
+    (9000002, "", "en", "srcX", 0),
+    (0, "injected duplicate", "en", "srcX", 18),
+]
+_DIRTY_SQL = """
+        SELECT * FROM documents
+        UNION ALL SELECT 9000001, NULL, 'en', 'srcX', 0
+        UNION ALL SELECT 9000002, '',  'en', 'srcX', 0
+        UNION ALL SELECT 0, 'injected duplicate', 'en', 'srcX', 18
+"""
+
+
+def _dirty_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    extra = spark.createDataFrame(_DIRTY_ROWS, schema=docs.schema)
+    return docs.unionByName(extra)
+
+
+@register(
+    "dim_source",
+    oracle="""
+    SELECT DISTINCT coalesce(source, 'UNKNOWN') AS source,
+           md5(coalesce(source, 'UNKNOWN'))     AS source_id
+    FROM documents
+    """,
+)
+def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return build_dim(docs, "source", id_col="source_id")
+
+
+@register(
+    "fact_documents",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS article_id,
+           md5(source)                  AS source_id,
+           md5(lang)                    AS lang_id,
+           lang, n_chars
+    FROM documents
+    """,
+)
+def fact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dims = {
+        "source": build_dim(docs, "source", id_col="source_id"),
+        "lang": build_dim(docs, "lang", id_col="lang_id"),
+    }
+    return build_fact(
+        docs,
+        dims,
+        fact_id_cols=["doc_id"],
+        fact_id_name="article_id",
+        select=["doc_id", "article_id", "source_id", "lang_id", "lang", "n_chars"],
+    )
+
+
+@register(
+    "gold_top_publishers",
+    oracle="SELECT source, count(*) AS n_articles FROM documents GROUP BY source",
+)
+def gold_top_publishers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``gold_top_publishers`` (``03:133-139``) on documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_articles"))
+
+
+@register(
+    "gold_lang_distribution",
+    oracle="SELECT lang, count(*) AS n_articles FROM documents GROUP BY lang",
+)
+def gold_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``gold_country_distribution`` (``03:150-155``) analogue."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_articles"))
+
+
+@register(
+    "gold_sentiment_trends",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               round((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
+                    - len(regexp_extract_all(lower(text), '\\b({"|".join(T.NEGATIVE_WORDS)})\\b')))
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE, 4) AS polarity
+        FROM documents)
+    SELECT source,
+           CASE WHEN polarity > 0 THEN 'positive'
+                WHEN polarity < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label,
+           count(*) AS n_articles
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def gold_sentiment_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference ``gold_sentiment_trends`` (``03:142-147``): sentiment
+    label counts per source, lexicon-scored (no TextBlob UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    polarity = T.sentiment_polarity(F.col("text"))
+    return (
+        docs.select("source", T.sentiment_label(polarity).alias("sentiment_label"))
+        .groupBy("source", "sentiment_label")
+        .agg(F.count(F.lit(1)).alias("n_articles"))
+    )
+
+
+@register(
+    "dim_date_orders",
+    oracle="""
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m-%d')      AS date_key,
+           CAST(EXTRACT(year    FROM o_orderdate) AS INT) AS year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
+           CAST(EXTRACT(month   FROM o_orderdate) AS INT) AS month,
+           CAST(EXTRACT(day     FROM o_orderdate) AS INT) AS day,
+           CAST(EXTRACT(dow     FROM o_orderdate) AS INT) AS day_of_week,
+           CAST(EXTRACT(week    FROM o_orderdate) AS INT) AS week_of_year,
+           EXTRACT(dow FROM o_orderdate) IN (0, 6)  AS is_weekend
+    FROM orders WHERE o_orderdate IS NOT NULL
+    """,
+)
+def dim_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference README promises a dim_date it never builds
+    (``README.md:66``); this is the real one. date_key surfaces as an
+    ISO string for engine-independent hashing."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = dim_date(orders, "o_orderdate")
+    return out.withColumn("date_key", F.date_format("date_key", "yyyy-MM-dd"))
+
+
+@register(
+    "dq_valid_documents",
+    oracle=f"""
+    WITH base AS ({_DIRTY_SQL})
+    SELECT doc_id, text, lang, source, n_chars FROM base
+    WHERE NOT (text IS NULL OR text = '')
+      AND doc_id NOT IN (
+          SELECT doc_id FROM base GROUP BY doc_id HAVING count(*) > 1)
+    """,
+)
+def dq_valid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass DQ engine: rows passing not_null(text) + unique(doc_id)."""
+    dirty = _dirty_documents(spark, sf_dir)
+    result = run_dq(dirty, [NotNull("text"), Unique("doc_id")], cache=False)
+    return result.valid
+
+
+@register(
+    "dq_quarantined_documents",
+    oracle=f"""
+    WITH base AS ({_DIRTY_SQL}),
+    dups AS (SELECT doc_id FROM base GROUP BY doc_id HAVING count(*) > 1)
+    SELECT doc_id, text, lang, source, n_chars,
+           concat_ws('; ',
+               CASE WHEN text IS NULL OR text = '' THEN 'not_null(text)' END,
+               CASE WHEN doc_id IN (SELECT doc_id FROM dups)
+                    THEN 'unique(doc_id)' END) AS reason
+    FROM base
+    WHERE (text IS NULL OR text = '')
+       OR doc_id IN (SELECT doc_id FROM dups)
+    """,
+)
+def dq_quarantined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine side of the split, with rule-name reasons
+    (reference ``02:43-52``)."""
+    dirty = _dirty_documents(spark, sf_dir)
+    result = run_dq(dirty, [NotNull("text"), Unique("doc_id")], cache=False)
+    return result.quarantined.withColumn(
+        "reason", F.array_join("reasons", "; ")
+    ).drop("reasons")
+
+
+@register("dq_quarantine_records")  # rows-only: JSON payload formatting is engine-specific
+def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit-sink shaping: payload JSON + reason + lineage
+    (reference ``02:44-48``)."""
+    from news_data_pipeline_spark.dq import to_quarantine_records
+
+    dirty = _dirty_documents(spark, sf_dir)
+    result = run_dq(dirty, [NotNull("text"), Unique("doc_id")], cache=False)
+    return to_quarantine_records(
+        result.quarantined,
+        source_table="documents",
+        ingestion_time="2026-01-01 00:00:00",
+    )
+
+
+# --- silver-layer text transforms (P/F/D rows) -------------------------------
+@register(
+    "documents_enriched",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace('<b>' || text || '</b>', '<[^>]*>', '', 'g') AS clean_text,
+           regexp_extract('https://www.' || source || '.example.com/a/' || doc_id,
+                          'https?://(?:www\\.)?([^/]+)', 1)            AS domain,
+           len(regexp_split_to_array(trim(text), '\\s+'))              AS n_words,
+           length(text)                                                AS n_chars_computed,
+           upper(lang)                                                 AS lang_upper,
+           substr(text, 1, 12)                                         AS prefix
+    FROM documents
+    """,
+)
+def documents_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver transform chain (``02:63-93``) on documents: HTML strip
+    (wrapped in tags first so the op is exercised), URL domain extraction,
+    real word count (fixing ``02:71``'s length-as-word-count), casing,
+    substring."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/a/"), F.col("doc_id")
+    )
+    tagged = F.concat(F.lit("<b>"), F.col("text"), F.lit("</b>"))
+    return docs.select(
+        "doc_id",
+        T.strip_html(tagged).alias("clean_text"),
+        T.extract_domain(url).alias("domain"),
+        T.word_count(F.col("text")).alias("n_words"),
+        T.char_count(F.col("text")).alias("n_chars_computed"),
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 12).alias("prefix"),
+    )
+
+
+@register(
+    "document_sentiment",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               round((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
+                    - len(regexp_extract_all(lower(text), '\\b({"|".join(T.NEGATIVE_WORDS)})\\b')))
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE, 4)
+                   AS sentiment_score
+        FROM documents)
+    SELECT doc_id, sentiment_score,
+           CASE WHEN sentiment_score > 0 THEN 'positive'
+                WHEN sentiment_score < 0 THEN 'negative'
+                ELSE 'neutral' END AS sentiment_label
+    FROM scored
+    """,
+)
+def document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lexicon sentiment replacing the reference's TextBlob
+    UDF (``_lib_dq_helpers.py:84-95``): pure Catalyst expressions the
+    oracle mirrors exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    polarity = T.sentiment_polarity(F.col("text"))
+    return docs.select(
+        "doc_id",
+        polarity.alias("sentiment_score"),
+        T.sentiment_label(polarity).alias("sentiment_label"),
+    )

@@ -1,0 +1,537 @@
+"""Relational operator surface (SURVEY §2.2-2.8) as declared queries.
+
+Each query exercises one operator family on the TPC-H-ish fixtures, with
+the plan shape we'd want at 100 TB: filters before joins (Catalyst pushes
+them into the scan), broadcast hints on bounded dims, top-k as
+orderBy+limit (planned as TakeOrderedAndProject — no global sort
+materialization), windows always partitioned.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from news_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
+from news_data_pipeline_spark.queries.registry import register
+from news_data_pipeline_spark.sources.catalog import load_table
+
+
+# --- aggregation: TPC-H Q1-style pricing summary (A1/A2/A5 family) -------
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- top-k: orderBy+limit => TakeOrderedAndProject (O1) -------------------
+@register(
+    "top_customers",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY o_custkey
+    ORDER BY revenue DESC, o_custkey LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# --- multi-join with broadcast dims (J1) ----------------------------------
+@register(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n_name,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*)                    AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    joined = dim_join(joined, nation, on=[joined.c_nationkey == nation.n_nationkey])
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- group-by with multiple aggregate kinds (A2 + min/max/avg) ------------
+@register(
+    "segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)                 AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_balance,
+           round(sum(c_acctbal), 2) AS total_balance,
+           round(min(c_acctbal), 2) AS min_balance,
+           round(max(c_acctbal), 2) AS max_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        F.round(F.min("c_acctbal"), 2).alias("min_balance"),
+        F.round(F.max("c_acctbal"), 2).alias("max_balance"),
+    )
+
+
+# --- semi / anti joins (J2/J3) --------------------------------------------
+@register(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return semi_join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return anti_join(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "priority_order_counts",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    with_items = semi_join(
+        orders, lineitem.select(F.col("l_orderkey").alias("o_orderkey")), on="o_orderkey"
+    )
+    return with_items.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# --- window functions (W1 family + lag/lead/rank/frames) ------------------
+@register(
+    "supplier_row_numbers",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_name, s_suppkey) AS INT) AS rn
+    FROM supplier
+    """,
+)
+def supplier_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_name", "s_suppkey")
+    return supplier.select(
+        "s_suppkey", "s_name", "s_nationkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "order_price_lag_lead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_price_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "part_price_ranks",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(rank()       OVER w AS INT) AS price_rank,
+           CAST(dense_rank() OVER w AS INT) AS price_dense_rank
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    """,
+)
+def part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+# --- set operations (U1 + the surface the reference lacks) ----------------
+@register(
+    "nation_union_distinct",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 1
+    UNION
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 1
+    """,
+)
+def nation_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.where("n_regionkey <= 1").select("n_nationkey", "n_name")
+    b = nation.where("n_regionkey >= 1").select("n_nationkey", "n_name")
+    return a.union(b).distinct()
+
+
+@register(
+    "nation_intersect",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <= 2
+    INTERSECT
+    SELECT n_nationkey, n_name FROM nation WHERE n_regionkey >= 2
+    """,
+)
+def nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.where("n_regionkey <= 2").select("n_nationkey", "n_name")
+    b = nation.where("n_regionkey >= 2").select("n_nationkey", "n_name")
+    return a.intersect(b)
+
+
+@register(
+    "nation_except_all",
+    oracle="""
+    SELECT n_regionkey FROM nation
+    EXCEPT ALL
+    SELECT n_regionkey FROM nation WHERE n_nationkey < 5
+    """,
+)
+def nation_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select("n_regionkey")
+    b = nation.where("n_nationkey < 5").select("n_regionkey")
+    return a.exceptAll(b)
+
+
+# --- distinct / deterministic dedup (A3/A4) --------------------------------
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "first_doc_per_source_lang",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars FROM (
+        SELECT doc_id, source, lang, n_chars,
+               row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+        FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def first_doc_per_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: keep lowest doc_id per (source, lang)
+    — the engine's keep-first dedup (operators.dedup.exact_dedup)."""
+    from news_data_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, keys=["source", "lang"], tie_break=["doc_id"]).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+# --- null handling (P8/P9) --------------------------------------------------
+@register(
+    "segment_fillna_counts",
+    oracle="""
+    SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS segment,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def segment_fillna_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.withColumn("segment", F.expr("nullif(c_mktsegment, 'BUILDING')"))
+        .fillna("UNKNOWN", subset=["segment"])
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- case/when + cast (P4/P5, F6) -------------------------------------------
+@register(
+    "order_price_bands",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END                  AS price_band,
+           strftime(o_orderdate, '%Y-%m-%d')     AS order_date
+    FROM orders
+    """,
+)
+def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    # dates surface as ISO strings: the one value formatting every engine
+    # (and the driver's value-hash) agrees on
+    return orders.select(
+        "o_orderkey",
+        band.alias("price_band"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+# --- date functions (F5 + date_trunc) ---------------------------------------
+@register(
+    "monthly_revenue",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd"
+            ).alias("order_month")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# --- JSON extraction (F7 family) --------------------------------------------
+@register(
+    "event_json_k",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def event_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+# --- rollup / cube (beyond-reference agg surface) ---------------------------
+@register(
+    "order_status_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "lineitem_flag_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- pivot -------------------------------------------------------------------
+@register(
+    "priority_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    )
+
+
+# --- scalar subquery ---------------------------------------------------------
+@register(
+    "orders_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    avg_price = orders.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        orders.join(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("__avg"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- exact distinct counting -------------------------------------------------
+@register(
+    "status_customer_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def status_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- exact percentile ----------------------------------------------------------
+@register(
+    "quantity_median",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+    )

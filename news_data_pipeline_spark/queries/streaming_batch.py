@@ -1,0 +1,133 @@
+"""Event-time windowing queries over the ``events`` fixture.
+
+These are the batch twins of the Structured Streaming operators in
+``news_data_pipeline_spark.streaming`` — Spark's ``window`` /
+``session_window`` functions have identical semantics in batch and
+streaming, so the oracle validates the semantics here and the streaming
+tests (tests/test_streaming.py) validate the readStream/watermark
+plumbing against these same results.
+
+The reference has no streaming at all (future work,
+``docs/pipeline_overview.md:165``); this is the north-star extension.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from news_data_pipeline_spark.queries.registry import register
+from news_data_pipeline_spark.sources.catalog import load_table
+
+
+@register(
+    "tumbling_hourly_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n_events,
+           round(sum(value), 2)   AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+        FROM events)
+    SELECT window_start, event_type, count(*) AS n_events
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event lands in two."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL '10 minutes'  AS session_end,
+           count(*)                         AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user via ``session_window`` —
+    the same operator the streaming module uses with a watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "earliest_event_per_user_type",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+)
+def earliest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming ``dropDuplicatesWithinWatermark``-style
+    dedup: keep the earliest event per (user, type), deterministically."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )

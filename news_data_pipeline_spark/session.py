@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference relies on a Databricks-managed session; here we own the
+config. Defaults chosen for correctness parity with the DuckDB oracle
+(UTC session timezone, NTZ-friendly parquet reading) and for scale
+(AQE on, skew-join handling on, Arrow on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) confs applied to *any* session we are handed,
+# including the driver's own session. Keep these settable post-creation.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as long and convert in sources.catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive timestamps everywhere: match DuckDB / parquet NTZ semantics.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
+    # Adaptive execution: runtime coalescing, broadcast conversion and
+    # skew-join splitting — the 100-TB safety net.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-provided or ours).
+
+    Every queries() callable goes through this, so correctness does not
+    depend on who built the session.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on this build — session default applies
+    return spark
+
+
+def get_spark(
+    app_name: str = "news_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local session sized to the test harness.
+
+    On a real cluster the same code runs unchanged — only master/partition
+    settings differ, and those come from spark-submit, not from here.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    parts = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)

@@ -1,0 +1,60 @@
+"""Table catalog over the driver-provided parquet fixtures.
+
+Generalizes the reference's layer readers
+(``spark.read.format("delta").load(path)`` at
+``02_silver_transformation_news_articles.py:29``,
+``03_gold_modeling_news_articles.py:30``) into a schema-aware catalog:
+one place that knows how each table is read, normalized, and typed, so
+every operator downstream sees identical shapes on every scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from news_data_pipeline_spark.session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing types for engine-wide parity.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``nanosAsLong`` it arrives as an
+    int64 of nanoseconds and is converted here to microsecond-precision
+    TIMESTAMP_NTZ (truncating, which matches DuckDB's own ns->us read).
+    """
+    tune(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every fixture as a temp view so ``spark.sql`` works too."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

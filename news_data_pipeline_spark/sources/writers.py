@@ -1,0 +1,84 @@
+"""Layered-lake writers.
+
+Generalizes the reference's ``write_to_datalake`` /
+``write_to_datalake_and_hive`` (``_lib_dq_helpers.py:21-54, 198-233``):
+partitioned writes to a layer path plus optional metastore registration.
+
+Two deliberate fixes over the reference:
+
+* The reference executes the full plan twice per gold table (Delta save
+  then ``saveAsTable``, ``_lib_dq_helpers.py:216,226``). Here we write
+  the files once and register the table *over the written path* — zero
+  recompute.
+* Delta Lake isn't available in this container, so the physical format
+  is parquet behind the same API; the format is a parameter, not a
+  hardcode, so a Delta-enabled cluster just passes ``fmt="delta"``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_layer(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: str | Sequence[str] | None = None,
+    mode: str = "append",
+    fmt: str = "parquet",
+) -> None:
+    """Write ``df`` to ``path`` with optional partitioning.
+
+    Mirrors ``write_to_datalake`` (``_lib_dq_helpers.py:21-54``) minus the
+    cloud-path assembly: callers pass a full path/URI so the same code
+    serves local disk, HDFS, or object stores.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.save(path)
+
+
+def write_layer_and_register(
+    df: DataFrame,
+    path: str,
+    table: str,
+    *,
+    database: str = "news_articles",
+    partition_by: str | Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write once, then register an external table over the files.
+
+    Replaces ``write_to_datalake_and_hive`` (``_lib_dq_helpers.py:198-233``)
+    without the double execution: ``CREATE TABLE ... USING <fmt> LOCATION``
+    is a metadata-only operation.
+    """
+    spark: SparkSession = df.sparkSession
+    write_layer(df, path, partition_by=partition_by, mode=mode, fmt=fmt)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{table}")
+    spark.sql(
+        f"CREATE TABLE {database}.{table} USING {fmt} LOCATION '{path}'"
+    )
+    if partition_by:
+        spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
+
+
+def quarantine_writer(path: str, fmt: str = "parquet"):
+    """Append-only audit sink for DQ-failed rows.
+
+    The payload/reason/lineage shaping happens in ``dq.engine`` (mirrors
+    ``02_silver_transformation_news_articles.py:44-49``); this is just the
+    append-mode sink those rows flow into.
+    """
+
+    def _write(df: DataFrame) -> None:
+        write_layer(df, path, mode="append", fmt=fmt)
+
+    return _write

@@ -1,0 +1,149 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB (same parquet tables as views), then
+compares row count, column names, and an order-insensitive value
+comparison (floats with tolerance). Use before every commit:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon_value(v):
+    import datetime
+    import numpy as np
+
+    if v is None:
+        return None
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return None if math.isnan(f) else ("f", round(f, 6))
+    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
+        return ("i", int(v))
+    if isinstance(v, (datetime.datetime,)):
+        return ("t", v.isoformat(sep=" ", timespec="microseconds"))
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return ("b", bytes(v).hex())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("l", tuple(canon_value(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((k, canon_value(x)) for k, x in v.items())))
+    return ("s", str(v))
+
+
+def frame_to_multiset(df) -> tuple[list[str], list[tuple]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon_value(row[c]) for c in cols)
+        for row in df.to_dict("records")
+    ]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+def float_close(a, b) -> bool:
+    if a == b:
+        return True
+    if (
+        isinstance(a, tuple) and isinstance(b, tuple)
+        and len(a) == 2 and len(b) == 2 and a[0] == b[0]
+    ):
+        if a[0] in ("f", "i"):
+            return math.isclose(float(a[1]), float(b[1]), rel_tol=1e-6, abs_tol=1e-6)
+        if a[0] == "l":
+            return len(a[1]) == len(b[1]) and all(
+                float_close(x, y) for x, y in zip(a[1], b[1])
+            )
+    return False
+
+
+def rows_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
+    if len(a) != len(b):
+        return False, f"row count {len(a)} vs {len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra == rb:
+            continue
+        if len(ra) == len(rb) and all(float_close(x, y) for x, y in zip(ra, rb)):
+            continue
+        return False, f"first diff at sorted row {i}:\n  spark={ra}\n  duck ={rb}"
+    return True, ""
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from news_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        scols, srows = frame_to_multiset(sdf)
+        dcols, drows = frame_to_multiset(ddf)
+        if scols != dcols:
+            print(f"FAIL {name}: columns {scols} vs {dcols}")
+            failures.append(name)
+            continue
+        ok, why = rows_equal(srows, drows)
+        if not ok:
+            print(f"FAIL {name}: {why}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
