@@ -8,16 +8,17 @@ splits valid/invalid with inner + left_anti joins against an accumulated
 plus two shuffled joins.
 
 Here every rule contributes a boolean violation column; the annotated
-frame is computed once (window rules share a single shuffle per distinct
-key set), and valid/quarantine are two filters over it. The pass/fail
-report is one aggregate over the same frame. Fail-open semantics are
-preserved: a failing report does not stop valid rows from flowing
-(reference ``02:38-62``).
+frame is built once (window rules share a shuffle per distinct key set),
+and valid/quarantine are two filters over it. The pass/fail report is
+ONE aggregate over the same frame — and it's lazy: consumers that only
+need the split never pay for it. Fail-open semantics are preserved: a
+failing report does not stop valid rows from flowing (reference
+``02:38-62``).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -27,19 +28,60 @@ from news_data_pipeline_spark.dq.rules import ColumnExists, MinRows, Rule
 _FLAG_PREFIX = "__dq_violates_"
 
 
+def _flag_name(i: int, rule: Rule) -> str:
+    return f"{_FLAG_PREFIX}{i}_{rule.rule_name()}"
+
+
 @dataclass
 class DQResult:
     valid: DataFrame
     quarantined: DataFrame  # original columns + ``reasons array<string>``
-    report: dict[str, dict]
+    _annotated: DataFrame
+    _rules: list[Rule]
+    _flag_cols: list[str]
+    _schema_report: dict[str, dict]
+    _report: dict[str, dict] | None = field(default=None, repr=False)
+
+    @property
+    def report(self) -> dict[str, dict]:
+        """Per-rule pass/fail + violation counts (one Spark job, computed
+        on first access and memoized)."""
+        if self._report is None:
+            aggs = [F.count(F.lit(1)).alias("__total")] + [
+                F.sum(F.col(c).cast("long")).alias(c) for c in self._flag_cols
+            ]
+            counts = self._annotated.agg(*aggs).collect()[0].asDict()
+            report = dict(self._schema_report)
+            for i, rule in enumerate(self._rules):
+                if isinstance(rule, ColumnExists):
+                    continue
+                if isinstance(rule, MinRows):
+                    total = counts["__total"]
+                    report[rule.rule_name()] = {
+                        "passed": total >= rule.threshold,
+                        "violations": 0 if total >= rule.threshold else 1,
+                        "detail": {"rows": total, "threshold": rule.threshold},
+                    }
+                    continue
+                n = counts.get(_flag_name(i, rule)) or 0
+                report[rule.rule_name()] = {
+                    "passed": n == 0,
+                    "violations": int(n),
+                }
+            self._report = report
+        return self._report
 
     @property
     def passed(self) -> bool:
         return all(r["passed"] for r in self.report.values())
 
 
-def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = True) -> DQResult:
-    """Evaluate all rules in one annotated pass and split the frame."""
+def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = False) -> DQResult:
+    """Evaluate all rules in one annotated pass and split the frame.
+
+    ``cache=True`` persists the annotated frame — worth it when both
+    sides of the split AND the report will be consumed.
+    """
     schema_report: dict[str, dict] = {}
     flag_cols: list[str] = []
     annotated = df
@@ -55,49 +97,39 @@ def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = True) -> DQResult:
             continue
         if isinstance(rule, MinRows):
             continue  # needs the total count — folded into the report agg
-        violation = rule.violation(df)
-        flag = f"{_FLAG_PREFIX}{i}_{rule.rule_name()}"
-        annotated = annotated.withColumn(flag, F.coalesce(violation, F.lit(False)))
+        flag = _flag_name(i, rule)
+        annotated = annotated.withColumn(
+            flag, F.coalesce(rule.violation(df), F.lit(False))
+        )
         flag_cols.append(flag)
 
     if cache and flag_cols:
         annotated = annotated.cache()
 
-    # One aggregate computes every per-rule violation count AND the total
-    # row count — single job instead of the reference's job-per-rule.
-    aggs = [F.count(F.lit(1)).alias("__total")] + [
-        F.sum(F.col(c).cast("long")).alias(c) for c in flag_cols
-    ]
-    counts = annotated.agg(*aggs).collect()[0].asDict()
-
-    report = dict(schema_report)
-    for i, rule in enumerate(rules):
-        if isinstance(rule, ColumnExists):
-            continue
-        if isinstance(rule, MinRows):
-            total = counts["__total"]
-            report[rule.rule_name()] = {
-                "passed": total >= rule.threshold,
-                "violations": 0 if total >= rule.threshold else 1,
-                "detail": {"rows": total, "threshold": rule.threshold},
-            }
-            continue
-        flag = f"{_FLAG_PREFIX}{i}_{rule.rule_name()}"
-        n = counts.get(flag) or 0
-        report[rule.rule_name()] = {"passed": n == 0, "violations": int(n)}
-
     if not flag_cols:
-        return DQResult(valid=df, quarantined=df.limit(0).withColumn(
-            "reasons", F.array().cast("array<string>")), report=report)
+        empty_quarantine = df.limit(0).withColumn(
+            "reasons", F.array().cast("array<string>")
+        )
+        return DQResult(
+            valid=df,
+            quarantined=empty_quarantine,
+            _annotated=annotated,
+            _rules=rules,
+            _flag_cols=flag_cols,
+            _schema_report=schema_report,
+        )
 
-    any_violation = F.array_contains(
-        F.array(*[F.col(c) for c in flag_cols]), True
-    )
+    any_violation = F.array_contains(F.array(*[F.col(c) for c in flag_cols]), True)
     reasons = F.filter(
-        F.array(*[
-            F.when(F.col(flag), F.lit(rule_name(flag))).otherwise(F.lit(None))
-            for flag in flag_cols
-        ]),
+        F.array(
+            *[
+                F.when(F.col(_flag_name(i, rule)), F.lit(rule.rule_name())).otherwise(
+                    F.lit(None)
+                )
+                for i, rule in enumerate(rules)
+                if not isinstance(rule, (ColumnExists, MinRows))
+            ]
+        ),
         lambda x: x.isNotNull(),
     )
     original_cols = [c for c in annotated.columns if not c.startswith(_FLAG_PREFIX)]
@@ -107,12 +139,14 @@ def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = True) -> DQResult:
         .withColumn("reasons", reasons)
         .select([*original_cols, "reasons"])
     )
-    return DQResult(valid=valid, quarantined=quarantined, report=report)
-
-
-def rule_name(flag_col: str) -> str:
-    """Recover the rule name from a violation-flag column name."""
-    return flag_col[len(_FLAG_PREFIX):].split("_", 1)[1]
+    return DQResult(
+        valid=valid,
+        quarantined=quarantined,
+        _annotated=annotated,
+        _rules=rules,
+        _flag_cols=flag_cols,
+        _schema_report=schema_report,
+    )
 
 
 def to_quarantine_records(

@@ -48,23 +48,36 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Word n-gram shingles per document: (id, shingle).
 
     Built from split + sequence + transform — all codegen'd; the explode
-    is the one unavoidable row-expansion.
+    is the one unavoidable row-expansion. ``distinct=False`` skips the
+    dedup shuffle for consumers whose aggregate is duplicate-insensitive
+    (MinHash: min over a multiset == min over its set).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Materialize the words array as a column FIRST: referencing the raw
+    # split(...) expression inside the transform lambda would re-split
+    # the text once per shingle (quadratic per document). Likewise,
+    # per-word F.get is O(1) where F.slice would copy O(n_words).
+    with_words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+    )
+    words = F.col("__words")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+        idx,
+        # concat_ws skips nulls, so docs shorter than n words still
+        # produce one shingle of the available words (F.get is null
+        # out-of-bounds — no ANSI error, unlike element_at).
+        lambda i: F.concat_ws(" ", *[F.get(words, i + k) for k in range(n)]),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
+    out = with_words.select("id", F.explode(grams).alias("shingle")).where(
+        F.length("shingle") > 0
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -96,19 +109,28 @@ def lsh_candidate_pairs(
     ``rows_per_band`` components; each band hashes to a bucket key and
     pairs emerge from an equi-self-join per bucket — no quadratic pass.
     """
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            signatures.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+    # One bucket hash per band, exploded from a single Project — NOT a
+    # union of per-band selects, which would re-run the whole signature
+    # pipeline once per band (and the self-join below doubles it again).
+    # With identical child plans on both join sides, Spark reuses the
+    # shuffle exchange instead of recomputing.
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
             )
         )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(bands)
+    ]
+    # Persist the banded table: the self-join consumes it twice (the
+    # broadcast side and the probe side), and without materialization
+    # each side would recompute the full shingle+signature pipeline.
+    # Size is n_docs * bands rows of (id, 32-char bucket) — tiny relative
+    # to the corpus even at billions of documents, and spills if not.
+    banded = signatures.select(
+        "id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -135,7 +157,7 @@ def minhash_lsh_dedup_pairs(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """End-to-end MinHash+LSH near-dup candidates over a document table."""
-    sh = word_shingles(df, id_col, text_col, n=shingle_n)
+    sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sigs = minhash_signatures(sh, num_hashes=bands * rows_per_band)
     return lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
 
@@ -156,7 +178,10 @@ def ngram_jaccard_pairs(
     candidates. Jaccard is rounded to 4dp before thresholding so the
     oracle's float math agrees.
     """
-    sh = word_shingles(df, id_col, text_col, n=n)
+    # Four plan branches (self-join sides + two size joins) read the
+    # shingle table — persist it once instead of recomputing the
+    # split/explode/distinct pipeline per branch.
+    sh = word_shingles(df, id_col, text_col, n=n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
