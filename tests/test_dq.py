@@ -1,0 +1,156 @@
+"""DQ engine semantics — the SURVEY §2.10 edge cases, made explicit.
+
+The reference's rule engine had three latent hazards (positional bad-key
+unions, two coexisting dedup semantics, fail-open pass/fail) — each is a
+test here, pinned to the behavior our engine chose.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark.dq import (
+    ColumnExists,
+    MinRows,
+    NotNull,
+    Unique,
+    config_to_rules,
+    run_dq,
+    to_quarantine_records,
+)
+
+
+def articles(spark):
+    rows = [
+        ("u1", "Alpha", "body a"),
+        ("u2", None, "body b"),        # null title
+        ("u3", "", "body c"),          # empty title counts as null
+        ("u4", "Delta", None),
+        ("u4", "Delta2", "body e"),    # duplicate url u4
+        ("u5", "Echo", "body f"),
+    ]
+    return spark.createDataFrame(rows, ["url", "title", "content"])
+
+
+def test_not_null_treats_empty_string_as_null(spark):
+    res = run_dq(articles(spark), [NotNull("title")])
+    bad = {r["url"] for r in res.quarantined.collect()}
+    assert bad == {"u2", "u3"}
+    assert res.report["not_null(title)"] == {"passed": False, "violations": 2}
+
+
+def test_unique_quarantine_all_copies(spark):
+    # Reference semantics (_lib_dq_helpers.py:159): every copy of a
+    # duplicated key is quarantined.
+    res = run_dq(articles(spark), [Unique("url")])
+    bad = [r["url"] for r in res.quarantined.collect()]
+    assert sorted(bad) == ["u4", "u4"]
+
+
+def test_unique_keep_first(spark):
+    # Silver-layer semantics (02:66): keep one copy, quarantine extras.
+    res = run_dq(
+        articles(spark), [Unique("url", quarantine_all=False, order_by=("title",))]
+    )
+    bad = res.quarantined.collect()
+    assert len(bad) == 1
+    assert bad[0]["title"] == "Delta2"  # Delta sorts first, so it stays
+    kept = {r["title"] for r in res.valid.collect()}
+    assert "Delta" in kept
+
+
+def test_split_is_a_partition_of_the_input(spark):
+    # valid ∪ quarantined == input, disjoint — per-row flags can't lose
+    # or duplicate rows the way the reference's key-set joins could.
+    df = articles(spark)
+    res = run_dq(df, [NotNull("title"), NotNull("content"), Unique("url")])
+    n_valid = res.valid.count()
+    n_bad = res.quarantined.count()
+    assert n_valid + n_bad == df.count()
+    overlap = res.valid.join(res.quarantined.select("url", "title"),
+                             on=["url", "title"], how="inner")
+    assert overlap.count() == 0
+
+
+def test_multi_rule_reasons_accumulate_per_row(spark):
+    df = articles(spark)
+    res = run_dq(df, [NotNull("title"), NotNull("content")])
+    reasons = {
+        r["url"]: sorted(r["reasons"])
+        for r in res.quarantined.collect()
+    }
+    assert reasons["u2"] == ["not_null(title)"]
+    assert reasons["u4"] == ["not_null(content)"]
+
+
+def test_fail_open_valid_rows_still_flow(spark):
+    # A failing report never blocks the valid side (reference 02:38-62).
+    res = run_dq(articles(spark), [NotNull("title")])
+    assert not res.passed
+    assert res.valid.count() == 4
+
+
+def test_column_exists_schema_level(spark):
+    res = run_dq(articles(spark), [ColumnExists("url", "missing_col")])
+    rep = res.report["column_exists(url,missing_col)"]
+    assert not rep["passed"]
+    assert rep["detail"]["missing_columns"] == ["missing_col"]
+    # schema-level rule quarantines no rows
+    assert res.quarantined.count() == 0
+
+
+def test_min_rows(spark):
+    df = articles(spark)
+    assert run_dq(df, [MinRows(3)]).passed
+    res = run_dq(df, [MinRows(100)])
+    assert not res.passed
+    assert res.report["min_rows(100)"]["detail"]["rows"] == 6
+
+
+def test_config_adapter_matches_reference_shape(spark):
+    # The reference's dq_config dict (_lib_dq_helpers.py:105-111).
+    rules = config_to_rules(
+        {
+            "required_columns": ["url", "title"],
+            "not_null": ["title"],
+            "unique_keys": ["url"],
+            "min_rows": 1,
+        }
+    )
+    names = [r.rule_name() for r in rules]
+    assert names == [
+        "column_exists(url,title)",
+        "not_null(title)",
+        "unique(url)",
+        "min_rows(1)",
+    ]
+    res = run_dq(articles(spark), rules)
+    assert res.quarantined.count() == 4  # u2, u3 null-title + 2x u4 dup
+
+
+def test_quarantine_records_shape(spark):
+    # Quarantine sink rows: JSON payload + reason + lineage (02:44-48).
+    res = run_dq(articles(spark), [NotNull("title")])
+    rec = to_quarantine_records(
+        res.quarantined,
+        source_table="articles",
+        ingestion_time="2026-01-01 00:00:00",
+    )
+    cols = set(rec.columns)
+    assert {"payload", "reason", "source_table", "ingestion_time"} <= cols
+    rows = rec.collect()
+    assert all(r["source_table"] == "articles" for r in rows)
+    assert all("not_null(title)" in r["reason"] for r in rows)
+    # payload round-trips the original row
+    parsed = rec.select(
+        F.get_json_object("payload", "$.url").alias("url")
+    ).collect()
+    assert {r["url"] for r in parsed} == {"u2", "u3"}
+
+
+def test_no_rules_passthrough(spark):
+    df = articles(spark)
+    res = run_dq(df, [])
+    assert res.valid.count() == df.count()
+    assert res.quarantined.count() == 0
+    assert res.passed

@@ -1,0 +1,107 @@
+"""Scalar text/column/id functions — reference parity + fixed semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from news_data_pipeline_spark.functions import columns as C
+from news_data_pipeline_spark.functions import ids, text
+
+
+def one(spark, value, fn):
+    df = spark.createDataFrame([(value,)], schema="v string")
+    return df.select(fn(F.col("v")).alias("out")).first()["out"]
+
+
+def test_strip_html(spark):
+    assert one(spark, "<p>Hello <b>world</b></p>", text.strip_html) == "Hello world"
+    assert one(spark, "no tags", text.strip_html) == "no tags"
+    assert one(spark, None, text.strip_html) is None  # null-safe, no UDF
+
+
+def test_extract_domain(spark):
+    # The reference's URL regex (02:70) incl. the www-strip group.
+    assert one(spark, "https://www.example.com/a/b", text.extract_domain) == "example.com"
+    assert one(spark, "http://news.site.org/x", text.extract_domain) == "news.site.org"
+    assert one(spark, "not a url", text.extract_domain) == ""
+
+
+def test_word_count_is_a_real_token_count(spark):
+    # Fixes the reference's length(content) mislabeled as word count (02:71).
+    assert one(spark, "one two  three", text.word_count) == 3
+    assert one(spark, "   ", text.word_count) == 0
+    assert one(spark, "", text.word_count) == 0
+
+
+def test_token_count_counts_punctuation_separately(spark):
+    assert one(spark, "hello, world!", text.token_count) == 4
+
+
+def test_sentiment_deterministic_lexicon(spark):
+    # polarity = (pos - neg) / max(words, 1); label from sign.
+    assert one(spark, "good good bad x", text.sentiment_polarity) == 0.25
+    assert one(spark, "bad", text.sentiment_polarity) == -1.0
+    assert one(spark, "nothing here", text.sentiment_polarity) == 0.0
+    df = spark.createDataFrame([("good day",), ("bad day",), ("meh",)], ["v"])
+    labels = [
+        r["l"]
+        for r in df.select(
+            text.sentiment_label(text.sentiment_polarity(F.col("v"))).alias("l")
+        ).collect()
+    ]
+    assert labels == ["positive", "negative", "neutral"]
+
+
+def test_detect_language(spark):
+    assert one(spark, "the cat and the dog of the house", text.detect_language) == "en"
+    assert one(spark, "el perro y la casa de que", text.detect_language) == "es"
+    assert one(spark, "zzz qqq xxx", text.detect_language) == "und"
+
+
+def test_fingerprint_stable_under_formatting(spark):
+    a = one(spark, "Hello,   World!", text.fingerprint)
+    b = one(spark, "hello world", text.fingerprint)
+    c = one(spark, "hello there", text.fingerprint)
+    assert a == b != c
+
+
+def test_quality_score_band(spark):
+    # 10 clean words: 0.5*10/50 + 0.3*1.0 + 0.2 = 0.6
+    assert one(spark, "w " * 9 + "w", text.quality_score) == 0.6
+
+
+def test_normalize_column_names_single_project(spark):
+    df = spark.createDataFrame([Row(**{"published at": 1, "Source Name": 2})])
+    out = C.normalize_column_names(df)
+    assert out.columns == ["PUBLISHED_AT", "SOURCE_NAME"]
+    # one Project in the plan, not a rename-loop tower
+    assert str(out.logicalPlan if hasattr(out, "logicalPlan") else "").count("Project") <= 1
+
+
+def test_flatten_structs(spark):
+    df = spark.createDataFrame(
+        [Row(source=Row(name="bbc", id=7), title="t")]
+    )
+    out = C.flatten_structs(df)
+    assert set(out.columns) == {"source_name", "source_id", "title"}
+    assert out.first()["source_name"] == "bbc"
+
+
+def test_require_columns(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    assert C.require_columns(df, ["a", "b", "c"]) == ["b", "c"]
+
+
+def test_surrogate_key_stable_and_null_safe(spark):
+    df = spark.createDataFrame([("x", None), ("x", None), ("y", "z")], ["a", "b"])
+    out = df.select(ids.surrogate_key("a", "b").alias("k")).collect()
+    assert out[0]["k"] == out[1]["k"]  # deterministic, run-independent
+    assert out[0]["k"] != out[2]["k"]
+    assert len(out[0]["k"]) == 32  # md5 hex — no 5-char truncation collisions
+
+
+def test_surrogate_key_xxhash_variant(spark):
+    df = spark.createDataFrame([("x",)], ["a"])
+    v = df.select(ids.surrogate_key("a", algo="xxhash64").alias("k")).first()["k"]
+    assert isinstance(v, int)

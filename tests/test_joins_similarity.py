@@ -1,0 +1,74 @@
+"""Join operators + similarity search."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark.operators import joins, similarity
+
+
+def test_semi_anti_partition(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (3, "c")], ["k", "v"]
+    )
+    keys = spark.createDataFrame([(2,), (3,), (3,)], ["k"])  # dup key in set
+    valid, invalid = joins.partition_valid_invalid(df, keys, on="k")
+    # semi preserves df multiplicity exactly — duplicate keys in the key
+    # set must NOT multiply rows (the reference's inner-join hazard)
+    assert sorted(r["v"] for r in invalid.collect()) == ["b", "b2", "c"]
+    assert sorted(r["v"] for r in valid.collect()) == ["a"]
+    assert valid.count() + invalid.count() == df.count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "cold")], ["k", "i"]
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+    plain = {(r["k"], r["i"], r["tag"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["i"], r["tag"])
+        for r in joins.salted_join(big, small, "k", salt_buckets=4).collect()
+    }
+    assert salted == plain
+
+
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark):
+    vecs = vectors(spark)
+    out = similarity.cosine_topk(vecs, vecs.where("vec_id = 1"), k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cosine_sim"] > 0.99
+    assert rows[1]["cosine_sim"] == 0.0
+
+
+def test_signbucket_separates_opposite_vectors(spark):
+    vecs = vectors(spark)
+    out = similarity.signbucket_topk(vecs, vecs.where("vec_id = 1"), k=3, m=3)
+    neighbors = {r["neighbor_id"] for r in out.collect()}
+    assert 2 in neighbors       # same orthant — candidate
+    assert 4 not in neighbors   # opposite sign bucket — pruned by LSH
+
+
+def test_dim_join_broadcasts(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"])
+    dim = spark.createDataFrame([("a", "A")], ["k", "name"])
+    out = joins.dim_join(fact, dim, on="k")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    assert "Broadcast" in buf.getvalue()
+    assert out.count() == 1

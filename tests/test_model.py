@@ -1,0 +1,65 @@
+"""Star-schema builders: hash keys, FK integrity, date dimension."""
+
+from __future__ import annotations
+
+import datetime
+
+from news_data_pipeline_spark.model.star import build_dim, build_fact, dim_date
+
+
+def silver(spark):
+    rows = [
+        ("bbc", "alice", "2024-01-05", "t1"),
+        ("bbc", "bob", "2024-01-06", "t2"),
+        ("cnn", None, "2024-01-07", "t3"),
+    ]
+    return spark.createDataFrame(rows, ["source", "author", "published", "title"])
+
+
+def test_build_dim_fills_unknown_and_keys_are_unique(spark):
+    dim = build_dim(silver(spark), "author", id_col="author_id")
+    rows = dim.collect()
+    members = {r["author"] for r in rows}
+    assert members == {"alice", "bob", "UNKNOWN"}
+    keys = [r["author_id"] for r in rows]
+    assert len(set(keys)) == len(keys)
+    assert all(len(k) == 32 for k in keys)  # full md5 — no substr(1,5) collisions
+
+
+def test_build_dim_keys_stable_across_runs(spark):
+    a = {r["author"]: r["author_id"] for r in build_dim(silver(spark), "author").collect()}
+    b = {r["author"]: r["author_id"] for r in build_dim(silver(spark), "author").collect()}
+    assert a == b  # content hash, not row_number — run-order independent
+
+
+def test_build_fact_fk_integrity(spark):
+    df = silver(spark).fillna("UNKNOWN", subset=["author"])
+    dims = {
+        "source": build_dim(df, "source", id_col="source_id"),
+        "author": build_dim(df, "author", id_col="author_id"),
+    }
+    fact = build_fact(
+        df, dims, fact_id_cols=["title"], fact_id_name="article_id"
+    )
+    assert fact.count() == 3
+    # every fact FK resolves to a dim member (the reference's inner joins
+    # silently dropped unmatched rows; ours is a left join, so check)
+    assert fact.where("source_id IS NULL OR author_id IS NULL").count() == 0
+    # fact ids unique
+    assert fact.select("article_id").distinct().count() == 3
+
+
+def test_dim_date_fields(spark):
+    dd = dim_date(silver(spark), "published")
+    rows = {r["date_key"]: r for r in dd.collect()}
+    assert set(rows) == {
+        datetime.date(2024, 1, 5),
+        datetime.date(2024, 1, 6),
+        datetime.date(2024, 1, 7),
+    }
+    jan5 = rows[datetime.date(2024, 1, 5)]  # a Friday
+    assert (jan5["year"], jan5["quarter"], jan5["month"], jan5["day"]) == (2024, 1, 1, 5)
+    assert jan5["day_of_week"] == 5  # 0=Sunday convention (DuckDB dow)
+    assert not jan5["is_weekend"]
+    jan6 = rows[datetime.date(2024, 1, 6)]  # Saturday
+    assert jan6["is_weekend"]

@@ -1,0 +1,72 @@
+"""Property-based spot checks (SURVEY §5.4) with hypothesis.
+
+Heavy Spark round-trips per example are slow, so examples are capped and
+the data strategies kept small — these are semantic invariants, not
+fuzzing for crashes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark.dq import NotNull, Unique, run_dq
+from news_data_pipeline_spark.functions.columns import normalize_column_names
+from news_data_pipeline_spark.operators.dedup import exact_dedup
+
+SETTINGS = settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+row_strategy = st.tuples(
+    st.one_of(st.none(), st.text(alphabet="ab ", max_size=4)),
+    st.integers(min_value=0, max_value=3),
+)
+
+
+@given(st.lists(row_strategy, min_size=1, max_size=12))
+@SETTINGS
+def test_dq_split_partitions_input(spark, rows):
+    df = spark.createDataFrame(rows, schema="k string, v bigint")
+    res = run_dq(df, [NotNull("k"), Unique("v")])
+    assert res.valid.count() + res.quarantined.count() == len(rows)
+
+
+@given(st.lists(row_strategy, min_size=1, max_size=12))
+@SETTINGS
+def test_exact_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, schema="k string, v bigint")
+    once = exact_dedup(df, ["v"], tie_break=["k"])
+    twice = exact_dedup(once, ["v"], tie_break=["k"])
+    # after dedup, v is unique — compare as dicts (None-safe)
+    assert {r["v"]: r["k"] for r in once.collect()} == {
+        r["v"]: r["k"] for r in twice.collect()
+    }
+    assert once.count() == df.select("v").distinct().count()
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" _"),
+            min_size=1,
+            max_size=8,
+        ).filter(lambda s: s.strip(" _")),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda s: re.sub(r"\s+", "_", s).upper(),
+    )
+)
+@SETTINGS
+def test_normalize_column_names_canonical(spark, names):
+    df = spark.createDataFrame([tuple("x" for _ in names)], list(names))
+    out = normalize_column_names(df)
+    for c in out.columns:
+        assert c == c.upper()
+        assert " " not in c
+    # normalizing twice is the same as once
+    assert normalize_column_names(out).columns == out.columns
