@@ -131,3 +131,21 @@ def earliest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
     )
+
+
+@register(
+    "user_lifetime_totals",
+    oracle="""
+    SELECT user_id,
+           count(*)                           AS n_events,
+           round(sum(coalesce(value, 0)), 2)  AS total_value,
+           max(ts)                            AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.state.running_user_totals`` — the
+    aggregate the applyInPandasWithState operator maintains per key."""
+    from news_data_pipeline_spark.streaming.state import batch_user_totals
+
+    return batch_user_totals(load_table(spark, sf_dir, "events"))

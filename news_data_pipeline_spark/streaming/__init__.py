@@ -1,0 +1,23 @@
+from news_data_pipeline_spark.streaming.ops import (
+    read_event_stream,
+    session_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+    watermarked_dedup,
+)
+from news_data_pipeline_spark.streaming.sinks import (
+    run_available_now,
+    split_to_silver_and_quarantine,
+)
+from news_data_pipeline_spark.streaming.state import running_user_totals
+
+__all__ = [
+    "read_event_stream",
+    "run_available_now",
+    "running_user_totals",
+    "session_window_counts",
+    "sliding_window_counts",
+    "split_to_silver_and_quarantine",
+    "tumbling_window_counts",
+    "watermarked_dedup",
+]

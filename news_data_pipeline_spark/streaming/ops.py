@@ -1,0 +1,149 @@
+"""Structured Streaming operators over the ``events`` shape.
+
+The reference is batch-only — streaming is its declared future work
+(``docs/pipeline_overview.md:165``) — so this module is the north-star
+extension: the same event-time semantics the batch twins in
+``queries/streaming_batch.py`` verify against the DuckDB oracle, but
+driven by ``readStream`` with watermarks, so state is bounded and late
+data has defined behavior.
+
+Scale notes (100-TB stream): every aggregation here carries a watermark,
+which is what lets Spark evict window state instead of growing without
+bound; dedup uses ``dropDuplicatesWithinWatermark`` so the seen-key set
+is evicted too. Output modes are chosen per-operator (append for
+finalized windows, update for running totals).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Declared stream schema — file streams must never infer
+# (inference reads the directory once at start and locks it in).
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema: StructType = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a landing directory of event files.
+
+    The at-scale shape: ingest lands files (or a Kafka topic replaces
+    this reader — same downstream code), Spark discovers them
+    incrementally. ``maxFilesPerTrigger`` bounds per-batch work.
+    """
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, event_type) counts + value sums, append-mode ready.
+
+    Identical result shape to the oracle-checked batch twin
+    (``queries/streaming_batch.py::tumbling_hourly_counts``).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Overlapping windows — each event contributes to window/slide panes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    *,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows with a inactivity ``gap``.
+
+    ``session_window`` merges adjacent state as events arrive; the
+    watermark finalizes (and evicts) sessions once event time passes
+    session_end + watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    keys: list[str],
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps the first-arriving row per
+    key and evicts seen-keys once the watermark passes — the streaming
+    answer to the reference's silver ``dropDuplicates`` (``02:66``),
+    which would need unbounded state on a stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

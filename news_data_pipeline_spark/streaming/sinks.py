@@ -1,0 +1,84 @@
+"""Streaming sinks: foreachBatch DQ split, availableNow runner.
+
+``foreachBatch`` is where streaming meets the batch DQ engine: each
+micro-batch is an ordinary DataFrame, so the same one-pass rule engine
+(``dq.run_dq``) splits it and both sides are written transactionally per
+batch — the streaming version of the reference's quarantine flow
+(``02:43-52``).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from news_data_pipeline_spark.dq.engine import run_dq, to_quarantine_records
+from news_data_pipeline_spark.dq.rules import Rule
+from news_data_pipeline_spark.sources.writers import write_layer
+
+
+def split_to_silver_and_quarantine(
+    stream: DataFrame,
+    rules: list[Rule],
+    *,
+    silver_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+    source_table: str = "events",
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Per-micro-batch DQ split: valid rows append to silver, violations
+    append (with JSON payload + reasons) to the quarantine audit path.
+
+    Exactly-once per sink comes from the checkpoint + idempotent
+    file-sink commit protocol; the split itself is the batch engine, so
+    semantics are identical to the oracle-verified batch path.
+    """
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        # Both split sides are consumed -> cache the annotated frame once.
+        res = run_dq(batch, rules, cache=True)
+        write_layer(res.valid, silver_path, mode="append", fmt=fmt)
+        processed_at = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        quarantined = to_quarantine_records(
+            res.quarantined,
+            source_table=source_table,
+            ingestion_time=processed_at,
+        )
+        write_layer(quarantined, quarantine_path, mode="append", fmt=fmt)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_available_now(
+    df: DataFrame, *, checkpoint: str, out_path: str | None = None,
+    fmt: str = "parquet", output_mode: str = "append",
+) -> None:
+    """Run a streaming plan over everything currently available, then stop.
+
+    ``availableNow`` processes the backlog in bounded batches and
+    terminates — the batch-replay mode used by tests and backfills.
+    """
+    writer = df.writeStream.trigger(availableNow=True).outputMode(output_mode)
+    if out_path is None:
+        q = writer.format("noop").start()
+    else:
+        q = (
+            writer.format(fmt)
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+    q.awaitTermination()

@@ -1,0 +1,148 @@
+"""Structured Streaming plumbing: readStream -> watermark -> sink.
+
+Semantics of the window/session operators are oracle-verified in batch
+(queries/streaming_batch.py); these tests prove the STREAMING path —
+file source, watermarks, availableNow replay, foreachBatch DQ split,
+dropDuplicatesWithinWatermark, applyInPandasWithState — produces the
+same answers on the same data.
+
+Sink choice per output mode: finalized-window append output needs the
+watermark to pass, which a bounded replay never guarantees, so
+aggregation tests read the memory sink in complete/update mode; row
+streams (dedup) use the real file sink in append mode.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark import streaming as stx
+from news_data_pipeline_spark.dq import NotNull
+from news_data_pipeline_spark.streaming.ops import EVENT_SCHEMA
+from news_data_pipeline_spark.streaming.state import batch_user_totals
+
+
+def ts(minute: int, second: int = 0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+EVENTS = [
+    (1, ts(1), 10, "view", 1.0, None),
+    (2, ts(5), 10, "view", 2.0, None),
+    (3, ts(7), 11, "click", 3.0, None),
+    (4, ts(40), 10, "view", 4.0, None),   # new session for user 10
+    (5, ts(40), 11, "click", 5.0, None),
+    (2, ts(6), 10, "view", 2.0, None),    # duplicate event_id=2
+    (6, ts(50), None, "view", None, None),  # null user -> DQ quarantine
+]
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_landing"))
+    spark.createDataFrame(EVENTS, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def drain_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_tumbling_stream_matches_batch(spark, landing):
+    stream = stx.read_event_stream(spark, landing, max_files_per_trigger=1)
+    assert stream.isStreaming
+    agg = stx.tumbling_window_counts(stream, window="30 minutes")
+    got = {
+        (r["window_start"].minute, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in drain_to_memory(spark, agg, "t_tumbling", "complete").collect()
+    }
+    # [0:00,0:30): ids 1,2,3 + dup-2 (no dedup here); [0:30,1:00): 4,5,6
+    assert got[(0, "view")] == (3, 5.0)
+    assert got[(0, "click")] == (1, 3.0)
+    assert got[(30, "view")] == (2, 4.0)
+    assert got[(30, "click")] == (1, 5.0)
+
+
+def test_sliding_stream_two_panes_per_event(spark, landing):
+    stream = stx.read_event_stream(spark, landing)
+    agg = stx.sliding_window_counts(stream, window="1 hour", slide="30 minutes")
+    rows = drain_to_memory(spark, agg, "t_sliding", "complete").collect()
+    # every event lands in exactly window/slide = 2 panes
+    assert sum(r["n_events"] for r in rows) == 2 * len(EVENTS)
+
+
+def test_session_windows_stream(spark, landing):
+    stream = stx.read_event_stream(spark, landing)
+    sess = stx.session_window_counts(stream, gap="10 minutes")
+    rows = drain_to_memory(spark, sess, "t_sessions", "complete").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 10: events at 0:01,0:05,0:06,0:40 -> two sessions (3 + 1 events)
+    assert sorted(s["n_events"] for s in by_user[10]) == [1, 3]
+    # session end = last event in session + gap
+    first = min(by_user[10], key=lambda r: r["session_start"])
+    assert first["session_end"] == ts(16)
+
+
+def test_watermarked_dedup_stream(spark, landing, tmp_path):
+    stream = stx.read_event_stream(spark, landing)
+    deduped = stx.watermarked_dedup(stream, ["event_id"])
+    out = f"{tmp_path}/dedup/data"
+    stx.run_available_now(
+        deduped, checkpoint=f"{tmp_path}/dedup/ckpt", out_path=out
+    )
+    back = spark.read.schema(EVENT_SCHEMA).parquet(out)
+    assert back.count() == 6  # 7 rows - 1 duplicate event_id
+    assert back.select("event_id").distinct().count() == 6
+
+
+def test_foreach_batch_dq_split(spark, landing, tmp_path):
+    stream = stx.read_event_stream(spark, landing)
+    q = stx.split_to_silver_and_quarantine(
+        stream,
+        [NotNull("user_id")],
+        silver_path=str(tmp_path / "silver"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    quarantine = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert silver.count() == 6
+    assert quarantine.count() == 1
+    rec = quarantine.first()
+    assert rec["source_table"] == "events"
+    assert "not_null(user_id)" in rec["reason"]
+
+
+def test_stateful_running_totals_stream(spark, landing):
+    stream = stx.read_event_stream(spark, landing)
+    totals = stx.running_user_totals(stream)
+    got = drain_to_memory(spark, totals, "t_state", "update")
+    # single micro-batch -> the last update per user == batch aggregation
+    batch = batch_user_totals(spark.createDataFrame(EVENTS, EVENT_SCHEMA))
+    got_map = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in got.collect()
+    }
+    want_map = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in batch.collect()
+    }
+    assert got_map == want_map
