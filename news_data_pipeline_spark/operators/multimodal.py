@@ -1,0 +1,247 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + metadata.
+
+Design (north-star extension; the reference is text-only):
+
+* Media travels as an opaque ``binary`` payload column plus typed
+  metadata columns — never exploded into per-pixel rows. Spark shuffles
+  and stores binary efficiently; decode happens only inside Arrow-batched
+  Python (``mapInPandas``), the one place imperative per-item logic is
+  justified.
+* Real codecs (PIL/librosa/av) are NOT in this container, so decode is
+  gated: if the library import fails, payloads in the engine's
+  deterministic FAKE container formats (below) are decoded by the pure-
+  Python parser, and anything else raises ``NotImplementedError`` with
+  the library name. The Spark-side plumbing — schemas, UDF signatures,
+  batch shapes, partitioning — is real and tested either way.
+* Each operator streams record batches (one pandas DataFrame per Arrow
+  batch, bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``) —
+  no per-row Python calls, no whole-partition materialization, so
+  executor memory stays bounded by batch size at 100 TB.
+
+Fake container formats (little-endian u32 fields, deterministic):
+
+* image: ``FIMG | width | height | width*height gray bytes``
+* audio: ``FAUD | sample_rate | n_samples | n_samples bytes``
+* video: ``FVID | n_frames | frame_w | frame_h | frames (gray bytes)``
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+IMG_MAGIC = b"FIMG"
+AUD_MAGIC = b"FAUD"
+VID_MAGIC = b"FVID"
+
+_MAGICS = {
+    IMG_MAGIC: "image/x-fake",
+    AUD_MAGIC: "audio/x-fake",
+    VID_MAGIC: "video/x-fake",
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff\xe0": "image/jpeg",
+    b"RIFF": "audio/wav",
+}
+
+
+# --- fake payload builders (test/fixture side, pure Python) ------------------
+def fake_image_bytes(seed: str, width: int, height: int) -> bytes:
+    """Deterministic gray image: pixels from iterated md5 of ``seed``."""
+    need = width * height
+    out = bytearray()
+    block = seed.encode()
+    while len(out) < need:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return IMG_MAGIC + struct.pack("<II", width, height) + bytes(out[:need])
+
+
+def fake_audio_bytes(seed: str, sample_rate: int, n_samples: int) -> bytes:
+    body = fake_image_bytes(seed, n_samples, 1)[12:]
+    return AUD_MAGIC + struct.pack("<II", sample_rate, n_samples) + body
+
+
+def fake_video_bytes(seed: str, n_frames: int, w: int, h: int) -> bytes:
+    frames = b"".join(
+        fake_image_bytes(f"{seed}:{i}", w, h)[12:] for i in range(n_frames)
+    )
+    return VID_MAGIC + struct.pack("<III", n_frames, w, h) + frames
+
+
+# --- JVM-side (no Python) metadata ops ---------------------------------------
+def sniff_media_type(payload: Column) -> Column:
+    """Magic-byte dispatch — pure Catalyst expressions over the binary
+    prefix, so a 100-TB manifest scan never touches Python."""
+    prefix = F.substring(payload, 1, 4)
+    out = F.lit("application/octet-stream")
+    for magic, mime in _MAGICS.items():
+        out = F.when(prefix == F.lit(magic), F.lit(mime)).otherwise(out)
+    return out
+
+
+def media_manifest(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Typed metadata for every payload: size, hash, sniffed type.
+
+    The catalog pass that runs BEFORE any decode fan-out, letting the
+    pipeline partition/route by media type with zero Python cost.
+    """
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.length(p).cast("long").alias("n_bytes"),
+        F.md5(p).alias("content_hash"),
+        sniff_media_type(p).alias("media_type"),
+    )
+
+
+# --- decode stubs (Arrow-batched Python) -------------------------------------
+def _decode_image_bytes(b: bytes) -> tuple[int, int, bytes]:
+    """(width, height, gray pixels). Fake container parses natively; real
+    formats need PIL, which is absent here — the gate is explicit."""
+    if b[:4] == IMG_MAGIC:
+        w, h = struct.unpack("<II", b[4:12])
+        return w, h, b[12 : 12 + w * h]
+    try:  # pragma: no cover - PIL not installed in this container
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+
+        img = Image.open(io.BytesIO(b)).convert("L")
+        return img.width, img.height, img.tobytes()
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"decoding {b[:4]!r} payloads requires PIL (not installed); "
+            "only the FIMG fake container decodes without it"
+        ) from exc
+
+
+DECODED_IMAGE_SCHEMA = (
+    "id long, width int, height int, mean_pixel double, pixel_hash string"
+)
+
+
+def decode_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Decode image payloads to (dims, mean intensity, pixel hash).
+
+    ``mapInPandas``: one Arrow batch in, one out — the canonical decode
+    fan-out shape. Output is small typed columns, never raw pixels, so
+    the shuffle after a decode stays narrow.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_image_bytes(bytes(b))
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        round(sum(px) / max(len(px), 1), 4),
+                        hashlib.md5(px).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mean_pixel", "pixel_hash"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, payload_col: str, *, scale: int = 2
+) -> DataFrame:
+    """Integer-factor downsample, re-encoded into the fake container.
+
+    Deterministic nearest-neighbor (every ``scale``-th pixel per axis) —
+    the real-codec path would swap the kernel, not the plumbing.
+    Returns (id, payload) with the resized payload, same schema shape as
+    the input so resize stages compose.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_image_bytes(bytes(b))
+                nw, nh = max(w // scale, 1), max(h // scale, 1)
+                resized = bytes(
+                    px[(y * scale) * w + (x * scale)]
+                    for y in range(nh)
+                    for x in range(nw)
+                )
+                ids.append(i)
+                payloads.append(IMG_MAGIC + struct.pack("<II", nw, nh) + resized)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(id_col, payload_col).mapInPandas(resize, "id long, payload binary")
+
+
+def sample_frames(
+    df: DataFrame, id_col: str, payload_col: str, *, every: int = 2
+) -> DataFrame:
+    """Explode video payloads into every-``every``-th frame as an image
+    payload row: (id, frame_no, payload). The row-expansion is bounded by
+    n_frames/every per video; downstream image ops compose unchanged."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, payloads = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if b[:4] != VID_MAGIC:
+                    raise NotImplementedError(
+                        "only FVID fake videos decode without codec libs"
+                    )
+                n, w, h = struct.unpack("<III", b[4:16])
+                fsize = w * h
+                for f in range(0, n, every):
+                    frame = b[16 + f * fsize : 16 + (f + 1) * fsize]
+                    ids.append(i)
+                    frame_nos.append(f)
+                    payloads.append(IMG_MAGIC + struct.pack("<II", w, h) + frame)
+            yield pd.DataFrame(
+                {"id": ids, "frame_no": frame_nos, "payload": payloads}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample, "id long, frame_no int, payload binary"
+    )
+
+
+def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Per-clip features from the fake audio container: duration from the
+    header, amplitude stats from the body."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                if b[:4] != AUD_MAGIC:
+                    raise NotImplementedError(
+                        "only FAUD fake audio decodes without codec libs"
+                    )
+                sr, n = struct.unpack("<II", b[4:12])
+                body = b[12 : 12 + n]
+                rows.append(
+                    (
+                        i,
+                        sr,
+                        round(n / sr, 4) if sr else 0.0,
+                        round(sum(body) / max(len(body), 1), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "duration_sec", "mean_amplitude"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, "id long, sample_rate int, duration_sec double, mean_amplitude double"
+    )

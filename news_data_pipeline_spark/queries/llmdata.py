@@ -283,3 +283,64 @@ def binary_column_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(payload).cast("long").alias("n_bytes"),
         F.md5(payload).alias("content_hash"),
     )
+
+
+@register("multimodal_image_features")  # rows-only: mapInPandas decode has no SQL twin
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode fan-out over synthesized image payloads: documents.text
+    seeds a deterministic fake image per doc (dims from doc_id), decoded
+    to typed features via Arrow-batched mapInPandas. The payload builder
+    runs distributed too — no driver-side materialization."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(t or "", 4 + int(i) % 8, 4 + int(i) % 4)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    images = docs.mapInPandas(build, "doc_id long, payload binary")
+    return mm.decode_images(images, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"), "width", "height", "mean_pixel", "pixel_hash"
+    )
+
+
+@register("multimodal_frame_stats")  # rows-only: frame explode has no SQL twin
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample fan-out: synthesized per-doc fake videos exploded to
+    every-2nd frame, then aggregated — the bounded row-expansion shape a
+    video pipeline uses at scale."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(100)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_video_bytes(str(i), 4 + int(i) % 4, 4, 2)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    vids = docs.mapInPandas(build, "doc_id long, payload binary")
+    frames = mm.sample_frames(vids, "doc_id", "payload", every=2)
+    return frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.sum(F.length("payload")).alias("sampled_bytes"),
+    ).select(F.col("id").alias("doc_id"), "n_sampled_frames", "sampled_bytes")

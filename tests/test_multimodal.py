@@ -1,0 +1,89 @@
+"""Multimodal plumbing: binary payloads + mapInPandas decode stubs.
+
+Codec libraries aren't installed here, so the fake container formats
+exercise the REAL Spark plumbing (binary schema, Arrow batches, UDF
+signatures, row expansion) with deterministic pure-Python codecs; an
+unknown format must fail loudly with NotImplementedError naming the
+missing library.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from news_data_pipeline_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, mm.fake_image_bytes("a", 8, 4)),
+        (2, mm.fake_image_bytes("b", 6, 6)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_media_manifest_jvm_only(spark, images):
+    man = {r["doc_id"]: r for r in mm.media_manifest(images, "doc_id", "payload").collect()}
+    assert man[1]["n_bytes"] == 12 + 32
+    assert man[1]["media_type"] == "image/x-fake"
+    assert len(man[1]["content_hash"]) == 32
+    # sniffing real magic bytes too
+    png = spark.createDataFrame(
+        [(9, b"\x89PNG\r\n\x1a\n....")], "doc_id long, payload binary"
+    )
+    assert (
+        mm.media_manifest(png, "doc_id", "payload").first()["media_type"]
+        == "image/png"
+    )
+
+
+def test_decode_images(spark, images):
+    out = {r["id"]: r for r in mm.decode_images(images, "doc_id", "payload").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (8, 4)
+    assert (out[2]["width"], out[2]["height"]) == (6, 6)
+    assert 0.0 <= out[1]["mean_pixel"] <= 255.0
+    # deterministic: same seed -> same pixel hash
+    assert out[1]["pixel_hash"] == {
+        r["id"]: r for r in mm.decode_images(images, "doc_id", "payload").collect()
+    }[1]["pixel_hash"]
+
+
+def test_resize_halves_dimensions(spark, images):
+    resized = mm.resize_images(images, "doc_id", "payload", scale=2)
+    dims = {
+        r["id"]: (r["width"], r["height"])
+        for r in mm.decode_images(resized, "id", "payload").collect()
+    }
+    assert dims[1] == (4, 2)
+    assert dims[2] == (3, 3)
+
+
+def test_frame_sampling_explodes_bounded(spark):
+    vids = spark.createDataFrame(
+        [(7, mm.fake_video_bytes("v", 6, 4, 2))], "vid long, payload binary"
+    )
+    frames = mm.sample_frames(vids, "vid", "payload", every=2)
+    rows = frames.collect()
+    assert [r["frame_no"] for r in rows] == [0, 2, 4]
+    # sampled frames decode as images downstream
+    decoded = mm.decode_images(frames, "id", "payload").collect()
+    assert all((r["width"], r["height"]) == (4, 2) for r in decoded)
+
+
+def test_audio_features(spark):
+    clips = spark.createDataFrame(
+        [(3, mm.fake_audio_bytes("s", 8000, 16000))], "clip long, payload binary"
+    )
+    r = mm.audio_features(clips, "clip", "payload").first()
+    assert r["sample_rate"] == 8000
+    assert r["duration_sec"] == 2.0
+    assert 0.0 <= r["mean_amplitude"] <= 255.0
+
+
+def test_unknown_format_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0 jpeg-ish")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PIL|NotImplementedError"):
+        mm.decode_images(df, "doc_id", "payload").collect()
