@@ -32,9 +32,12 @@ HEADLINE_QUERIES = (
     "dedup_exact_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
     "cosine_topk_bruteforce",
+    "multimodal_image_features",
     "tumbling_hourly_counts",
     "user_sessions",
+    "user_lifetime_totals",
 )
 
 

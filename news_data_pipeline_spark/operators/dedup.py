@@ -85,15 +85,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: one min per seeded hash family.
 
-    Hash family i is ``md5(i || shingle)`` and the signature component is
-    the lexicographic MIN — a valid min-wise permutation over strings
-    that an ANSI-SQL oracle reproduces exactly (md5 + min exist in both
-    engines). One groupBy computes all components (map-side combined).
+    Each seeded digest ``md5(seed_j || shingle)`` yields FOUR independent
+    32-bit families (its 8-hex-char quarters), so ``num_hashes``
+    components cost ``num_hashes/4`` md5 evaluations per shingle — the
+    hash is the hot loop's only non-trivial op, and this quarters it.
+    Lexicographic min over an 8-hex-char slice == numeric min over a
+    32-bit value, a valid min-wise family; md5 + substring exist in
+    ANSI SQL, so the oracle reproduces every component exactly. One
+    groupBy computes all components (map-side combined).
     """
+    digests = [
+        F.md5(F.concat(F.lit(f"seed{j}:"), F.col("shingle")))
+        for j in range((num_hashes + 3) // 4)
+    ]
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"seed{i}:"), F.col("shingle")))).alias(
-            f"mh_{i}"
-        )
+        F.min(F.substring(digests[i // 4], 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return shingles.groupBy("id").agg(*aggs)
@@ -247,3 +253,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 def hamming_distance(a, b):
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(F.expr(f"{a} ^ {b}"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    m: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with LSH-style blocking.
+
+    Sign-bucket blocking (first ``m`` component signs — a fixed
+    hyperplane family) shrinks the all-pairs cross product ~2^m before
+    any cosine math; within-bucket pairs score with codegen'd array
+    expressions and survive at ``cosine >= threshold``. Same recall
+    trade-off as ``similarity.signbucket_topk``: raise recall by
+    scoring across the handful of nearest buckets, or run the exact
+    ``ngram_jaccard_pairs``-style verifier on candidates.
+    """
+    from news_data_pipeline_spark.operators.similarity import dot, l2_norm, sign_bucket
+
+    # Norms hoisted to once per vector (higher-order array expressions
+    # are interpreted, so per-pair evaluation costs bucket-size x more);
+    # the per-pair math is dot/(na*nb) — identical operation order, so
+    # results are bit-for-bit the same as the naive formula.
+    v = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("e"),
+        )
+        .withColumn("bucket", sign_bucket(F.col("e"), m))
+        .withColumn("nrm", l2_norm(F.col("e")))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

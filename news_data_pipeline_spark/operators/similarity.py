@@ -55,20 +55,29 @@ def cosine_topk(
 
     Queries are broadcast (they're the small side by construction); the
     corpus is scanned once with no shuffle until the per-query top-k,
-    which AQE plans as a partial top-k per partition.
+    which AQE plans as a partial top-k per partition. Norms are hoisted
+    to one computation per VECTOR before the join — higher-order array
+    expressions are interpreted (not codegen'd), so evaluating them per
+    PAIR would cost |queries|x more.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("q_vec")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("c_vec")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("c_vec"),
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -113,19 +122,23 @@ def signbucket_topk(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("q_vec"),
         sign_bucket(_as_double(vec_col), m).alias("bucket"),
-    )
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("c_vec"),
         sign_bucket(_as_double(vec_col), m).alias("bucket"),
-    )
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -144,7 +144,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shingles AS ({_DUCK_SHINGLES}),
     sig AS (
         SELECT id,
-               {", ".join(f"min(md5('seed{i}:' || shingle)) AS mh_{i}" for i in range(16))}
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
         FROM shingles GROUP BY id),
     banded AS (
         {" UNION ALL ".join(
@@ -344,3 +344,28 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_frames"),
         F.sum(F.length("payload")).alias("sampled_bytes"),
     ).select(F.col("id").alias("doc_id"), "n_sampled_frames", "sampled_bytes")
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine_sim
+    FROM v a
+    JOIN v b
+      ON a.id < b.id
+     AND (CASE WHEN a.e[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[2] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[4] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[6] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN a.e[8] >= 0 THEN '1' ELSE '0' END)
+       = (CASE WHEN b.e[1] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[2] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[3] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[4] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[5] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[6] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[7] >= 0 THEN '1' ELSE '0' END || CASE WHEN b.e[8] >= 0 THEN '1' ELSE '0' END)
+    WHERE round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                6) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-bucket blocking + in-bucket
+    cosine threshold (operators.dedup.embedding_neardup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.3, m=8)
