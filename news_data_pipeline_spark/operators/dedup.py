@@ -184,13 +184,24 @@ def ngram_jaccard_pairs(
     candidates. Jaccard is rounded to 4dp before thresholding so the
     oracle's float math agrees.
     """
-    # Four plan branches (self-join sides + two size joins) read the
+    # Multiple plan branches (self-join sides + two size joins) read the
     # shingle table — persist it once instead of recomputing the
     # split/explode/distinct pipeline per branch.
     sh = word_shingles(df, id_col, text_col, n=n).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Shingles appearing in ONE document can't produce a pair — prune
+    # them before the quadratic self-join. Sizes above already counted
+    # them, so results are unchanged; on natural corpora most shingles
+    # are unique, so the posting-list join shrinks by that fraction.
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > 1)
+        .select("shingle")
+    )
+    sh_shared = sh.join(shared, on="shingle", how="left_semi")
+    a = sh_shared.alias("a")
+    b = sh_shared.alias("b")
     common = (
         a.join(
             b,
