@@ -1,0 +1,68 @@
+"""Plan guardrails: scale anti-patterns must never enter the surface.
+
+These assertions are the 100-TB design contract from SURVEY §4, enforced
+mechanically over EVERY registered query's optimized physical plan:
+
+* no ``BatchEvalPython`` — a row-at-a-time pickled Python UDF in a hot
+  path (Arrow ``mapInPandas`` nodes are allowed: ``MapInPandas`` /
+  ``ArrowEvalPython``);
+* no ``CartesianProduct`` — an unkeyed cross join that cannot scale;
+* no ``Window`` over an empty partition spec (the reference's
+  single-partition surrogate-key builds, ``03:38,43,58``) — every
+  window must carry ``partitionBy`` unless the input is provably tiny.
+
+Plans are compiled, not executed, so this covers all 57 queries in
+seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from news_data_pipeline_spark.queries import query_map
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def plan_of(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+# A Window whose sort feeds from Exchange SinglePartition == an
+# unpartitioned window spec: the whole dataset funnels through ONE task.
+# (A bare "Exchange SinglePartition" is NOT globally forbidden — scalar
+# aggregates legitimately finalize on one post-combine partition.)
+GLOBAL_WINDOW = re.compile(
+    r"Window [^\n]*\n[^\n]*Sort [^\n]*\n[^\n]*Exchange SinglePartition"
+)
+
+
+@pytest.mark.parametrize("name", sorted(query_map()))
+def test_no_scale_antipatterns(spark, name):
+    df = query_map()[name](spark, SF_DIR)
+    plan = plan_of(spark, df)
+    for marker in FORBIDDEN:
+        assert marker not in plan, f"{name}: {marker} in physical plan"
+    m = GLOBAL_WINDOW.search(plan)
+    assert m is None, (
+        f"{name}: unpartitioned Window (single-partition exchange at "
+        f"scale):\n{m.group(0)}"
+    )
+
+
+def test_global_window_detector_catches_the_antipattern(spark):
+    """The detector must flag the reference's surrogate-key shape
+    (``row_number`` over ``Window.orderBy`` with no partitionBy)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    bad = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert GLOBAL_WINDOW.search(plan_of(spark, bad)) is not None
