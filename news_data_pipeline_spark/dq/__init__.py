@@ -6,7 +6,12 @@ from news_data_pipeline_spark.dq.rules import (
     Unique,
     config_to_rules,
 )
-from news_data_pipeline_spark.dq.engine import DQResult, run_dq, to_quarantine_records
+from news_data_pipeline_spark.dq.engine import (
+    DQResult,
+    from_quarantine_records,
+    run_dq,
+    to_quarantine_records,
+)
 
 __all__ = [
     "ColumnExists",
@@ -16,6 +21,7 @@ __all__ = [
     "Rule",
     "Unique",
     "config_to_rules",
+    "from_quarantine_records",
     "run_dq",
     "to_quarantine_records",
 ]

@@ -161,3 +161,19 @@ def to_quarantine_records(
         F.lit(source_table).alias("source_table"),
         F.lit(ingestion_time).cast("timestamp_ntz").alias("ingestion_time"),
     )
+
+
+def from_quarantine_records(records: DataFrame, schema) -> DataFrame:
+    """Recover original rows from the audit sink: parse the JSON payload
+    back into typed columns (the inverse of ``to_quarantine_records``).
+
+    The remediation path the reference never built: fix upstream, then
+    re-ingest quarantined rows through the normal pipeline. ``reason``
+    and lineage columns ride along for filtering which rows to replay.
+    """
+    return records.select(
+        F.from_json("payload", schema).alias("row"),
+        "reason",
+        "source_table",
+        "ingestion_time",
+    ).select("row.*", "reason", "source_table", "ingestion_time")

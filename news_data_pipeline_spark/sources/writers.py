@@ -82,3 +82,37 @@ def quarantine_writer(path: str, fmt: str = "parquet"):
         write_layer(df, path, mode="append", fmt=fmt)
 
     return _write
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: str | Sequence[str],
+    num_buckets: int,
+    sort_by: str | Sequence[str] | None = None,
+    database: str = "news_articles",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write a table bucketed (and optionally sorted) by join/agg keys.
+
+    Bucketing is the co-located-join story at 100 TB: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side — the shuffle happens once at write time
+    and every subsequent join/aggregation on the key is free. Requires
+    the metastore (``saveAsTable``); plain path writes can't record
+    bucket metadata.
+    """
+    spark: SparkSession = df.sparkSession
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    bucket_cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = (
+        df.write.format(fmt)
+        .mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_by:
+        sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(f"{database}.{table}")

@@ -154,3 +154,20 @@ def test_no_rules_passthrough(spark):
     assert res.valid.count() == df.count()
     assert res.quarantined.count() == 0
     assert res.passed
+
+
+def test_quarantine_round_trip(spark):
+    # to_quarantine_records -> from_quarantine_records recovers the rows.
+    from news_data_pipeline_spark.dq import from_quarantine_records
+
+    df = articles(spark)
+    res = run_dq(df, [NotNull("title")])
+    rec = to_quarantine_records(
+        res.quarantined, source_table="articles",
+        ingestion_time="2026-01-01 00:00:00",
+    )
+    restored = from_quarantine_records(rec, df.schema)
+    rows = {r["url"]: r for r in restored.collect()}
+    assert set(rows) == {"u2", "u3"}
+    assert rows["u3"]["content"] == "body c"
+    assert rows["u2"]["source_table"] == "articles"

@@ -50,3 +50,41 @@ def test_ingest_json_landing(spark, tmp_path):
     )
     assert sparse.count() == 3
     assert sparse.where("url = 'https://x.com/3'").first()["title"] is None
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join with zero Exchange
+    nodes — the write-time shuffle is the only one, ever."""
+    from news_data_pipeline_spark.sources.writers import write_bucketed
+
+    # Hermetic database location: the session catalog is in-memory but
+    # the default warehouse dir persists on disk, so a reused managed
+    # location from a previous test run would collide.
+    spark.sql("DROP DATABASE IF EXISTS test_bucketing CASCADE")
+    spark.sql(f"CREATE DATABASE test_bucketing LOCATION '{tmp_path}/warehouse'")
+    orders = spark.range(0, 1000).selectExpr(
+        "id AS o_key", "cast(id % 7 AS double) AS amount"
+    )
+    lines = spark.range(0, 3000).selectExpr(
+        "cast(id % 1000 AS bigint) AS o_key", "id AS line_id"
+    )
+    write_bucketed(orders, "b_orders", bucket_by="o_key", num_buckets=4,
+                   database="test_bucketing")
+    write_bucketed(lines, "b_lines", bucket_by="o_key", num_buckets=4,
+                    database="test_bucketing")
+    a = spark.table("test_bucketing.b_orders")
+    b = spark.table("test_bucketing.b_lines")
+    # Force the sort-merge path (tiny test tables would broadcast,
+    # which hides what bucketing buys at real scale: no shuffle on
+    # EITHER side of a big-big join).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_key")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
