@@ -314,3 +314,48 @@ def embedding_neardup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash + min-sample).
+
+    The MOSS algorithm: hash every character k-gram, slide a window of
+    ``window`` consecutive positions, keep each window's minimum hash —
+    guaranteeing any match of length >= k+window-1 shares a fingerprint,
+    while storing ~2/(window+1) of the hashes. Output: distinct
+    (id, fingerprint) pairs — the containment-search index for plagiarism
+    /near-dup detection at corpus scale.
+
+    All relational: posexplode over the k-gram index sequence, md5 as the
+    rolling hash (8-hex-char prefix ~ 32 bits), and the min-sample as a
+    bounded range window per document — every stage shuffles only by
+    doc id, exactly once.
+    """
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    with_text = df.select(F.col(id_col).alias("id"), normalized.alias("__t"))
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.length("__t") - k, F.lit(0))
+    )
+    grams = with_text.select(
+        "id", "__t", F.posexplode(idx).alias("pos", "__i")
+    ).withColumn("gram", F.expr(f"substring(__t, __i + 1, {k})"))
+    hashed = grams.select(
+        "id", "pos", F.substring(F.md5("gram"), 1, 8).alias("h")
+    )
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rangeBetween(0, window - 1)
+    )
+    return (
+        hashed.withColumn("fingerprint", F.min("h").over(w))
+        .select("id", "fingerprint")
+        .distinct()
+    )

@@ -369,3 +369,26 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine threshold (operators.dedup.embedding_neardup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=0.3, m=8)
+
+
+@register(
+    "winnow_fingerprints",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id AS id,
+               lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents),
+    grams AS (
+        SELECT id, i AS pos, substring(md5(substring(t, i + 1, 8)), 1, 8) AS h
+        FROM norm, LATERAL unnest(range(0, greatest(length(t) - 8, 0) + 1)) AS u(i))
+    SELECT DISTINCT id,
+           min(h) OVER (PARTITION BY id ORDER BY pos
+                        RANGE BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+    FROM grams
+    """,
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash, min-sampled) fingerprints
+    (operators.dedup.winnow_fingerprints; k=8, window=4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)

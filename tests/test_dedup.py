@@ -76,3 +76,25 @@ def test_simhash_near_dups_close_in_hamming(spark):
         return bin((a ^ b) & (2**64 - 1)).count("1")
 
     assert hamming(sims[1], sims[2]) < hamming(sims[1], sims[3])
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    # Docs sharing a substring of length >= k + window - 1 must share at
+    # least one fingerprint (the winnowing guarantee); disjoint docs
+    # share none.
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "INTRO the quick brown fox jumps over something else"),
+            (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+        ],
+        ["doc_id", "body"],
+    )
+    fps = dedup.winnow_fingerprints(df, "doc_id", "body", k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # sampling actually compresses: far fewer fingerprints than k-grams
+    assert len(by_doc[1]) < 51 - 8 + 1
