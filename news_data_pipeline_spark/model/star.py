@@ -95,3 +95,85 @@ def dim_date(df: DataFrame, date_col: str) -> DataFrame:
             (F.dayofweek(d).isin(1, 7)).alias("is_weekend"),
         )
     )
+
+
+def upsert_dim(
+    existing: DataFrame, updates: DataFrame, *, key: str | Sequence[str]
+) -> DataFrame:
+    """SCD type-1 upsert: latest attributes win, no history.
+
+    The incremental alternative to the reference's wholesale dim
+    overwrite (``write_to_datalake(..., "overwrite")`` per run): rows in
+    ``updates`` replace same-key rows in ``existing``; everything else
+    passes through. Pure unionByName + left_anti — on Delta-enabled
+    clusters ``MERGE INTO`` replaces this with the same semantics.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    untouched = existing.join(updates.select(*keys), on=keys, how="left_anti")
+    return updates.unionByName(untouched)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    *,
+    key: str | Sequence[str],
+    attrs: Sequence[str],
+    effective_ts: str,
+) -> DataFrame:
+    """SCD type-2: close changed current rows, append new versions.
+
+    ``dim`` carries ``valid_from``/``valid_to``/``is_current``;
+    ``changes`` carries key + attrs. A current row whose attributes
+    differ from its incoming change is closed (``valid_to`` =
+    ``effective_ts``) and a new current version is appended. New keys
+    insert directly; unchanged rows pass through untouched.
+
+    One equi-join on the key (broadcastable when changes are a trickle)
+    + unions — no window over the full dimension.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    ts = F.lit(effective_ts).cast("timestamp_ntz")
+
+    current = dim.where(F.col("is_current")).withColumn("__c", F.lit(True))
+    historical = dim.where(~F.col("is_current"))
+
+    cmp = current.alias("c").join(
+        changes.withColumn("__u", F.lit(True)).alias("u"),
+        on=keys,
+        how="full_outer",
+    )
+    differs = reduce_or(
+        [~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}")) for a in attrs]
+    )
+    # explicit presence markers — attr values can be legitimately NULL,
+    # so nullness of data columns can't signal side-presence
+    in_updates = F.col("u.__u").isNotNull()
+    in_current = F.col("c.__c").isNotNull()
+
+    unchanged = cmp.where(in_current & (~in_updates | ~differs)).select(
+        *keys, *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.valid_from").alias("valid_from"),
+        F.col("c.valid_to").alias("valid_to"),
+        F.col("c.is_current").alias("is_current"),
+    )
+    closed = cmp.where(in_current & in_updates & differs).select(
+        *keys, *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col("c.valid_from").alias("valid_from"),
+        ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    fresh = cmp.where(in_updates & (~in_current | differs)).select(
+        *keys, *[F.col(f"u.{a}").alias(a) for a in attrs],
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return historical.unionByName(unchanged).unionByName(closed).unionByName(fresh)
+
+
+def reduce_or(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

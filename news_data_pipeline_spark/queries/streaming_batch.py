@@ -149,3 +149,18 @@ def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_data_pipeline_spark.streaming.state import batch_user_totals
 
     return batch_user_totals(load_table(spark, sf_dir, "events"))
+
+
+@register("approx_distinct_users_daily")  # rows-only: HLL sketches differ per engine
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per day via HyperLogLog++ —
+    the sketch the 100-TB path uses where exact distinct would shuffle
+    every user id; rsd=0.01 keeps the estimate within ~1%. Rows-only
+    check: DuckDB's approx_count_distinct uses a different sketch, so
+    values differ by design (the exact twin is validated by
+    ``user_lifetime_totals``'s grouping)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )

@@ -63,3 +63,59 @@ def test_dim_date_fields(spark):
     assert not jan5["is_weekend"]
     jan6 = rows[datetime.date(2024, 1, 6)]  # Saturday
     assert jan6["is_weekend"]
+
+
+def test_upsert_dim_scd1(spark):
+    existing = spark.createDataFrame(
+        [("bbc", "UK"), ("cnn", "US")], ["source", "country"]
+    )
+    updates = spark.createDataFrame(
+        [("cnn", "USA"), ("dw", "DE")], ["source", "country"]
+    )
+    from news_data_pipeline_spark.model.star import upsert_dim
+
+    out = {r["source"]: r["country"] for r in
+           upsert_dim(existing, updates, key="source").collect()}
+    assert out == {"bbc": "UK", "cnn": "USA", "dw": "DE"}
+
+
+def test_scd2_apply(spark):
+    from news_data_pipeline_spark.model.star import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            ("bbc", "UK", "2024-01-01 00:00:00", None, True),
+            ("cnn", "US", "2024-01-01 00:00:00", None, True),
+            ("cnn", "XX", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+        ],
+        "source string, country string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "source", "country",
+        "cast(valid_from as timestamp_ntz) valid_from",
+        "cast(valid_to as timestamp_ntz) valid_to",
+        "is_current",
+    )
+    changes = spark.createDataFrame(
+        [("cnn", "USA"), ("dw", "DE"), ("bbc", "UK")],  # bbc unchanged
+        ["source", "country"],
+    )
+    out = scd2_apply(
+        dim, changes, key="source", attrs=["country"],
+        effective_ts="2024-06-01 00:00:00",
+    )
+    rows = sorted(
+        ((r["source"], r["country"], r["is_current"]) for r in out.collect())
+    )
+    assert rows == [
+        ("bbc", "UK", True),          # unchanged — passes through
+        ("cnn", "US", False),         # closed old current
+        ("cnn", "USA", True),         # new current version
+        ("cnn", "XX", False),         # prior history untouched
+        ("dw", "DE", True),           # brand-new key
+    ]
+    closed = [r for r in out.collect()
+              if r["source"] == "cnn" and r["country"] == "US"][0]
+    assert str(closed["valid_to"]).startswith("2024-06-01")
+    # exactly one current row per key
+    cur = out.where("is_current").groupBy("source").count().collect()
+    assert all(r["count"] == 1 for r in cur)

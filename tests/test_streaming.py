@@ -146,3 +146,21 @@ def test_stateful_running_totals_stream(spark, landing):
         for r in batch.collect()
     }
     assert got_map == want_map
+
+
+def test_stream_static_join_enrichment(spark, landing, tmp_path):
+    # Stream-static join: each micro-batch joins the (broadcastable)
+    # static dim fresh — the streaming enrichment pattern.
+    stream = stx.read_event_stream(spark, landing)
+    dim = spark.createDataFrame(
+        [("view", "engagement"), ("click", "engagement"), ("signup", "conversion")],
+        ["event_type", "category"],
+    )
+    enriched = stream.join(F.broadcast(dim), on="event_type", how="left")
+    out = f"{tmp_path}/enrich/data"
+    stx.run_available_now(
+        enriched, checkpoint=f"{tmp_path}/enrich/ckpt", out_path=out
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == len(EVENTS)
+    assert back.where("category = 'engagement'").count() == len(EVENTS)
