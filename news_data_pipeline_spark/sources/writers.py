@@ -116,3 +116,33 @@ def write_bucketed(
         sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(f"{database}.{table}")
+
+
+def compact_layer(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_partitions: int | None = None,
+    partition_by: str | Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Rewrite a layer to healthy file counts (small-files compaction).
+
+    Streaming sinks and frequent small appends leave thousands of tiny
+    files per partition; scans then pay per-file open cost and lose
+    row-group pruning. This rewrites the layer in one pass —
+    ``repartition`` to ``target_partitions`` (or let AQE coalesce when
+    None) — into a temp directory, then swaps it in. The Delta
+    equivalent is OPTIMIZE; this is the format-agnostic version.
+    """
+    import shutil
+    import uuid
+
+    df = spark.read.format(fmt).load(path)
+    out = df.repartition(target_partitions) if target_partitions else df.coalesce(
+        max(spark.sparkContext.defaultParallelism // 4, 1)
+    )
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    write_layer(out, tmp, partition_by=partition_by, mode="overwrite", fmt=fmt)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

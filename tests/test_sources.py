@@ -88,3 +88,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == 3000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partition_pruning_on_partitioned_layer(spark, tmp_path):
+    """A filter on the partition column must reach the scan as a
+    PartitionFilter — pruning directories, not reading-then-filtering."""
+    from news_data_pipeline_spark.sources.writers import write_layer
+
+    df = spark.createDataFrame(
+        [(i, ["us", "de", "fr"][i % 3]) for i in range(300)], ["id", "country"]
+    )
+    path = str(tmp_path / "silver")
+    write_layer(df, path, partition_by="country", mode="overwrite")
+    filtered = spark.read.parquet(path).where("country = 'de'")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(country" in plan
+    assert filtered.count() == 100
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import compact_layer, write_layer
+    import glob
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 5 AS grp")
+    path = str(tmp_path / "layer")
+    # simulate many tiny appends
+    for _ in range(4):
+        write_layer(df.repartition(8), path, mode="append")
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 32
+    compact_layer(spark, path, target_partitions=2)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after <= 2
+    assert spark.read.parquet(path).count() == 4000

@@ -164,3 +164,33 @@ def test_stream_static_join_enrichment(spark, landing, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == len(EVENTS)
     assert back.where("category = 'engagement'").count() == len(EVENTS)
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Restarting from a checkpoint must process only NEW files and
+    never re-emit old rows — the file-sink exactly-once contract."""
+    landing2 = str(tmp_path / "landing")
+    batch1 = [(i, ts(i % 50), 10, "view", 1.0, None) for i in range(1, 4)]
+    spark.createDataFrame(batch1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing2)
+
+    def run_once():
+        stream = stx.read_event_stream(spark, landing2)
+        stx.run_available_now(
+            stream,
+            checkpoint=f"{tmp_path}/ckpt",
+            out_path=f"{tmp_path}/out",
+        )
+
+    run_once()
+    assert spark.read.parquet(f"{tmp_path}/out").count() == 3
+    # land a second batch, restart from the SAME checkpoint
+    batch2 = [(i, ts(i % 50), 11, "click", 2.0, None) for i in range(100, 105)]
+    spark.createDataFrame(batch2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing2)
+    run_once()
+    out = spark.read.parquet(f"{tmp_path}/out")
+    assert out.count() == 8  # 3 + 5, nothing reprocessed
+    assert out.select("event_id").distinct().count() == 8
