@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 
 def dim_join(
@@ -71,3 +71,62 @@ def salted_join(
     )
     out = salted_big.join(exploded_small, on=[on, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    right_order: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the most recent
+    right row with ``right_ts <= left_ts`` for the same key.
+
+    Spark has no native as-of join; the naive range-join formulation
+    (join on key + inequality, then max per left row) explodes
+    quadratically inside hot keys. This is the scale-sound composition:
+    union both sides tagged, ONE shuffle by key, and a forward-fill
+    window (``last(ignorenulls)`` over rows up to current) carries the
+    latest right payload onto each left row. Cost is a sort within key
+    partitions — the same price as a windowed aggregate, independent of
+    time-range density. Right rows tie-breaking at equal timestamps sort
+    BEFORE left rows, so the match is inclusive (>= semantics, like
+    DuckDB's ASOF JOIN). ``right_order`` breaks ties among right rows
+    sharing a timestamp (the LAST by that order wins) — without it the
+    winner among equal-timestamp right rows is partition-order dependent.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l_tag = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    r_tag = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c) for c in right_cols],
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in keys
+        ],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", *[F.col(c).asc_nulls_last() for c in right_order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tag.unionByName(r_tag).select(
+        *keys,
+        "__side",
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.where(F.col("__side") == 1).drop("__side")

@@ -164,3 +164,50 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.to_date("ts").alias("day"))
         .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
     )
+
+
+@register(
+    "events_asof_latest_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+               o_orderkey, o_totalprice
+        FROM orders),
+    ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_totalprice, o.order_ts,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.order_ts DESC, o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN o
+          ON o.o_custkey = e.user_id AND o.order_ts <= e.ts)
+    SELECT event_id, user_id, ts, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): each event gets the
+    user's most recent order at or before the event time — one shuffle
+    by key + a forward-fill window, no quadratic range join. Ties on
+    order_ts break by highest o_orderkey to keep both engines
+    deterministic."""
+    from news_data_pipeline_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("order_ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        right_cols=["o_orderkey", "o_totalprice"],
+        # ties on order_ts resolve to the highest o_orderkey, matching
+        # the oracle's row_number tie-break
+        right_order=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")

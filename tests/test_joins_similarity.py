@@ -72,3 +72,31 @@ def test_dim_join_broadcasts(spark):
         out.explain()
     assert "Broadcast" in buf.getvalue()
     assert out.count() == 1
+
+
+def test_asof_join_backward_inclusive(spark):
+    import datetime
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    trades = spark.createDataFrame(
+        [("A", t(5), 100), ("A", t(10), 200), ("B", t(7), 300), ("C", t(1), 400)],
+        "sym string, trade_ts timestamp, qty long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", t(4), 9.0), ("A", t(10), 11.0), ("B", t(6), 20.0), ("B", t(8), 21.0)],
+        "sym string, quote_ts timestamp, price double",
+    )
+    out = joins.asof_join(
+        trades, quotes, on="sym", left_ts="trade_ts", right_ts="quote_ts",
+        right_cols=["price"],
+    )
+    got = {(r["sym"], r["qty"]): r["price"] for r in out.collect()}
+    assert got == {
+        ("A", 100): 9.0,    # latest quote at/before 0:05 is 0:04
+        ("A", 200): 11.0,   # equal timestamp matches (inclusive)
+        ("B", 300): 20.0,   # 0:06 quote, not the later 0:08 one
+        ("C", 400): None,   # no quote for C at all
+    }
+    assert out.count() == trades.count()  # every left row survives
