@@ -130,3 +130,41 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
     )
     return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_value: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: left rows against right ranges ``[lo, hi)``.
+
+    A raw inequality join is a broadcast-nested-loop (O(n*m)) in Spark.
+    Bucketizing makes it an equi-join: each left value hashes to one
+    bucket; each right range explodes into the buckets it overlaps
+    (``(hi-lo)/bucket_width`` rows — bounded when ranges are narrow
+    relative to ``bucket_width``); the exact predicate then filters
+    within bucket-matched candidates. Pick ``bucket_width`` near the
+    typical range length: too small explodes the right side, too large
+    degrades toward all-pairs within a bucket.
+    """
+    lv, lo, hi = F.col(left_value), F.col(right_lo), F.col(right_hi)
+    l_b = left.withColumn("__bucket", F.floor(lv / bucket_width))
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(lo / bucket_width),
+                # hi is exclusive: a range ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                F.floor((hi - 1e-9) / bucket_width),
+            )
+        ),
+    )
+    out = l_b.join(r_b, on="__bucket", how=how).where((lv >= lo) & (lv < hi))
+    return out.drop("__bucket")

@@ -211,3 +211,70 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_order=["o_orderkey"],
     )
     return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "event_value_bands_rangejoin",
+    oracle="""
+    WITH bands AS (
+        SELECT i * 25.0 AS lo, (i + 1) * 25.0 AS hi,
+               'band_' || CAST(i AS VARCHAR) AS band
+        FROM (SELECT unnest(range(0, 10)) AS i))
+    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def event_value_bands_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (operators.joins.range_join): events against
+    value bands as an equi-join on overlap buckets — no nested-loop."""
+    from news_data_pipeline_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.range(0, 10).select(
+        (F.col("id") * 25.0).alias("lo"),
+        ((F.col("id") + 1) * 25.0).alias("hi"),
+        F.concat(F.lit("band_"), F.col("id").cast("string")).alias("band"),
+    )
+    joined = range_join(
+        events, bands, left_value="value", right_lo="lo", right_hi="hi",
+        bucket_width=25.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "event_time_rollup",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month,
+           CASE WHEN GROUPING(CAST(ts AS DATE)) = 0
+                THEN CAST(CAST(ts AS DATE) AS VARCHAR) END AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('month', ts) AS DATE), CAST(ts AS DATE))
+    HAVING GROUPING(CAST(date_trunc('month', ts) AS DATE)) = 0
+    """,
+)
+def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one pass produces both
+    daily and monthly continuous aggregates via ROLLUP — partial
+    aggregation handles every level map-side, so the scan count stays 1
+    no matter how many resolutions roll up."""
+    events = load_table(spark, sf_dir, "events")
+    # dates surface as ISO strings: pandas coerces DATE to datetime64
+    # on the oracle side, which would hash-mismatch a true date column
+    month = F.date_trunc("month", "ts").cast("date").cast("string").alias("month")
+    day = F.col("ts").cast("date").cast("string").alias("day")
+    return (
+        events.select(month, day, "value")
+        .rollup("month", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .where(F.col("month").isNotNull())
+    )

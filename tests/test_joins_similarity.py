@@ -100,3 +100,28 @@ def test_asof_join_backward_inclusive(spark):
         ("C", 400): None,   # no quote for C at all
     }
     assert out.count() == trades.count()  # every left row survives
+
+
+def test_range_join_matches_naive(spark):
+    left = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(60)], ["id", "v"]
+    )
+    right = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 50.0, "mid"), (50.0, 100.0, "high"),
+         (40.0, 60.0, "overlap")],
+        ["lo", "hi", "band"],
+    )
+    got = {
+        (r["id"], r["band"])
+        for r in joins.range_join(
+            left, right, left_value="v", right_lo="lo", right_hi="hi",
+            bucket_width=10.0,
+        ).collect()
+    }
+    naive = {
+        (r["id"], r["band"])
+        for r in left.join(
+            right, (left.v >= right.lo) & (left.v < right.hi)
+        ).collect()
+    }
+    assert got == naive and len(got) > 60  # overlap band double-matches
