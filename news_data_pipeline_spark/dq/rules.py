@@ -79,6 +79,14 @@ class Unique(Rule):
     order_by: tuple[str, ...] = field(default=())
 
     def __init__(self, *keys: str, quarantine_all: bool = True, order_by: tuple[str, ...] = ()):
+        if not quarantine_all and not order_by:
+            # ordering by the partition keys themselves is a constant
+            # within each partition — "first" would be whichever row a
+            # task happened to see first, irreproducible across runs
+            raise ValueError(
+                "Unique(quarantine_all=False) needs order_by columns to "
+                "make 'keep first' deterministic"
+            )
         object.__setattr__(self, "keys", tuple(keys))
         object.__setattr__(self, "quarantine_all", quarantine_all)
         object.__setattr__(self, "order_by", tuple(order_by))

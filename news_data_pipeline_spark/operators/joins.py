@@ -63,6 +63,10 @@ def salted_join(
     ``03:42-44`` — SURVEY §7.3) where AQE skew splitting isn't enough.
     The small side is replicated ``salt_buckets`` times, so keep it small.
     """
+    if how not in ("inner", "left"):
+        # right/full would emit each unmatched small-side row once per
+        # salt replica — salt_buckets-fold inflation
+        raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
     salted_big = big.withColumn(
         "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -100,18 +104,25 @@ def asof_join(
     winner among equal-timestamp right rows is partition-order dependent.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # The right payload travels as ONE struct, null on left-side rows, so
+    # the forward-fill carries a whole right ROW atomically. Filling each
+    # column independently would stitch values from different right rows
+    # whenever a right column is legitimately NULL.
+    payload_type = right.select(
+        F.struct(*[F.col(c) for c in right_cols]).alias("__p")
+    ).schema["__p"].dataType
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols],
+        F.lit(None).cast(payload_type).alias("__rpayload"),
         *[F.col(c) for c in left.columns if c not in keys],
     )
     r_tag = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rpayload"),
         *[
             F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
             for c in left.columns
@@ -120,16 +131,27 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side", *[F.col(c).asc_nulls_last() for c in right_order])
+        .orderBy(
+            "__ts",
+            "__side",
+            *[F.col(f"__rpayload.{c}").asc_nulls_last() for c in right_order],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tag.unionByName(r_tag).select(
         *keys,
         "__side",
         *[F.col(c) for c in left.columns if c not in keys],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+        F.last("__rpayload", ignorenulls=True).over(w).alias("__rpayload"),
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return (
+        filled.where(F.col("__side") == 1)
+        .select(
+            *keys,
+            *[F.col(c) for c in left.columns if c not in keys],
+            *[F.col(f"__rpayload.{c}").alias(c) for c in right_cols],
+        )
+    )
 
 
 def range_join(
@@ -153,10 +175,14 @@ def range_join(
     typical range length: too small explodes the right side, too large
     degrades toward all-pairs within a bucket.
     """
+    if how not in ("inner", "left"):
+        # right/full would emit each unmatched right range once per
+        # bucket replica (the explode happens before the join)
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     lv, lo, hi = F.col(left_value), F.col(right_lo), F.col(right_hi)
     l_b = left.withColumn("__bucket", F.floor(lv / bucket_width))
     r_b = right.withColumn(
-        "__bucket",
+        "__rbucket",
         F.explode(
             F.sequence(
                 F.floor(lo / bucket_width),
@@ -166,5 +192,9 @@ def range_join(
             )
         ),
     )
-    out = l_b.join(r_b, on="__bucket", how=how).where((lv >= lo) & (lv < hi))
-    return out.drop("__bucket")
+    # The range predicate is part of the JOIN CONDITION, not a post-join
+    # filter — a post-join where() would silently drop the null-extended
+    # rows a left join exists to keep.
+    cond = (F.col("__bucket") == F.col("__rbucket")) & (lv >= lo) & (lv < hi)
+    out = l_b.join(r_b, on=cond, how=how)
+    return out.drop("__bucket", "__rbucket")

@@ -97,7 +97,11 @@ def sign_bucket(vec: Column, m: int = 8) -> Column:
     deterministic, and expressible in ANSI SQL for oracle verification.
     """
     bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        # F.get is null out-of-bounds (no ANSI error, unlike element_at),
+        # so vectors shorter than m bucket with '0' bits instead of
+        # failing the job — DuckDB list indexing is null OOB too, so the
+        # oracle agrees.
+        F.when(F.get(vec, i) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(m)
     ]
     return F.concat(*bits)

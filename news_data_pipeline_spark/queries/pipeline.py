@@ -60,10 +60,10 @@ def dim_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fact_documents",
     oracle="""
     SELECT doc_id,
-           md5(CAST(doc_id AS VARCHAR)) AS article_id,
-           md5(source)                  AS source_id,
-           md5(lang)                    AS lang_id,
-           lang, n_chars
+           md5(CAST(doc_id AS VARCHAR))          AS article_id,
+           md5(coalesce(source, 'UNKNOWN'))      AS source_id,
+           md5(coalesce(lang, 'UNKNOWN'))        AS lang_id,
+           coalesce(lang, 'UNKNOWN') AS lang, n_chars
     FROM documents
     """,
 )

@@ -132,10 +132,14 @@ def compact_layer(
     files per partition; scans then pay per-file open cost and lose
     row-group pruning. This rewrites the layer in one pass —
     ``repartition`` to ``target_partitions`` (or let AQE coalesce when
-    None) — into a temp directory, then swaps it in. The Delta
-    equivalent is OPTIMIZE; this is the format-agnostic version.
+    None) — into a temp directory, then swaps it in via the Hadoop
+    FileSystem API (local disk, HDFS, or any mounted FS).
+
+    The delete+rename swap is NOT atomic: a concurrent reader can catch
+    the gap, and object stores rename by copy. Under concurrency or on
+    S3-class storage use a table format instead (Delta ``OPTIMIZE`` is
+    this operation with a transactional commit).
     """
-    import shutil
     import uuid
 
     df = spark.read.format(fmt).load(path)
@@ -144,5 +148,10 @@ def compact_layer(
     )
     tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
     write_layer(out, tmp, partition_by=partition_by, mode="overwrite", fmt=fmt)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(dst, True)
+    if not fs.rename(src, dst):
+        raise IOError(f"compaction rename failed: {tmp} -> {path}")

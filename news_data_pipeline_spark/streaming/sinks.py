@@ -53,6 +53,9 @@ def split_to_silver_and_quarantine(
             ingestion_time=processed_at,
         )
         write_layer(quarantined, quarantine_path, mode="append", fmt=fmt)
+        # release the per-batch cache — a long-lived stream would
+        # otherwise accumulate one cached frame per micro-batch
+        res._annotated.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -32,6 +32,9 @@ STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
+        # lifetime max event time — kept IN STATE so a late-arriving
+        # batch can't move the emitted last_ts backwards
+        StructField("last_ts", TimestampType()),
     ]
 )
 
@@ -55,15 +58,14 @@ def _make_update_fn(idle_timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
-        last_ts = None
+        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
             batch_max = pdf["ts"].max()
-            if last_ts is None or (batch_max is not pd.NaT and batch_max > last_ts):
+            if batch_max is not pd.NaT and (last_ts is None or batch_max > last_ts):
                 last_ts = batch_max
-        state.update((n, round(total, 2)))
+        state.update((n, round(total, 2), last_ts))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(

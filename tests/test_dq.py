@@ -171,3 +171,10 @@ def test_quarantine_round_trip(spark):
     assert set(rows) == {"u2", "u3"}
     assert rows["u3"]["content"] == "body c"
     assert rows["u2"]["source_table"] == "articles"
+
+
+def test_unique_keep_first_requires_order(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_by"):
+        Unique("url", quarantine_all=False)

@@ -105,3 +105,13 @@ def test_surrogate_key_xxhash_variant(spark):
     df = spark.createDataFrame([("x",)], ["a"])
     v = df.select(ids.surrogate_key("a", algo="xxhash64").alias("k")).first()["k"]
     assert isinstance(v, int)
+
+
+def test_surrogate_key_component_boundaries(spark):
+    # ('ab','c') and ('a','bc') must NOT collide (separator between parts)
+    df = spark.createDataFrame([("ab", "c", "a", "bc")], ["w", "x", "y", "z"])
+    r = df.select(
+        ids.surrogate_key("w", "x").alias("k1"),
+        ids.surrogate_key("y", "z").alias("k2"),
+    ).first()
+    assert r["k1"] != r["k2"]

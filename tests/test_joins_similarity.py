@@ -125,3 +125,50 @@ def test_range_join_matches_naive(spark):
         ).collect()
     }
     assert got == naive and len(got) > 60  # overlap band double-matches
+
+
+def test_asof_join_fills_whole_right_row_atomically(spark):
+    # A right row with a legitimately-NULL column must not be stitched
+    # with values from an older right row.
+    import datetime
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame([("A", t(3), 1)], "k string, ts timestamp, n long")
+    right = spark.createDataFrame(
+        [("A", t(1), 5, 6), ("A", t(2), None, 7)],
+        "k string, rts timestamp, a long, b long",
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["a", "b"]
+    ).first()
+    # latest right row is (a=NULL, b=7) — a must be NULL, not 5
+    assert out["a"] is None and out["b"] == 7
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 999.0)], ["id", "v"])
+    right = spark.createDataFrame([(0.0, 10.0, "low")], ["lo", "hi", "band"])
+    out = joins.range_join(
+        left, right, left_value="v", right_lo="lo", right_hi="hi",
+        bucket_width=10.0, how="left",
+    )
+    rows = {r["id"]: r["band"] for r in out.collect()}
+    assert rows == {1: "low", 2: None}  # unmatched left row survives
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        joins.range_join(
+            left, right, left_value="v", right_lo="lo", right_hi="hi",
+            bucket_width=10.0, how="full",
+        )
+
+
+def test_signbucket_short_vectors_dont_fail(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [1.0])],  # shorter than m
+        ["vec_id", "embedding"],
+    )
+    out = similarity.signbucket_topk(vecs, vecs.where("vec_id = 1"), k=2, m=8)
+    assert {r["neighbor_id"] for r in out.collect()} == {2}  # no ANSI error

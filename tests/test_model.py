@@ -119,3 +119,16 @@ def test_scd2_apply(spark):
     # exactly one current row per key
     cur = out.where("is_current").groupBy("source").count().collect()
     assert all(r["count"] == 1 for r in cur)
+
+
+def test_build_fact_null_keys_resolve_to_unknown(spark):
+    df = spark.createDataFrame(
+        [("bbc", "t1"), (None, "t2")], ["source", "title"]
+    )
+    dims = {"source": build_dim(df, "source", id_col="source_id")}
+    fact = build_fact(df, dims, fact_id_cols=["title"])
+    rows = {r["title"]: r for r in fact.collect()}
+    # null natural key joins the UNKNOWN dim member, not a null FK
+    assert rows["t2"]["source"] == "UNKNOWN"
+    assert rows["t2"]["source_id"] is not None
+    assert fact.where("source_id IS NULL").count() == 0

@@ -194,3 +194,25 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     out = spark.read.parquet(f"{tmp_path}/out")
     assert out.count() == 8  # 3 + 5, nothing reprocessed
     assert out.select("event_id").distinct().count() == 8
+
+
+def test_stateful_last_ts_survives_late_batches(spark, tmp_path):
+    """A late-arriving micro-batch must not move last_ts backwards —
+    the lifetime max lives in state, not per-batch."""
+    landing3 = str(tmp_path / "landing")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(1, ts(30), 10, "view", 1.0, None)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(landing3)
+    spark.createDataFrame(
+        [(2, ts(5), 10, "view", 2.0, None)], EVENT_SCHEMA  # LATE event
+    ).coalesce(1).write.mode("append").parquet(landing3)
+
+    stream = stx.read_event_stream(spark, landing3, max_files_per_trigger=1)
+    got = drain_to_memory(
+        spark, stx.running_user_totals(stream), "t_state_late", "update"
+    )
+    updates = sorted(got.collect(), key=lambda r: r["n_events"])
+    final = updates[-1]
+    assert final["n_events"] == 2
+    assert final["last_ts"] == ts(30)  # not dragged back to 0:05
