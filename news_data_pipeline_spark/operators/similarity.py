@@ -153,3 +153,82 @@ def signbucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``nlist`` cells, probe each query's ``nprobe`` nearest cells.
+
+    The other classic ANN sharding besides sign-bucket LSH: corpus cost
+    is one broadcast pass over ``nlist`` centroids (assignment), query
+    cost |C|·nprobe/nlist scoring instead of |C|. ``centroids`` is an
+    injectable (id, vector) frame — in production an offline k-means
+    job; by default the first ``nlist`` corpus vectors by id, which is
+    deterministic and oracle-reproducible. Squared L2 to centroids uses
+    the dot-product identity (||a||²-2a·c+||c||²), rounded to 6dp with
+    centroid-id tie-break so cell assignment is reproducible across
+    engines.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col).limit(nlist)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec"))
+        )
+    else:
+        centroids = centroids.select(
+            F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec")
+        )
+
+    def dist2(v: Column, c: Column) -> Column:
+        return F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 6)
+
+    def assign(df: DataFrame, out_id: str, n_cells: int) -> DataFrame:
+        scored = df.select(
+            F.col(id_col).alias(out_id), _as_double(vec_col).alias("v")
+        ).join(F.broadcast(centroids), how="cross")
+        w = Window.partitionBy(out_id).orderBy(
+            dist2(F.col("v"), F.col("c_vec")), F.asc("cid")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= n_cells)
+            .select(out_id, "cid", "v")
+        )
+
+    corpus_cells = assign(corpus, "neighbor_id", 1)
+    query_cells = assign(queries, "query_id", nprobe).select(
+        "query_id", "cid", F.col("v").alias("q_vec")
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    scored = (
+        corpus_cells.withColumn("c_nrm", l2_norm(F.col("v")))
+        .join(F.broadcast(query_cells), on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("v")) / (F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+        # a query probing nprobe cells can meet the same corpus vector
+        # only once (each corpus vector lives in exactly one cell)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

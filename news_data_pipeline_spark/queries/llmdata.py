@@ -392,3 +392,55 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.dedup.winnow_fingerprints; k=8, window=4)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
+
+@register(
+    "cosine_topk_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 16),
+    corpus_assign AS (
+        SELECT vec_id AS neighbor_id, e, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, v.e)
+                                      - 2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT vec_id AS query_id, e AS qe, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(list_dot_product(v.e, v.e)
+                                      - 2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id < 10) t
+        WHERE r <= 4)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT q.query_id, c.neighbor_id,
+               round(list_dot_product(q.qe, c.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qe, c.e)
+                                  / (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(c.e, c.e))), 6) DESC,
+                            c.neighbor_id) AS rank
+        FROM query_probe q JOIN corpus_assign c ON q.cid = c.cid
+        WHERE q.query_id <> c.neighbor_id) t
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators.similarity.ivf_topk): nlist=16 cells,
+    nprobe=4, deterministic centroid stub (first 16 vectors by id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)

@@ -172,3 +172,25 @@ def test_signbucket_short_vectors_dont_fail(spark):
     )
     out = similarity.signbucket_topk(vecs, vecs.where("vec_id = 1"), k=2, m=8)
     assert {r["neighbor_id"] for r in out.collect()} == {2}  # no ANSI error
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    q = vecs.where("vec_id < 3")
+    exact = similarity.cosine_topk(vecs, q, k=3)
+    approx = similarity.ivf_topk(vecs, q, k=3, nlist=8, nprobe=8)
+    # nprobe == nlist probes every cell -> recall must be 1.0
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert a == e
+    # each query has at most k ranked neighbors, ranks contiguous from 1
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
