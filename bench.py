@@ -34,10 +34,13 @@ HEADLINE_QUERIES = (
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "multimodal_image_features",
     "tumbling_hourly_counts",
     "user_sessions",
     "user_lifetime_totals",
+    "events_asof_latest_order",
+    "shipping_priority",
 )
 
 
