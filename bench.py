@@ -47,7 +47,12 @@ HEADLINE_QUERIES = (
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
+    # Some operators persist intermediates (LSH banding, shingle tables);
+    # clear between queries so no query is timed against another's
+    # leftover cache or pays its memory pressure.
+    spark.catalog.clearCache()
+    return elapsed
 
 
 def main() -> None:

@@ -245,3 +245,34 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     return df.select(id_col, payload_col).mapInPandas(
         feats, "id long, sample_rate int, duration_sec double, mean_amplitude double"
     )
+
+
+def image_embeddings(
+    df: DataFrame, id_col: str, payload_col: str, *, dim: int = 16
+) -> DataFrame:
+    """Embed decoded images as fixed-dim vectors: (id, embedding).
+
+    The bridge from the multimodal plumbing to the similarity operators:
+    a normalized ``dim``-bin intensity histogram per image — the
+    deterministic stand-in for a vision encoder (swap the function body
+    for a real model under the same mapInPandas shape; batch size and
+    output schema don't change). Output feeds ``similarity.cosine_topk``
+    / ``ivf_topk`` / ``dedup.embedding_neardup_pairs`` unchanged.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                _, _, px = _decode_image_bytes(bytes(b))
+                hist = [0] * dim
+                for byte in px:
+                    hist[byte * dim // 256] += 1
+                total = max(len(px), 1)
+                ids.append(i)
+                vecs.append([round(h / total, 6) for h in hist])
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        embed, "id long, embedding array<double>"
+    )

@@ -87,3 +87,23 @@ def test_unknown_format_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="PIL|NotImplementedError"):
         mm.decode_images(df, "doc_id", "payload").collect()
+
+
+def test_image_embeddings_feed_similarity_search(spark):
+    """Decode -> embed -> ANN end-to-end: near-identical images must be
+    nearest neighbors under cosine over the histogram embeddings."""
+    from news_data_pipeline_spark.operators import similarity
+
+    rows = [
+        (1, mm.fake_image_bytes("seed-a", 16, 16)),
+        (2, mm.fake_image_bytes("seed-a", 16, 16)),  # identical content
+        (3, mm.fake_image_bytes("zzz-different", 16, 16)),
+    ]
+    imgs = spark.createDataFrame(rows, "img_id long, payload binary")
+    emb = mm.image_embeddings(imgs, "img_id", "payload", dim=8)
+    assert dict(emb.dtypes)["embedding"] == "array<double>"
+    top = similarity.cosine_topk(
+        emb, emb.where("id = 1"), id_col="id", vec_col="embedding", k=1
+    ).first()
+    assert top["neighbor_id"] == 2
+    assert top["cosine_sim"] == 1.0
