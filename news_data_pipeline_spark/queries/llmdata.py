@@ -444,3 +444,15 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+@register("lsh_dedup_representatives")  # rows-only: iterative label propagation
+def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative dedup (operators.dedup.
+    lsh_dedup_representatives): one (id, rep) row per document, linear
+    output even on duplicate-heavy corpora where the pair enumeration
+    is quadratic per cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.lsh_dedup_representatives(
+        docs, "doc_id", "text", bands=4, rows_per_band=4
+    )

@@ -98,3 +98,40 @@ def test_winnow_fingerprints_guarantee(spark):
     assert not (by_doc[1] & by_doc[3])
     # sampling actually compresses: far fewer fingerprints than k-grams
     assert len(by_doc[1]) < 51 - 8 + 1
+
+
+def test_lsh_dedup_representatives_no_pair_blowup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+        (4, "completely different text about spark engines here"),
+    ]
+    reps = dedup.lsh_dedup_representatives(
+        spark.createDataFrame(rows, ["doc_id", "body"]), "doc_id", "body",
+        bands=8, rows_per_band=2,
+    )
+    got = {r["id"]: r["rep"] for r in reps.collect()}
+    assert got[1] == got[2] == got[3] == 1  # cluster collapses to min id
+    assert got[4] == 4
+    # output is linear in docs — one row per document, no pairs
+    assert reps.count() == 4
+
+
+def test_lsh_dedup_transitive_chain(spark):
+    # A~B and B~C share different buckets; label propagation must pull
+    # C into A's cluster within max_iter iterations.
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "aa bb cc dd ee xx yy zz"),   # shares first-half shingles with 1
+        (3, "qq rr ss tt ee xx yy zz"),   # shares second-half shingles with 2
+    ]
+    reps = dedup.lsh_dedup_representatives(
+        spark.createDataFrame(rows, ["doc_id", "body"]), "doc_id", "body",
+        shingle_n=2, bands=8, rows_per_band=1, max_iter=3,
+    )
+    got = {r["id"]: r["rep"] for r in reps.collect()}
+    # 1~2 guaranteed; if 2~3 collide in any band, 3 must ALSO label 1
+    if got[3] != 3:
+        assert got[3] == got[1] == 1
+    assert got[2] == 1
