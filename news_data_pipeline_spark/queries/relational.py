@@ -631,3 +631,51 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "priority_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): independent
+    single-dimension totals plus the grand total in ONE pass — partial
+    aggregation covers every set map-side, same as rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "region_nation_list",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: collect_list is nondeterministic in
+    arrival order, so sort the array before joining — the deterministic
+    listagg/string_agg equivalent."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
