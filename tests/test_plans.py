@@ -11,7 +11,7 @@ mechanically over EVERY registered query's optimized physical plan:
   single-partition surrogate-key builds, ``03:38,43,58``) — every
   window must carry ``partitionBy`` unless the input is provably tiny.
 
-Plans are compiled, not executed, so this covers all 57 queries in
+Plans are compiled, not executed, so this covers every registered query in
 seconds.
 """
 
