@@ -70,3 +70,79 @@ def test_normalize_column_names_canonical(spark, names):
         assert " " not in c
     # normalizing twice is the same as once
     assert normalize_column_names(out).columns == out.columns
+
+
+ts_strategy = st.integers(min_value=0, max_value=20)
+key_strategy = st.sampled_from(["a", "b"])
+
+
+@given(
+    st.lists(st.tuples(key_strategy, ts_strategy), min_size=1, max_size=8),
+    st.lists(
+        st.tuples(key_strategy, ts_strategy, st.integers(0, 99)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_naive_model(spark, lefts, rights):
+    from news_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        schema="k string, ts bigint, lid bigint",
+    )
+    right = spark.createDataFrame(
+        rights, schema="k string, rts bigint, payload bigint"
+    )
+    out = {
+        r["lid"]: r["payload"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_cols=["payload"], right_order=["payload"],
+        ).collect()
+    }
+    # naive model: latest right at/before ts; ties -> max payload (the
+    # LAST by right_order)
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, p) for (rk, rt, p) in rights if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert out[i] == want, (i, k, t, cands)
+
+
+@given(
+    st.lists(st.floats(min_value=0, max_value=50, allow_nan=False), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=50, allow_nan=False),
+            st.floats(min_value=0, max_value=20, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@SETTINGS
+def test_range_join_matches_naive_model(spark, values, ranges):
+    from news_data_pipeline_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], schema="id bigint, v double"
+    )
+    right = spark.createDataFrame(
+        [(j, lo, lo + width) for j, (lo, width) in enumerate(ranges)],
+        schema="rid bigint, lo double, hi double",
+    )
+    got = {
+        (r["id"], r["rid"])
+        for r in range_join(
+            left, right, left_value="v", right_lo="lo", right_hi="hi",
+            bucket_width=7.0,
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(values)
+        for j, (lo, width) in enumerate(ranges)
+        if lo <= v < lo + width
+    }
+    assert got == want
