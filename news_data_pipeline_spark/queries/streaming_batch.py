@@ -278,3 +278,23 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("month").isNotNull())
     )
+
+
+@register(
+    "user_value_highwater",
+    oracle="""
+    SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_max
+        FROM events WHERE value IS NOT NULL) t
+    WHERE prev_max IS NULL OR value > prev_max
+    """,
+)
+def user_value_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.state.user_value_highwater: the rows that
+    set a new per-user lifetime value maximum, in event-time order."""
+    from news_data_pipeline_spark.streaming.state import batch_value_highwater
+
+    return batch_value_highwater(load_table(spark, sf_dir, "events"))

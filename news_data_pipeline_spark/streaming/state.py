@@ -5,6 +5,13 @@ express: arbitrary per-key state, updated per micro-batch with Arrow
 batch transfer (not row-at-a-time pickling), with timeout-driven
 eviction so state stays bounded on an unbounded stream.
 
+Spark 4's newer ``transformWithStateInPandas`` (typed ValueState/
+ListState/MapState + timers) is the eventual upgrade path, but its
+Python driver worker imports ``google.protobuf``, which is not
+installed in this environment (verified: the query crashes with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE on the proto import) —
+so ``applyInPandasWithState`` is deliberately the supported API here.
+
 ``running_user_totals`` is the engine's canonical example: per-user
 lifetime event count + value sum + last event time, emitted as an update
 stream. The same callable runs in batch tests via ``applyInPandas``
@@ -114,4 +121,70 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
         F.max("ts").alias("last_ts"),
+    )
+
+
+HIGHWATER_STATE_SCHEMA = StructType([StructField("hwm", DoubleType())])
+HIGHWATER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _update_highwater(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Emit only rows that set a new lifetime per-user value maximum —
+    event-driven emission (alerting shape), unlike the per-batch
+    aggregate the totals operator emits."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    hwm = state.get[0] if state.exists else None
+    recs = []
+    for pdf in pdfs:
+        clean = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        for ts_v, v in zip(clean["ts"], clean["value"]):
+            v = float(v)
+            if hwm is None or v > hwm:
+                hwm = v
+                recs.append((key[0], ts_v, v))
+    if hwm is not None:
+        state.update((hwm,))
+    if recs:
+        yield pd.DataFrame(recs, columns=["user_id", "ts", "value"])
+
+
+def user_value_highwater(events: DataFrame) -> DataFrame:
+    """Streaming: per-user new-maximum events as an append-style update
+    stream. State is one double per user — constant per key."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_highwater,
+        outputStructType=HIGHWATER_OUTPUT_SCHEMA,
+        stateStructType=HIGHWATER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_value_highwater(events: DataFrame) -> DataFrame:
+    """Batch twin: rows beating the running per-user maximum."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    clean = events.where(F.col("value").isNotNull())
+    return (
+        clean.withColumn("prev_max", F.max("value").over(w))
+        .where(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .select("user_id", "ts", "value")
     )

@@ -216,3 +216,21 @@ def test_stateful_last_ts_survives_late_batches(spark, tmp_path):
     final = updates[-1]
     assert final["n_events"] == 2
     assert final["last_ts"] == ts(30)  # not dragged back to 0:05
+
+
+def test_highwater_stream_matches_batch(spark, landing):
+    from news_data_pipeline_spark.streaming.state import (
+        batch_value_highwater,
+        user_value_highwater,
+    )
+
+    stream = stx.read_event_stream(spark, landing)
+    got = drain_to_memory(
+        spark, user_value_highwater(stream), "t_highwater", "update"
+    )
+    want = batch_value_highwater(spark.createDataFrame(EVENTS, EVENT_SCHEMA))
+    got_set = {(r["user_id"], r["ts"], r["value"]) for r in got.collect()}
+    want_set = {(r["user_id"], r["ts"], r["value"]) for r in want.collect()}
+    assert got_set == want_set
+    # strictly fewer emissions than events — only new maxima fire
+    assert len(got_set) < len(EVENTS)
