@@ -1,5 +1,9 @@
 from news_data_pipeline_spark.dq.rules import (
     ColumnExists,
+    Freshness,
+    InRange,
+    InSet,
+    Matches,
     MinRows,
     NotNull,
     Rule,
@@ -15,6 +19,10 @@ from news_data_pipeline_spark.dq.engine import (
 
 __all__ = [
     "ColumnExists",
+    "Freshness",
+    "InRange",
+    "InSet",
+    "Matches",
     "DQResult",
     "MinRows",
     "NotNull",

@@ -18,6 +18,7 @@ failing report does not stop valid rows from flowing (reference
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -29,7 +30,11 @@ _FLAG_PREFIX = "__dq_violates_"
 
 
 def _flag_name(i: int, rule: Rule) -> str:
-    return f"{_FLAG_PREFIX}{i}_{rule.rule_name()}"
+    # internal column name only (reports/reasons use the exact rule
+    # name) — sanitized because dots in rule names like in_range(v,0.5)
+    # would otherwise parse as nested-field paths in F.col()
+    safe = re.sub(r"[^0-9A-Za-z_]", "_", rule.rule_name())
+    return f"{_FLAG_PREFIX}{i}_{safe}"
 
 
 @dataclass

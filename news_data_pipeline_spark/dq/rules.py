@@ -150,3 +150,87 @@ def config_to_rules(config: dict) -> list[Rule]:
     if config.get("min_rows"):
         rules.append(MinRows(config["min_rows"]))
     return rules
+
+
+@dataclass(frozen=True)
+class InRange(Rule):
+    """Numeric bounds check: violation when outside [lo, hi] (nulls pass —
+    combine with NotNull to reject them)."""
+
+    column: str
+    lo: float | None = None
+    hi: float | None = None
+
+    def rule_name(self) -> str:
+        return f"in_range({self.column},{self.lo},{self.hi})"
+
+    def violation(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        checks = []
+        if self.lo is not None:
+            checks.append(c < F.lit(self.lo))
+        if self.hi is not None:
+            checks.append(c > F.lit(self.hi))
+        if not checks:
+            return F.lit(False)
+        out = checks[0]
+        for x in checks[1:]:
+            out = out | x
+        return c.isNotNull() & out
+
+
+@dataclass(frozen=True)
+class Matches(Rule):
+    """Regex shape check: violation when a non-null value does NOT match
+    (e.g. URL or ISO-date shaped columns)."""
+
+    column: str
+    pattern: str
+
+    def rule_name(self) -> str:
+        return f"matches({self.column})"
+
+    def violation(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.cast("string").rlike(self.pattern)
+
+
+@dataclass(frozen=True)
+class InSet(Rule):
+    """Closed-vocabulary check: violation when a non-null value is not a
+    member (bounded enums: statuses, country codes, languages)."""
+
+    column: str
+    values: tuple = ()
+
+    def __init__(self, column: str, values):
+        object.__setattr__(self, "column", column)
+        object.__setattr__(self, "values", tuple(values))
+
+    def rule_name(self) -> str:
+        return f"in_set({self.column})"
+
+    def violation(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.isin(*self.values)
+
+
+@dataclass(frozen=True)
+class Freshness(Rule):
+    """Event-time freshness: violation when a timestamp is older than
+    ``max_age`` relative to ``as_of`` (a literal, for determinism — pass
+    now() at call time in production)."""
+
+    column: str
+    max_age: str  # SQL interval, e.g. "30 days"
+    as_of: str = ""  # timestamp literal; required
+
+    def rule_name(self) -> str:
+        return f"freshness({self.column},{self.max_age})"
+
+    def violation(self, df: DataFrame) -> Column:
+        c = F.col(self.column)
+        cutoff = F.expr(
+            f"timestamp'{self.as_of}' - interval {self.max_age}"
+        )
+        return c.isNotNull() & (c < cutoff)

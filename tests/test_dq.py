@@ -178,3 +178,36 @@ def test_unique_keep_first_requires_order(spark):
 
     with _pytest.raises(ValueError, match="order_by"):
         Unique("url", quarantine_all=False)
+
+
+def test_in_range_matches_inset_freshness_rules(spark):
+    from news_data_pipeline_spark.dq.rules import Freshness, InRange, InSet, Matches
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0, "https://ok.com", "en", "2024-06-01 00:00:00"),
+            (2, -3.0, "https://ok.com", "en", "2024-06-01 00:00:00"),   # range
+            (3, 50.0, "not a url", "en", "2024-06-01 00:00:00"),        # regex
+            (4, 50.0, "https://ok.com", "xx", "2024-06-01 00:00:00"),   # set
+            (5, 50.0, "https://ok.com", "en", "2020-01-01 00:00:00"),   # stale
+            (6, None, None, None, None),                                # nulls pass
+        ],
+        "id long, v double, url string, lang string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    res = run_dq(
+        df,
+        [
+            InRange("v", lo=0.0, hi=100.0),
+            Matches("url", r"^https?://"),
+            InSet("lang", ["en", "de", "fr"]),
+            Freshness("ts", "365 days", as_of="2024-12-31 00:00:00"),
+        ],
+    )
+    bad = {r["id"]: sorted(r["reasons"]) for r in res.quarantined.collect()}
+    assert set(bad) == {2, 3, 4, 5}
+    assert bad[2] == ["in_range(v,0.0,100.0)"]
+    assert bad[3] == ["matches(url)"]
+    assert bad[4] == ["in_set(lang)"]
+    assert bad[5] == ["freshness(ts,365 days)"]
+    # nulls pass every value-shape rule (NotNull owns null policy)
+    assert 6 not in bad
