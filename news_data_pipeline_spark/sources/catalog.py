@@ -58,3 +58,27 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Expose every fixture as a temp view so ``spark.sql`` works too."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_layer(
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read a written layer back; ``merge_schema=True`` unions the
+    schemas of all files so layers whose shape evolved across appends
+    (new columns in later batches) read as one frame with nulls for
+    rows written before a column existed.
+
+    Schema evolution is the reference's declared future work
+    (``docs/pipeline_overview.md:161``) — implemented here via parquet
+    schema merging; Delta-enabled clusters get the same from
+    ``mergeSchema`` on the Delta reader. Merging reads every file
+    footer, so leave it off for stable-schema layers (the default).
+    """
+    reader = spark.read.format(fmt)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)

@@ -121,3 +121,19 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     after = len(glob.glob(f"{path}/*.parquet"))
     assert after <= 2
     assert spark.read.parquet(path).count() == 4000
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    from news_data_pipeline_spark.sources.catalog import read_layer
+    from news_data_pipeline_spark.sources.writers import write_layer
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], ["id", "title"])
+    write_layer(v1, path, mode="append")
+    v2 = spark.createDataFrame([(2, "b", "en")], ["id", "title", "lang"])
+    write_layer(v2, path, mode="append")
+
+    merged = read_layer(spark, path, merge_schema=True)
+    assert set(merged.columns) == {"id", "title", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}  # old rows: null for the new column
