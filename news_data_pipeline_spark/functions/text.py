@@ -146,3 +146,32 @@ def fingerprint(col: Column) -> Column:
     """
     normalized = F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
     return F.md5(normalized)
+
+
+# PII patterns, applied in order. Conservative shapes: the goal is
+# training-data hygiene, not perfect NER — swap in a model-based pass
+# via mapInPandas where recall matters more than throughput.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email/IP/SSN/phone-shaped spans with typed placeholders —
+    a chain of ``regexp_replace`` (codegen'd; order matters: emails
+    before phones so digits in addresses aren't half-eaten)."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """How many PII-shaped spans a document contains (pre-redaction)."""
+    out = F.lit(0)
+    for pattern, _ in PII_PATTERNS:
+        out = out + F.regexp_count(col, F.lit(pattern))
+    return out

@@ -456,3 +456,24 @@ def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_dedup_representatives(
         docs, "doc_id", "text", bands=4, rows_per_band=4
     )
+
+
+@register(
+    "documents_pii_redacted",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) + len(regexp_extract_all(text, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS n_pii
+    FROM documents
+    """,
+)
+def documents_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene pass (functions.text.redact_pii): typed placeholders
+    for email/IP/SSN/phone-shaped spans + per-doc PII counts — all
+    codegen'd regexp chains, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.redact_pii(F.col("text")).alias("clean_text"),
+        T.pii_count(F.col("text")).cast("long").alias("n_pii"),
+    )

@@ -115,3 +115,16 @@ def test_surrogate_key_component_boundaries(spark):
         ids.surrogate_key("y", "z").alias("k2"),
     ).first()
     assert r["k1"] != r["k2"]
+
+
+def test_redact_pii(spark):
+    s = (
+        "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567; "
+        "server 10.0.0.1, ssn 123-45-6789"
+    )
+    out = one(spark, s, text.redact_pii)
+    assert "<EMAIL>" in out and "<PHONE>" in out and "<IP>" in out and "<SSN>" in out
+    assert "jane" not in out and "555" not in out and "10.0.0.1" not in out
+    assert one(spark, "no pii here", text.redact_pii) == "no pii here"
+    n = one(spark, s, text.pii_count)
+    assert n >= 3  # email, phone, ip, ssn (phone/ssn may overlap-count)
