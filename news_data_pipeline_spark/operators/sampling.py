@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting and sampling.
+
+Training-data pipelines need splits and samples that are REPRODUCIBLE
+across runs, engines, and data re-partitioning — which rules out
+``randomSplit``/``sample`` (seeded per-partition RNG: results change
+when partitioning does). Everything here keys off a content hash of a
+stable id column, so membership is a pure function of the row:
+
+* the same document lands in the same split on every run and engine;
+* adding documents never reshuffles existing assignments (the property
+  that keeps eval sets stable as corpora grow).
+
+Hash = first 8 hex chars of md5 (32 bits) mod 10_000 — ANSI-SQL
+expressible, so the DuckDB oracle reproduces every assignment exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, *, salt: str = "") -> Column:
+    """Stable [0, 10000) bucket from a key column (+ optional salt to
+    derive independent assignments from the same key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    keyed = F.concat(F.lit(salt), c.cast("string"))
+    return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    *,
+    weights: dict[str, float],
+    salt: str = "split:",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by weight (e.g. train/val/test).
+
+    Weights must sum to <= 1; any remainder is unassigned-by-design
+    (label ``holdout``). Assignment is by contiguous hash ranges, so
+    enlarging one split keeps its existing members (ranges only extend).
+    """
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split weights sum to {total} > 1")
+    bucket = hash_bucket(key_col, salt=salt)
+    expr = None
+    lo = 0.0
+    for name, w in weights.items():
+        hi = lo + w
+        cond = (bucket >= int(lo * _BUCKETS)) & (bucket < int(hi * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+        lo = hi
+    expr = expr.otherwise(F.lit("holdout"))
+    return df.withColumn(split_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    *,
+    fraction: float,
+    strata: Sequence[str] = (),
+    salt: str = "sample:",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, deterministically by key hash.
+
+    With ``strata``, the threshold applies per stratum independently
+    (same expected rate everywhere — stratified sampling without a
+    per-stratum shuffle; the hash is salted by the stratum values so
+    strata draw independently).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    salt_col = F.concat(
+        F.lit(salt), *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata]
+    )
+    bucket = hash_bucket(F.concat(salt_col, F.col(key_col).cast("string")))
+    return df.where(bucket < int(fraction * _BUCKETS))

@@ -477,3 +477,116 @@ def documents_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.redact_pii(F.col("text")).alias("clean_text"),
         T.pii_count(F.col("text")).cast("long").alias("n_pii"),
     )
+
+
+@register(
+    "dataset_splits",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(concat('0x', substring(
+                   md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators.sampling):
+    membership is a pure hash of doc_id — stable across runs, engines,
+    and repartitioning, unlike randomSplit."""
+    from news_data_pipeline_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(
+            docs, "doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "documents_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substring(md5(
+              concat('sample:', coalesce(lang, ''), CAST(doc_id AS VARCHAR))
+          ), 1, 8)) AS BIGINT) % 10000 < 2000
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample per language stratum (hash-threshold,
+    salted by stratum — no per-stratum shuffle, reproducible everywhere)."""
+    from news_data_pipeline_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(
+        docs, "doc_id", fraction=0.2, strata=["lang"]
+    ).select("doc_id", "lang")
+
+
+@register(
+    "training_corpus",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, text, lang,
+               {_DUCK_WORDS} AS wc,
+               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
+                     / greatest(length(text), 1)::DOUBLE, 4) AS pr,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents),
+    scored AS (
+        SELECT doc_id, text, lang, fp,
+               round(least(wc / 50.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
+                     + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
+                     4) AS quality
+        FROM m),
+    kept AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored WHERE quality >= 0.5 AND lang = 'en') t
+        WHERE rn = 1),
+    final AS (
+        SELECT doc_id, quality,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
+               CAST(concat('0x', substring(
+                   md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+        FROM kept)
+    SELECT doc_id, quality, n_tokens,
+           CASE WHEN bucket < 9000 THEN 'train' ELSE 'val' END AS split
+    FROM final
+    """,
+)
+def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data pipeline, end-to-end in ONE Catalyst plan:
+    quality-filter -> language-filter -> exact near-dup dedup
+    (normalization fingerprint, keep lowest id) -> token count ->
+    deterministic split assignment. Every stage is an engine operator;
+    no materialization between stages."""
+    from news_data_pipeline_spark.operators.dedup import exact_dedup
+    from news_data_pipeline_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).where((F.col("quality") >= 0.5) & (F.col("lang") == "en"))
+    deduped = exact_dedup(scored, ["fp"], tie_break=["doc_id"])
+    return assign_splits(
+        deduped, "doc_id", weights={"train": 0.9, "val": 0.1}
+    ).select(
+        "doc_id",
+        "quality",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "split",
+    )

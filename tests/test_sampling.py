@@ -1,0 +1,65 @@
+"""Deterministic splitting/sampling invariants."""
+
+from __future__ import annotations
+
+import pytest
+
+from news_data_pipeline_spark.operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+)
+
+
+def docs(spark, n=2000):
+    return spark.range(n).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 3 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+
+
+def test_splits_are_stable_and_partition_the_data(spark):
+    df = docs(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = assign_splits(df, "doc_id", weights=w)
+    b = assign_splits(df, "doc_id", weights=w)
+    # pure function of the key: two runs agree row-for-row
+    assert a.join(b.withColumnRenamed("split", "split2"), "doc_id").where(
+        "split != split2"
+    ).count() == 0
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["val"]  # roughly weight-proportional
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+
+
+def test_growing_a_split_keeps_existing_members(spark):
+    df = docs(spark)
+    small = assign_splits(df, "doc_id", weights={"train": 0.5, "val": 0.5})
+    big = assign_splits(df, "doc_id", weights={"train": 0.7, "val": 0.3})
+    # contiguous hash ranges: everyone in 50% train stays in 70% train
+    moved = (
+        small.where("split = 'train'")
+        .select("doc_id")
+        .join(big.where("split != 'train'").select("doc_id"), "doc_id")
+    )
+    assert moved.count() == 0
+
+
+def test_overweight_splits_rejected(spark):
+    with pytest.raises(ValueError):
+        assign_splits(docs(spark), "doc_id", weights={"a": 0.8, "b": 0.3})
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    df = docs(spark)
+    s1 = deterministic_sample(df, "doc_id", fraction=0.2, strata=["lang"])
+    s2 = deterministic_sample(df, "doc_id", fraction=0.2, strata=["lang"])
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    assert ids1 == {r["doc_id"] for r in s2.collect()}
+    # per-stratum rate ~ fraction
+    for lang, total in [("en", 667), ("de", 1333)]:
+        got = s1.where(f"lang = '{lang}'").count()
+        assert abs(got / total - 0.2) < 0.06, (lang, got, total)
+    # growing the fraction only ADDS rows (hash-threshold monotonicity)
+    s_big = deterministic_sample(df, "doc_id", fraction=0.5, strata=["lang"])
+    assert ids1 <= {r["doc_id"] for r in s_big.collect()}
