@@ -41,6 +41,7 @@ HEADLINE_QUERIES = (
     "user_lifetime_totals",
     "events_asof_latest_order",
     "shipping_priority",
+    "training_corpus",
 )
 
 
