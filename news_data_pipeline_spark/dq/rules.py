@@ -16,6 +16,7 @@ preserved by construction.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -98,8 +99,8 @@ class Unique(Rule):
         w = Window.partitionBy(*[F.col(k) for k in self.keys])
         if self.quarantine_all:
             return F.count(F.lit(1)).over(w) > 1
-        order_cols = [F.col(c) for c in (self.order_by or self.keys)]
-        rn = F.row_number().over(w.orderBy(*order_cols))
+        # order_by is guaranteed non-empty by the constructor
+        rn = F.row_number().over(w.orderBy(*[F.col(c) for c in self.order_by]))
         return rn > 1
 
 
@@ -181,18 +182,25 @@ class InRange(Rule):
 
 @dataclass(frozen=True)
 class Matches(Rule):
-    """Regex shape check: violation when a non-null value does NOT match
-    (e.g. URL or ISO-date shaped columns)."""
+    """Regex shape check: violation when a non-null value does NOT match.
+
+    ``full_match=True`` anchors the pattern (the whole value must be the
+    shape — use for ISO dates, ids); the default is ``rlike`` substring
+    semantics (use for prefix/contains checks like ``^https?://``) —
+    anchor explicitly when you mean the whole value.
+    """
 
     column: str
     pattern: str
+    full_match: bool = False
 
     def rule_name(self) -> str:
         return f"matches({self.column})"
 
     def violation(self, df: DataFrame) -> Column:
         c = F.col(self.column)
-        return c.isNotNull() & ~c.cast("string").rlike(self.pattern)
+        pattern = f"^(?:{self.pattern})$" if self.full_match else self.pattern
+        return c.isNotNull() & ~c.cast("string").rlike(pattern)
 
 
 @dataclass(frozen=True)
@@ -224,6 +232,23 @@ class Freshness(Rule):
     column: str
     max_age: str  # SQL interval, e.g. "30 days"
     as_of: str = ""  # timestamp literal; required
+
+    _AS_OF_RE = r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?)?$"
+    _AGE_RE = r"^\d+ +[a-zA-Z]+$"
+
+    def __post_init__(self):
+        # both strings are interpolated into F.expr — validate at
+        # construction so a typo fails HERE, not as a cryptic SQL parse
+        # error when the plan is built
+        if not re.match(self._AS_OF_RE, self.as_of or ""):
+            raise ValueError(
+                f"Freshness needs as_of as a timestamp literal "
+                f"(YYYY-MM-DD[ HH:MM[:SS]]), got {self.as_of!r}"
+            )
+        if not re.match(self._AGE_RE, self.max_age or ""):
+            raise ValueError(
+                f"Freshness max_age must look like '30 days', got {self.max_age!r}"
+            )
 
     def rule_name(self) -> str:
         return f"freshness({self.column},{self.max_age})"

@@ -45,8 +45,6 @@ _MAGICS = {
     AUD_MAGIC: "audio/x-fake",
     VID_MAGIC: "video/x-fake",
     b"\x89PNG": "image/png",
-    b"\xff\xd8\xff\xe0": "image/jpeg",
-    b"RIFF": "audio/wav",
 }
 
 
@@ -77,12 +75,29 @@ def fake_video_bytes(seed: str, n_frames: int, w: int, h: int) -> bytes:
 # --- JVM-side (no Python) metadata ops ---------------------------------------
 def sniff_media_type(payload: Column) -> Column:
     """Magic-byte dispatch — pure Catalyst expressions over the binary
-    prefix, so a 100-TB manifest scan never touches Python."""
+    prefix, so a 100-TB manifest scan never touches Python.
+
+    JPEG matches on the 3-byte SOI prefix (covers JFIF \\xe0, EXIF \\xe1
+    and friends); RIFF containers disambiguate on bytes 9-12 (WAVE vs
+    WEBP vs AVI) instead of assuming audio.
+    """
     prefix = F.substring(payload, 1, 4)
+    riff_kind = F.substring(payload, 9, 4)
     out = F.lit("application/octet-stream")
     for magic, mime in _MAGICS.items():
         out = F.when(prefix == F.lit(magic), F.lit(mime)).otherwise(out)
-    return out
+    out = F.when(
+        F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff"), F.lit("image/jpeg")
+    ).otherwise(out)
+    return (
+        F.when(
+            prefix == F.lit(b"RIFF"),
+            F.when(riff_kind == F.lit(b"WAVE"), F.lit("audio/wav"))
+            .when(riff_kind == F.lit(b"WEBP"), F.lit("image/webp"))
+            .when(riff_kind == F.lit(b"AVI "), F.lit("video/avi"))
+            .otherwise(F.lit("application/octet-stream")),
+        ).otherwise(out)
+    )
 
 
 def media_manifest(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:

@@ -26,9 +26,11 @@ _BUCKETS = 10_000
 
 def hash_bucket(col: Column | str, *, salt: str = "") -> Column:
     """Stable [0, 10000) bucket from a key column (+ optional salt to
-    derive independent assignments from the same key)."""
+    derive independent assignments from the same key). Null keys bucket
+    via a sentinel — a null must not silently vanish from every split
+    and sample (concat of a null would null the hash)."""
     c = F.col(col) if isinstance(col, str) else col
-    keyed = F.concat(F.lit(salt), c.cast("string"))
+    keyed = F.concat(F.lit(salt), F.coalesce(c.cast("string"), F.lit("<NULL>")))
     return F.conv(F.substring(F.md5(keyed), 1, 8), 16, 10).cast("long") % _BUCKETS
 
 
@@ -43,8 +45,13 @@ def assign_splits(
     """Label every row with a split name by weight (e.g. train/val/test).
 
     Weights must sum to <= 1; any remainder is unassigned-by-design
-    (label ``holdout``). Assignment is by contiguous hash ranges, so
-    enlarging one split keeps its existing members (ranges only extend).
+    (label ``holdout``). Assignment is by contiguous hash ranges in
+    dict order. Stability caveat: growing the FIRST split only extends
+    its range (its members and everything before the moved boundary
+    stay put), but growing an earlier split SHIFTS every later split's
+    range — rows move between later splits. To keep an eval set frozen
+    while train grows, either put eval ranges first, or derive eval
+    membership separately with its own ``salt`` and never change it.
     """
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
@@ -54,7 +61,9 @@ def assign_splits(
     lo = 0.0
     for name, w in weights.items():
         hi = lo + w
-        cond = (bucket >= int(lo * _BUCKETS)) & (bucket < int(hi * _BUCKETS))
+        # round, not int(): 0.57*10000 is 5699.999... in binary and
+        # int() would floor the boundary one bucket low
+        cond = (bucket >= round(lo * _BUCKETS)) & (bucket < round(hi * _BUCKETS))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
@@ -83,5 +92,7 @@ def deterministic_sample(
     salt_col = F.concat(
         F.lit(salt), *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata]
     )
-    bucket = hash_bucket(F.concat(salt_col, F.col(key_col).cast("string")))
-    return df.where(bucket < int(fraction * _BUCKETS))
+    keyed = F.concat(
+        salt_col, F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>"))
+    )
+    return df.where(hash_bucket(keyed) < round(fraction * _BUCKETS))

@@ -28,15 +28,19 @@ def silver_enrichment() -> Pipeline:
     p.add("flatten", flatten_structs, "source.name -> source_name etc.")
 
     def enrich(df: DataFrame) -> DataFrame:
-        polarity = text.sentiment_polarity(F.col("content"))
+        # counts and sentiment read the STRIPPED content — computing them
+        # on the raw column would count markup tokens and let lexicon
+        # words inside tag attributes skew polarity
+        clean = text.strip_html(F.col("content"))
+        polarity = text.sentiment_polarity(clean)
         return df.select(
             F.col("source_name").alias("source"),
             "author",
             text.strip_html(F.col("title")).alias("title"),
             text.extract_domain(F.col("url")).alias("domain"),
             F.to_date("publishedAt").alias("published_date"),
-            text.strip_html(F.col("content")).alias("content"),
-            text.word_count(F.col("content")).alias("content_word_count"),
+            clean.alias("content"),
+            text.word_count(clean).alias("content_word_count"),
             polarity.alias("sentiment_score"),
             text.sentiment_label(polarity).alias("sentiment_label"),
             "country",

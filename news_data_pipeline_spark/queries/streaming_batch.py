@@ -288,7 +288,7 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND 1 PRECEDING) AS prev_max
-        FROM events WHERE value IS NOT NULL) t
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL) t
     WHERE prev_max IS NULL OR value > prev_max
     """,
 )

@@ -72,7 +72,9 @@ def _make_update_fn(idle_timeout_ms: int | None):
             batch_max = pdf["ts"].max()
             if batch_max is not pd.NaT and (last_ts is None or batch_max > last_ts):
                 last_ts = batch_max
-        state.update((n, round(total, 2), last_ts))
+        # state keeps the UNROUNDED sum — rounding per batch would
+        # compound drift vs the batch twin, which rounds exactly once
+        state.update((n, total, last_ts))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
@@ -141,14 +143,21 @@ def _update_highwater(
 ) -> Iterator[pd.DataFrame]:
     """Emit only rows that set a new lifetime per-user value maximum —
     event-driven emission (alerting shape), unlike the per-batch
-    aggregate the totals operator emits."""
+    aggregate the totals operator emits.
+
+    Maxima are evaluated in event-time order WITHIN each micro-batch;
+    across batches the order is arrival order, so a late-arriving
+    record that beats the current maximum still alerts (correct for
+    alerting; an event-time-exact replay is the oracle-checked batch
+    twin below). Rows with null ts or value don't participate.
+    """
     if state.hasTimedOut:
         state.remove()
         return
     hwm = state.get[0] if state.exists else None
     recs = []
     for pdf in pdfs:
-        clean = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        clean = pdf.dropna(subset=["value", "ts"]).sort_values(["ts", "event_id"])
         for ts_v, v in zip(clean["ts"], clean["value"]):
             v = float(v)
             if hwm is None or v > hwm:
@@ -182,7 +191,7 @@ def batch_value_highwater(events: DataFrame) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    clean = events.where(F.col("value").isNotNull())
+    clean = events.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
     return (
         clean.withColumn("prev_max", F.max("value").over(w))
         .where(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
