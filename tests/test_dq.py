@@ -211,3 +211,27 @@ def test_in_range_matches_inset_freshness_rules(spark):
     assert bad[5] == ["freshness(ts,365 days)"]
     # nulls pass every value-shape rule (NotNull owns null policy)
     assert 6 not in bad
+
+
+def test_freshness_validates_at_construction(spark):
+    import pytest as _pytest
+
+    from news_data_pipeline_spark.dq.rules import Freshness
+
+    with _pytest.raises(ValueError, match="as_of"):
+        Freshness("ts", "30 days")  # missing as_of fails HERE, not at plan time
+    with _pytest.raises(ValueError, match="max_age"):
+        Freshness("ts", "month'; DROP", as_of="2024-01-01")
+
+
+def test_matches_full_match_anchors(spark):
+    from news_data_pipeline_spark.dq.rules import Matches
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "x 2024-01-01 y")], ["id", "d"]
+    )
+    shape = r"\d{4}-\d{2}-\d{2}"
+    loose = run_dq(df, [Matches("d", shape)])
+    assert loose.quarantined.count() == 0  # substring semantics: both pass
+    strict = run_dq(df, [Matches("d", shape, full_match=True)])
+    assert [r["id"] for r in strict.quarantined.collect()] == [2]

@@ -107,3 +107,24 @@ def test_image_embeddings_feed_similarity_search(spark):
     ).first()
     assert top["neighbor_id"] == 2
     assert top["cosine_sim"] == 1.0
+
+
+def test_sniff_real_world_magic_bytes(spark):
+    rows = [
+        (1, b"\xff\xd8\xff\xe0JFIF...."),   # JFIF jpeg
+        (2, b"\xff\xd8\xff\xe1Exif...."),   # EXIF jpeg
+        (3, b"RIFF\x00\x00\x00\x00WAVEfmt "),
+        (4, b"RIFF\x00\x00\x00\x00WEBPVP8 "),
+        (5, b"RIFF\x00\x00\x00\x00AVI LIST"),
+        (6, b"RIFF\x00\x00\x00\x00????...."),
+        (7, b"\x89PNG\r\n\x1a\n"),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: r["media_type"]
+           for r in mm.media_manifest(df, "id", "payload").collect()}
+    assert got[1] == got[2] == "image/jpeg"
+    assert got[3] == "audio/wav"
+    assert got[4] == "image/webp"
+    assert got[5] == "video/avi"
+    assert got[6] == "application/octet-stream"
+    assert got[7] == "image/png"

@@ -63,3 +63,12 @@ def test_deterministic_sample_rate_and_stability(spark):
     # growing the fraction only ADDS rows (hash-threshold monotonicity)
     s_big = deterministic_sample(df, "doc_id", fraction=0.5, strata=["lang"])
     assert ids1 <= {r["doc_id"] for r in s_big.collect()}
+
+
+def test_null_keys_are_assigned_not_dropped(spark):
+    df = spark.createDataFrame([(None,), (1,)], "doc_id bigint")
+    out = assign_splits(df, "doc_id", weights={"train": 0.5, "val": 0.5})
+    labels = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert labels[None] in ("train", "val")  # sentinel-hashed, not holdout
+    kept = deterministic_sample(df, "doc_id", fraction=1.0)
+    assert kept.count() == 2  # fraction=1.0 keeps EVERY row, nulls included
