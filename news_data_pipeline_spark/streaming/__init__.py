@@ -1,4 +1,5 @@
 from news_data_pipeline_spark.streaming.ops import (
+    interval_join_streams,
     read_event_stream,
     session_window_counts,
     sliding_window_counts,
@@ -12,6 +13,7 @@ from news_data_pipeline_spark.streaming.sinks import (
 from news_data_pipeline_spark.streaming.state import running_user_totals
 
 __all__ = [
+    "interval_join_streams",
     "read_event_stream",
     "run_available_now",
     "running_user_totals",

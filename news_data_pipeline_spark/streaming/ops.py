@@ -147,3 +147,32 @@ def watermarked_dedup(
     which would need unbounded state on a stream.
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: pairs sharing ``on`` whose event times
+    fall within ``within`` of each other.
+
+    Both sides carry watermarks and the join condition bounds the time
+    difference in BOTH directions — that pair of constraints is what
+    lets Spark evict buffered rows (state stays bounded by key-rate x
+    within+watermark) instead of holding each side forever. Without the
+    time bound a stream-stream join is unrunnable state growth.
+    """
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[on] == r_wm[on])
+        & (r_wm[right_ts] >= l_wm[left_ts] - F.expr(f"interval {within}"))
+        & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"interval {within}"))
+    )
+    return l_wm.join(r_wm, on=cond, how="inner")

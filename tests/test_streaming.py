@@ -234,3 +234,38 @@ def test_highwater_stream_matches_batch(spark, landing):
     assert got_set == want_set
     # strictly fewer emissions than events — only new maxima fire
     assert len(got_set) < len(EVENTS)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two event streams join on user within a time window; state stays
+    bounded because both sides are watermarked and time-bounded."""
+    import pyspark.sql.functions as SF
+
+    views_dir = str(tmp_path / "views")
+    clicks_dir = str(tmp_path / "clicks")
+    views = [(1, ts(0), 10, "view", 1.0, None), (2, ts(30), 11, "view", 1.0, None)]
+    clicks = [
+        (91, ts(5), 10, "click", 1.0, None),    # within 15m of view 1
+        (92, ts(25), 10, "click", 1.0, None),   # NOT within 15m of view 1
+        (93, ts(31), 11, "click", 1.0, None),   # within 15m of view 2
+    ]
+    spark.createDataFrame(views, EVENT_SCHEMA).coalesce(1).write.parquet(views_dir)
+    spark.createDataFrame(clicks, EVENT_SCHEMA).coalesce(1).write.parquet(clicks_dir)
+
+    v = stx.read_event_stream(spark, views_dir).select(
+        SF.col("user_id"), SF.col("ts").alias("l_ts"),
+        SF.col("event_id").alias("view_id"),
+    )
+    c = stx.read_event_stream(spark, clicks_dir).select(
+        SF.col("user_id").alias("c_user"), SF.col("ts").alias("r_ts"),
+        SF.col("event_id").alias("click_id"),
+    ).withColumnRenamed("c_user", "user_id")
+    joined = stx.interval_join_streams(
+        v, c.withColumnRenamed("user_id", "user_id"), on="user_id",
+        within="15 minutes",
+    ).select(v["user_id"], "view_id", "click_id")
+    got = {
+        (r["view_id"], r["click_id"])
+        for r in drain_to_memory(spark, joined, "t_ssjoin", "append").collect()
+    }
+    assert got == {(1, 91), (2, 93)}
