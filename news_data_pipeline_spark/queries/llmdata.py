@@ -446,7 +446,28 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
 
 
-@register("lsh_dedup_representatives")  # rows-only: iterative label propagation
+@register(
+    "lsh_dedup_representatives",
+    # exact oracle: the 3 label-propagation iterations unrolled as CTEs
+    oracle="""
+    WITH shingles AS (
+        SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id AS id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws,
+                     unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
+              FROM documents) t),
+    sig AS (SELECT id, min(substring(md5('seed0:' || shingle), 1, 8)) AS mh_0, min(substring(md5('seed0:' || shingle), 9, 8)) AS mh_1, min(substring(md5('seed0:' || shingle), 17, 8)) AS mh_2, min(substring(md5('seed0:' || shingle), 25, 8)) AS mh_3, min(substring(md5('seed1:' || shingle), 1, 8)) AS mh_4, min(substring(md5('seed1:' || shingle), 9, 8)) AS mh_5, min(substring(md5('seed1:' || shingle), 17, 8)) AS mh_6, min(substring(md5('seed1:' || shingle), 25, 8)) AS mh_7, min(substring(md5('seed2:' || shingle), 1, 8)) AS mh_8, min(substring(md5('seed2:' || shingle), 9, 8)) AS mh_9, min(substring(md5('seed2:' || shingle), 17, 8)) AS mh_10, min(substring(md5('seed2:' || shingle), 25, 8)) AS mh_11, min(substring(md5('seed3:' || shingle), 1, 8)) AS mh_12, min(substring(md5('seed3:' || shingle), 9, 8)) AS mh_13, min(substring(md5('seed3:' || shingle), 17, 8)) AS mh_14, min(substring(md5('seed3:' || shingle), 25, 8)) AS mh_15 FROM shingles GROUP BY id),
+    member AS (SELECT id, concat('0', '#', md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3)) AS bucket FROM sig UNION ALL SELECT id, concat('1', '#', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7)) AS bucket FROM sig UNION ALL SELECT id, concat('2', '#', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11)) AS bucket FROM sig UNION ALL SELECT id, concat('3', '#', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15)) AS bucket FROM sig),
+    l0 AS (SELECT DISTINCT id, id AS label FROM member),
+    b1 AS (SELECT m.bucket, min(l.label) AS bl FROM member m JOIN l0 l USING (id) GROUP BY m.bucket),
+    l1 AS (SELECT m.id, min(b.bl) AS label FROM member m JOIN b1 b USING (bucket) GROUP BY m.id),
+    b2 AS (SELECT m.bucket, min(l.label) AS bl FROM member m JOIN l1 l USING (id) GROUP BY m.bucket),
+    l2 AS (SELECT m.id, min(b.bl) AS label FROM member m JOIN b2 b USING (bucket) GROUP BY m.id),
+    b3 AS (SELECT m.bucket, min(l.label) AS bl FROM member m JOIN l2 l USING (id) GROUP BY m.bucket),
+    l3 AS (SELECT m.id, min(b.bl) AS label FROM member m JOIN b3 b USING (bucket) GROUP BY m.id)
+    SELECT id, label AS rep FROM l3
+""",
+)
 def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-representative dedup (operators.dedup.
     lsh_dedup_representatives): one (id, rep) row per document, linear
