@@ -47,6 +47,8 @@ class NotNull(Rule):
     columns: tuple[str, ...]
 
     def __init__(self, *columns: str):
+        if not columns:
+            raise ValueError("NotNull needs at least one column")
         object.__setattr__(self, "columns", tuple(columns))
 
     def rule_name(self) -> str:
@@ -212,8 +214,11 @@ class InSet(Rule):
     values: tuple = ()
 
     def __init__(self, column: str, values):
+        values = tuple(values)
+        if not values:
+            raise ValueError("InSet needs a non-empty vocabulary")
         object.__setattr__(self, "column", column)
-        object.__setattr__(self, "values", tuple(values))
+        object.__setattr__(self, "values", values)
 
     def rule_name(self) -> str:
         return f"in_set({self.column})"

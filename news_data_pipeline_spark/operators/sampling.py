@@ -53,6 +53,8 @@ def assign_splits(
     while train grows, either put eval ranges first, or derive eval
     membership separately with its own ``salt`` and never change it.
     """
+    if not weights:
+        raise ValueError("assign_splits needs at least one split weight")
     total = sum(weights.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split weights sum to {total} > 1")
