@@ -170,8 +170,8 @@ def redact_pii(col: Column) -> Column:
 
 
 def pii_count(col: Column) -> Column:
-    """How many PII-shaped spans a document contains (pre-redaction)."""
-    out = F.lit(0)
-    for pattern, _ in PII_PATTERNS:
-        out = out + F.regexp_count(col, F.lit(pattern))
-    return out
+    """How many PII spans were redacted — counted as placeholders in the
+    redacted text, so overlapping patterns (an SSN also matches the
+    phone shape) count once, matching what redaction actually did."""
+    tokens = "|".join(t for _, t in PII_PATTERNS)
+    return F.regexp_count(redact_pii(col), F.lit(tokens))

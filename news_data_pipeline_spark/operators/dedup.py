@@ -421,5 +421,9 @@ def lsh_dedup_representatives(
             .groupBy("id")
             .agg(F.min("bucket_label").alias("label"))
         )
-    member.unpersist()
+    # NOTE: member stays persisted — unpersisting here, before the
+    # caller runs an action, would remove the cache marker and force all
+    # 2*max_iter plan branches to recompute the signature pipeline. The
+    # cache is n_docs*bands small rows; callers that sweep many queries
+    # (bench, the driver) clear the session cache between queries.
     return labels.select(F.col("id"), F.col("label").alias("rep"))

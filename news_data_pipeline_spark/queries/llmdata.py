@@ -14,12 +14,12 @@ from news_data_pipeline_spark.operators import dedup, similarity
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
-_POS = "|".join(T.POSITIVE_WORDS)
-_NEG = "|".join(T.NEGATIVE_WORDS)
-_ALL_STOPS = "|".join(w for ws in T.LANG_MARKERS.values() for w in ws)
-
 # DuckDB twin of functions.text.word_count / token_count — keep in sync.
-_DUCK_WORDS = "len(regexp_split_to_array(trim(text), '\\s+'))"
+# CASE keeps parity with word_count's blank-string -> 0 special case
+_DUCK_WORDS = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
 _DUCK_TOKENS = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))"
 
 # DuckDB twin of operators.dedup.word_shingles (word n-grams, n=3).
@@ -29,6 +29,7 @@ _DUCK_SHINGLES = """
                  regexp_split_to_array(trim(text), '\\s+') AS ws,
                  unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
           FROM documents) t
+    WHERE array_to_string(ws[i:i+2], ' ') <> ''
 """
 
 
@@ -322,7 +323,12 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     video pipeline uses at scale."""
     from news_data_pipeline_spark.operators import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(100)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
     def build(batches):
         import pandas as pd
@@ -455,7 +461,8 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT doc_id AS id,
                      regexp_split_to_array(trim(text), '\\s+') AS ws,
                      unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
-              FROM documents) t),
+              FROM documents) t
+        WHERE array_to_string(ws[i:i+2], ' ') <> ''),
     sig AS (SELECT id, min(substring(md5('seed0:' || shingle), 1, 8)) AS mh_0, min(substring(md5('seed0:' || shingle), 9, 8)) AS mh_1, min(substring(md5('seed0:' || shingle), 17, 8)) AS mh_2, min(substring(md5('seed0:' || shingle), 25, 8)) AS mh_3, min(substring(md5('seed1:' || shingle), 1, 8)) AS mh_4, min(substring(md5('seed1:' || shingle), 9, 8)) AS mh_5, min(substring(md5('seed1:' || shingle), 17, 8)) AS mh_6, min(substring(md5('seed1:' || shingle), 25, 8)) AS mh_7, min(substring(md5('seed2:' || shingle), 1, 8)) AS mh_8, min(substring(md5('seed2:' || shingle), 9, 8)) AS mh_9, min(substring(md5('seed2:' || shingle), 17, 8)) AS mh_10, min(substring(md5('seed2:' || shingle), 25, 8)) AS mh_11, min(substring(md5('seed3:' || shingle), 1, 8)) AS mh_12, min(substring(md5('seed3:' || shingle), 9, 8)) AS mh_13, min(substring(md5('seed3:' || shingle), 17, 8)) AS mh_14, min(substring(md5('seed3:' || shingle), 25, 8)) AS mh_15 FROM shingles GROUP BY id),
     member AS (SELECT id, concat('0', '#', md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3)) AS bucket FROM sig UNION ALL SELECT id, concat('1', '#', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7)) AS bucket FROM sig UNION ALL SELECT id, concat('2', '#', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11)) AS bucket FROM sig UNION ALL SELECT id, concat('3', '#', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15)) AS bucket FROM sig),
     l0 AS (SELECT DISTINCT id, id AS label FROM member),
@@ -484,7 +491,7 @@ def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS clean_text,
-           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) + len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) + len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) + len(regexp_extract_all(text, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS n_pii
+           len(regexp_extract_all(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g'), '<EMAIL>|<IP>|<SSN>|<PHONE>')) AS n_pii
     FROM documents
     """,
 )
@@ -505,7 +512,7 @@ def documents_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT CAST(concat('0x', substring(
-                   md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   md5('split:' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)
                % 10000 AS bucket
         FROM documents)
     SELECT CASE WHEN bucket < 8000 THEN 'train'
@@ -536,7 +543,7 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang FROM documents
     WHERE CAST(concat('0x', substring(md5(
-              concat('sample:', coalesce(lang, ''), CAST(doc_id AS VARCHAR))
+              concat('sample:', coalesce(lang, ''), coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))
           ), 1, 8)) AS BIGINT) % 10000 < 2000
     """,
 )
@@ -577,7 +584,7 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(regexp_extract_all(text,
                    '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_tokens,
                CAST(concat('0x', substring(
-                   md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   md5('split:' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)
                % 10000 AS bucket
         FROM kept)
     SELECT doc_id, quality, n_tokens,

@@ -275,8 +275,13 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
+            # grouping indicator, not value-nullness: a genuinely-null
+            # month is DATA (grouping=0) and must survive; only the
+            # rollup grand-total row (grouping=1) is dropped
+            F.grouping("month").alias("__gm"),
         )
-        .where(F.col("month").isNotNull())
+        .where(F.col("__gm") == 0)
+        .drop("__gm")
     )
 
 
