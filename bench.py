@@ -62,7 +62,7 @@ def main() -> None:
         if len(sys.argv) > 1
         else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from news_data_pipeline_spark.queries import query_map

@@ -151,7 +151,14 @@ def compact_layer(
     jvm = spark._jvm
     dst = jvm.org.apache.hadoop.fs.Path(path)
     src = jvm.org.apache.hadoop.fs.Path(tmp)
+    old = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}__pre_compact")
     fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(dst, True)
+    # Rename the live layer ASIDE first — deleting it before the swap
+    # would leave NO copy if the rename then failed or the process died.
+    fs.delete(old, True)
+    if not fs.rename(dst, old):
+        raise IOError(f"compaction: could not move {path} aside")
     if not fs.rename(src, dst):
-        raise IOError(f"compaction rename failed: {tmp} -> {path}")
+        fs.rename(old, dst)  # restore the original layer
+        raise IOError(f"compaction rename failed: {tmp} -> {path}; original restored")
+    fs.delete(old, True)

@@ -29,6 +29,11 @@ from pyspark.sql.types import (
 
 # Declared stream schema — file streams must never infer
 # (inference reads the directory once at start and locks it in).
+# ts is TimestampType (LTZ), NOT the engine-wide TIMESTAMP_NTZ
+# convention: Spark rejects NTZ event time for watermarks
+# (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE, verified on 4.1), so streaming
+# relies on the UTC session timezone from session.tune() to keep window
+# bounds aligned with the NTZ batch twins.
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -175,4 +180,6 @@ def interval_join_streams(
         & (r_wm[right_ts] >= l_wm[left_ts] - F.expr(f"interval {within}"))
         & (r_wm[right_ts] <= l_wm[left_ts] + F.expr(f"interval {within}"))
     )
-    return l_wm.join(r_wm, on=cond, how="inner")
+    # drop the right copy of the key (equal by the join condition) so
+    # downstream column references aren't ambiguous
+    return l_wm.join(r_wm, on=cond, how="inner").drop(r_wm[on])

@@ -30,12 +30,15 @@ def split_to_silver_and_quarantine(
     fmt: str = "parquet",
     available_now: bool = False,
 ) -> StreamingQuery:
-    """Per-micro-batch DQ split: valid rows append to silver, violations
-    append (with JSON payload + reasons) to the quarantine audit path.
+    """Per-micro-batch DQ split: valid rows land under silver, violations
+    (with JSON payload + reasons) under the quarantine audit path.
 
-    Exactly-once per sink comes from the checkpoint + idempotent
-    file-sink commit protocol; the split itself is the batch engine, so
-    semantics are identical to the oracle-verified batch path.
+    Idempotence: foreachBatch alone is only at-least-once (a crash
+    between a write and the checkpoint commit replays the batch), so
+    each batch writes to its own ``batch_id=N`` hive partition with
+    OVERWRITE — a replayed batch rewrites the same directory instead of
+    appending duplicates. Readers scan the parent path and see
+    ``batch_id`` as an ordinary partition column.
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -43,19 +46,32 @@ def split_to_silver_and_quarantine(
             return
         # Both split sides are consumed -> cache the annotated frame once.
         res = run_dq(batch, rules, cache=True)
-        write_layer(res.valid, silver_path, mode="append", fmt=fmt)
-        processed_at = datetime.datetime.now(datetime.timezone.utc).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        quarantined = to_quarantine_records(
-            res.quarantined,
-            source_table=source_table,
-            ingestion_time=processed_at,
-        )
-        write_layer(quarantined, quarantine_path, mode="append", fmt=fmt)
-        # release the per-batch cache — a long-lived stream would
-        # otherwise accumulate one cached frame per micro-batch
-        res._annotated.unpersist()
+        try:
+            write_layer(
+                res.valid,
+                f"{silver_path}/batch_id={batch_id}",
+                mode="overwrite",
+                fmt=fmt,
+            )
+            processed_at = datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            quarantined = to_quarantine_records(
+                res.quarantined,
+                source_table=source_table,
+                ingestion_time=processed_at,
+            )
+            write_layer(
+                quarantined,
+                f"{quarantine_path}/batch_id={batch_id}",
+                mode="overwrite",
+                fmt=fmt,
+            )
+        finally:
+            # release the per-batch cache even when a write fails — a
+            # retried batch would otherwise strand one cached frame per
+            # attempt
+            res._annotated.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

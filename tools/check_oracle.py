@@ -19,10 +19,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from news_data_pipeline_spark.sources.catalog import TABLES  # noqa: E402
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -73,11 +70,13 @@ def float_close(a, b) -> bool:
         return True
     if (
         isinstance(a, tuple) and isinstance(b, tuple)
-        and len(a) == 2 and len(b) == 2 and a[0] == b[0]
+        and len(a) == 2 and len(b) == 2
     ):
-        if a[0] in ("f", "i"):
+        # numeric tags compare across 'f'/'i' — DuckDB HUGEINT arrives
+        # in pandas as float64 while Spark sums of ints stay long
+        if a[0] in ("f", "i") and b[0] in ("f", "i"):
             return math.isclose(float(a[1]), float(b[1]), rel_tol=1e-6, abs_tol=1e-6)
-        if a[0] == "l":
+        if a[0] == b[0] == "l":
             return len(a[1]) == len(b[1]) and all(
                 float_close(x, y) for x, y in zip(a[1], b[1])
             )
@@ -109,9 +108,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failures = []
+    executed = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        executed += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -141,7 +142,7 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries ok")
+    print(f"\n{executed - len(failures)}/{executed} queries ok")
     return 1 if failures else 0
 
 
