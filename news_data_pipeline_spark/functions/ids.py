@@ -23,7 +23,7 @@ def surrogate_key(*cols: Column | str, algo: str = "md5") -> Column:
     """
     columns = [F.col(c) if isinstance(c, str) else c for c in cols]
     normalized = [F.coalesce(c.cast("string"), F.lit("<NULL>")) for c in columns]
-    joined = F.concat_ws("", *normalized)
+    joined = F.concat_ws("\x1f", *normalized)
     if algo == "md5":
         return F.md5(joined)
     if algo == "xxhash64":

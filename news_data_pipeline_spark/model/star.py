@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from news_data_pipeline_spark.functions.ids import surrogate_key
 
@@ -39,10 +39,29 @@ def build_dim(
     with hash keys instead of the global-window row_number.
     """
     id_col = id_col or f"{natural_key}_id"
+    if fill_unknown is not None and dict(df.dtypes)[natural_key] != "string":
+        # fillna with a string is a silent no-op on non-string columns —
+        # the UNKNOWN member would never exist and null keys would slip
+        # through as null surrogate ids
+        raise TypeError(
+            f"fill_unknown needs a string natural key; {natural_key} is "
+            f"{dict(df.dtypes)[natural_key]} — cast it or pass fill_unknown=None"
+        )
     out = df.select(natural_key, *extra_cols)
     if fill_unknown is not None:
         out = out.fillna(fill_unknown, subset=[natural_key])
-    return out.distinct().withColumn(id_col, surrogate_key(natural_key))
+    out = out.distinct()
+    if extra_cols:
+        # the surrogate key hashes the natural key alone, so the dim must
+        # hold ONE row per key — attribute variants would fan out every
+        # fact join. Keep the first by the extra columns, deterministically.
+        w = Window.partitionBy(natural_key).orderBy(*[F.col(c) for c in extra_cols])
+        out = (
+            out.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.withColumn(id_col, surrogate_key(natural_key))
 
 
 def build_fact(
@@ -67,6 +86,13 @@ def build_fact(
     """
     out = df
     if fill_unknown is not None:
+        dtypes = dict(df.dtypes)
+        non_string = [k for k in dims if dtypes.get(k) != "string"]
+        if non_string:
+            raise TypeError(
+                f"fill_unknown needs string natural keys; non-string: "
+                f"{non_string} — cast them or pass fill_unknown=None"
+            )
         out = out.fillna(fill_unknown, subset=list(dims.keys()))
     for natural_key, dim in dims.items():
         dim_side = F.broadcast(dim) if broadcast_dims else dim
@@ -141,8 +167,11 @@ def scd2_apply(
     keys = [key] if isinstance(key, str) else list(key)
     ts = F.lit(effective_ts).cast("timestamp_ntz")
 
-    current = dim.where(F.col("is_current")).withColumn("__c", F.lit(True))
-    historical = dim.where(~F.col("is_current"))
+    # null is_current is malformed input — treat as historical (safe,
+    # lossless) rather than letting it vanish through both filters
+    flag = F.coalesce(F.col("is_current"), F.lit(False))
+    current = dim.where(flag).withColumn("__c", F.lit(True))
+    historical = dim.where(~flag)
 
     cmp = current.alias("c").join(
         changes.withColumn("__u", F.lit(True)).alias("u"),

@@ -262,8 +262,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 
 
 def hamming_distance(a, b):
-    """Hamming distance between two 64-bit fingerprints."""
-    return F.bit_count(F.expr(f"{a} ^ {b}"))
+    """Hamming distance between two 64-bit fingerprints. Accepts column
+    names or Column expressions."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
 
 
 def embedding_neardup_pairs(
@@ -308,7 +311,10 @@ def embedding_neardup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")),
+                dot(F.col("a.e"), F.col("b.e"))
+                # nullif: zero-norm vectors score null (filtered by the
+                # threshold below) instead of ANSI DIVIDE_BY_ZERO
+                / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )
@@ -426,4 +432,11 @@ def lsh_dedup_representatives(
     # 2*max_iter plan branches to recompute the signature pipeline. The
     # cache is n_docs*bands small rows; callers that sweep many queries
     # (bench, the driver) clear the session cache between queries.
-    return labels.select(F.col("id"), F.col("label").alias("rep"))
+    #
+    # Documents with no shingles (empty/whitespace/null text) never
+    # enter the bucket graph — join back so EVERY input document gets a
+    # representative (itself) instead of silently vanishing.
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(labels, on="id", how="left").select(
+        "id", F.coalesce(F.col("label"), F.col("id")).alias("rep")
+    )

@@ -118,7 +118,10 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("__rpayload"),
         *[F.col(c) for c in left.columns if c not in keys],
     )
-    r_tag = right.select(
+    # a null right timestamp can never legitimately match (<= NULL is
+    # never true) but would sort FIRST in the window and pollute every
+    # early left row's fill — exclude such rows up front
+    r_tag = right.where(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

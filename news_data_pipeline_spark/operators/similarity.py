@@ -75,10 +75,14 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
+                # nullif: a zero-norm vector (empty doc, padding row)
+                # must score null, not abort the job with ANSI
+                # DIVIDE_BY_ZERO
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )
+        .where(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -140,10 +144,14 @@ def signbucket_topk(
             "neighbor_id",
             F.round(
                 dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
+                # nullif: a zero-norm vector (empty doc, padding row)
+                # must score null, not abort the job with ANSI
+                # DIVIDE_BY_ZERO
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )
+        .where(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -189,15 +197,18 @@ def ivf_topk(
             F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec")
         )
 
-    def dist2(v: Column, c: Column) -> Column:
-        return F.round(dot(v, v) - 2 * dot(v, c) + dot(c, c), 6)
+    # ||c||^2 hoisted once per centroid; dot(v,v) is rank-invariant per
+    # vector, so assignment ordering needs only -2*dot(v,c) + ||c||^2 —
+    # one interpreted array fold per (vector, centroid) instead of three
+    centroids = centroids.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
 
     def assign(df: DataFrame, out_id: str, n_cells: int) -> DataFrame:
         scored = df.select(
             F.col(id_col).alias(out_id), _as_double(vec_col).alias("v")
         ).join(F.broadcast(centroids), how="cross")
         w = Window.partitionBy(out_id).orderBy(
-            dist2(F.col("v"), F.col("c_vec")), F.asc("cid")
+            F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
+            F.asc("cid"),
         )
         return (
             scored.withColumn("__r", F.row_number().over(w))
@@ -217,12 +228,14 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("q_vec"), F.col("v")) / (F.col("q_nrm") * F.col("c_nrm")),
+                dot(F.col("q_vec"), F.col("v"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
                 6,
             ).alias("cosine_sim"),
         )
         # a query probing nprobe cells can meet the same corpus vector
         # only once (each corpus vector lives in exactly one cell)
+        .where(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

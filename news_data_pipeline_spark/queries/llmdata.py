@@ -410,8 +410,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT v.vec_id, v.e, cent.cid,
                    row_number() OVER (
                        PARTITION BY v.vec_id
-                       ORDER BY round(list_dot_product(v.e, v.e)
-                                      - 2 * list_dot_product(v.e, cent.c)
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
                                       + list_dot_product(cent.c, cent.c), 6),
                                 cid) AS r
             FROM v CROSS JOIN cent) t
@@ -421,8 +420,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT v.vec_id, v.e, cent.cid,
                    row_number() OVER (
                        PARTITION BY v.vec_id
-                       ORDER BY round(list_dot_product(v.e, v.e)
-                                      - 2 * list_dot_product(v.e, cent.c)
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
                                       + list_dot_product(cent.c, cent.c), 6),
                                 cid) AS r
             FROM v CROSS JOIN cent
@@ -472,7 +470,8 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 AS (SELECT m.id, min(b.bl) AS label FROM member m JOIN b2 b USING (bucket) GROUP BY m.id),
     b3 AS (SELECT m.bucket, min(l.label) AS bl FROM member m JOIN l2 l USING (id) GROUP BY m.bucket),
     l3 AS (SELECT m.id, min(b.bl) AS label FROM member m JOIN b3 b USING (bucket) GROUP BY m.id)
-    SELECT id, label AS rep FROM l3
+    SELECT d.doc_id AS id, coalesce(l.label, d.doc_id) AS rep
+    FROM documents d LEFT JOIN l3 l ON l.id = d.doc_id
 """,
 )
 def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,3 +135,26 @@ def test_lsh_dedup_transitive_chain(spark):
     if got[3] != 3:
         assert got[3] == got[1] == 1
     assert got[2] == 1
+
+
+def test_representatives_cover_blank_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "real text with several words here"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, body string",
+    )
+    reps = dedup.lsh_dedup_representatives(df, "doc_id", "body")
+    got = {r["id"]: r["rep"] for r in reps.collect()}
+    # shingle-less docs keep themselves as representative, never vanish
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2] == 2 and got[3] == 3 and got[4] == 4
+
+
+def test_hamming_distance_accepts_columns_and_names(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
+    by_name = df.select(dedup.hamming_distance("a", "b").alias("d")).first()["d"]
+    by_col = df.select(
+        dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"]
+    assert by_name == by_col == 2

@@ -194,3 +194,30 @@ def test_ivf_topk_structure_and_recall(spark):
     for r in approx.collect():
         per_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_zero_norm_vectors_dont_crash(spark):
+    # ANSI mode would raise DIVIDE_BY_ZERO without the nullif guard;
+    # zero vectors score null and drop out instead.
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.cosine_topk(vecs, vecs.where("vec_id = 1"), k=5)
+    assert {r["neighbor_id"] for r in out.collect()} == {2}
+    q0 = similarity.cosine_topk(vecs, vecs.where("vec_id = 3"), k=5)
+    assert q0.count() == 0  # zero-norm query matches nothing, no crash
+
+
+def test_asof_ignores_null_right_timestamps(spark):
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 0, 30)
+    left = spark.createDataFrame([("A", t, 1)], "k string, ts timestamp, n long")
+    right = spark.createDataFrame(
+        [("A", None, 999)], "k string, rts timestamp, payload long"
+    )
+    out = joins.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["payload"]
+    ).first()
+    assert out["payload"] is None  # null-ts right row is not a match

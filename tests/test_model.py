@@ -132,3 +132,32 @@ def test_build_fact_null_keys_resolve_to_unknown(spark):
     assert rows["t2"]["source"] == "UNKNOWN"
     assert rows["t2"]["source_id"] is not None
     assert fact.where("source_id IS NULL").count() == 0
+
+
+def test_build_dim_extra_cols_one_row_per_key(spark):
+    df = spark.createDataFrame(
+        [("reuters", "UK"), ("reuters", "US"), ("bbc", "UK")],
+        ["source", "country"],
+    )
+    dim = build_dim(df, "source", extra_cols=["country"])
+    assert dim.count() == 2  # one row per natural key, not per variant
+    row = {r["source"]: r["country"] for r in dim.collect()}
+    assert row["reuters"] == "UK"  # deterministic: first by extra cols
+    # the fan-out hazard: a fact join must not duplicate rows
+    facts = df.selectExpr("source", "country AS fact_country")
+    fact = build_fact(facts, {"source": dim}, fact_id_cols=["source", "fact_country"])
+    assert fact.count() == 3
+
+
+def test_fill_unknown_rejects_non_string_keys(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "x")], ["num_key", "v"])
+    with _pytest.raises(TypeError, match="string natural key"):
+        build_dim(df, "num_key")
+    with _pytest.raises(TypeError, match="string natural keys"):
+        build_fact(df, {"num_key": spark.createDataFrame([(1, "k")], ["num_key", "id"])},
+                   fact_id_cols=["v"])
+    # explicit opt-out works for typed keys
+    dim = build_dim(df, "num_key", fill_unknown=None)
+    assert dim.count() == 1
