@@ -87,6 +87,23 @@ def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = False) -> DQResult
     ``cache=True`` persists the annotated frame — worth it when both
     sides of the split AND the report will be consumed.
     """
+    # reserved-name guards: a 'reasons' input column would duplicate in
+    # the quarantine frame, a flag-prefixed column would be silently
+    # stripped from both split sides, and two rules sharing a rule_name
+    # would overwrite each other's report entry (masking failures)
+    if "reasons" in df.columns:
+        raise ValueError("run_dq input must not contain a 'reasons' column")
+    clashing = [c for c in df.columns if c.startswith(_FLAG_PREFIX)]
+    if clashing:
+        raise ValueError(f"run_dq input columns collide with flag prefix: {clashing}")
+    names = [r.rule_name() for r in rules]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate rule names would overwrite each other's report "
+            f"entries: {sorted(dupes)}"
+        )
+
     schema_report: dict[str, dict] = {}
     flag_cols: list[str] = []
     annotated = df

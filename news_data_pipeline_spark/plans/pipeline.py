@@ -45,13 +45,17 @@ class Pipeline:
         """Decorator: register the next stage in order."""
 
         def deco(fn: Callable[[DataFrame], DataFrame]):
-            self.stages.append(Stage(name=name, fn=fn, description=description))
+            self.add(name, fn, description)
             return fn
 
         return deco
 
     def add(self, name: str, fn: Callable[[DataFrame], DataFrame],
             description: str = "") -> "Pipeline":
+        if any(s.name == name for s in self.stages):
+            # run_with_trace keys by name — a duplicate would silently
+            # shadow the earlier stage's traced output
+            raise ValueError(f"duplicate stage name: {name}")
         self.stages.append(Stage(name=name, fn=fn, description=description))
         return self
 

@@ -219,7 +219,8 @@ def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_replace('<b>' || text || '</b>', '<[^>]*>', '', 'g') AS clean_text,
            regexp_extract('https://www.' || source || '.example.com/a/' || doc_id,
                           'https?://(?:www\\.)?([^/]+)', 1)            AS domain,
-           len(regexp_split_to_array(trim(text), '\\s+'))              AS n_words,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
            length(text)                                                AS n_chars_computed,
            upper(lang)                                                 AS lang_upper,
            substr(text, 1, 12)                                         AS prefix

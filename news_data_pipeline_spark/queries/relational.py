@@ -645,13 +645,16 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond cube/rollup): independent
     single-dimension totals plus the grand total in ONE pass — partial
     aggregation covers every set map-side, same as rollup."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders
-        FROM __orders_gs
-        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
-        """
+    # native groupingSets API — a temp view would mutate shared session
+    # state (concurrent invocations with different sf_dir would race)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
 
 
