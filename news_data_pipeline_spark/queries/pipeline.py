@@ -276,3 +276,31 @@ def document_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         polarity.alias("sentiment_score"),
         T.sentiment_label(polarity).alias("sentiment_label"),
     )
+
+
+@register(
+    "top_sources_per_lang",
+    oracle="""
+    SELECT lang, source, n_articles, rnk FROM (
+        SELECT lang, source, count(*) AS n_articles,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, source) AS rnk
+        FROM documents GROUP BY lang, source) t
+    WHERE rnk <= 3
+    """,
+)
+def top_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: the reporting shape the reference's global
+    orderBy can't express — aggregate then rank WITHIN each group, so
+    the sort is per-partition, never a global exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_articles")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_articles"), F.asc("source"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
