@@ -269,3 +269,38 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in drain_to_memory(spark, joined, "t_ssjoin", "append").collect()
     }
     assert got == {(1, 91), (2, 93)}
+
+
+def test_watermark_drops_data_later_than_threshold(spark, tmp_path):
+    """An event arriving AFTER the watermark passed its window must not
+    resurrect the finalized window — the bounded-state contract."""
+    landing4 = str(tmp_path / "landing")
+    out = f"{tmp_path}/wm/data"
+
+    def run():
+        stream = stx.read_event_stream(spark, landing4)
+        agg = stx.tumbling_window_counts(
+            stream, window="30 minutes", watermark="10 minutes"
+        )
+        stx.run_available_now(agg, checkpoint=f"{tmp_path}/wm/ckpt", out_path=out)
+
+    # run 1: event at 3:00 advances the watermark (10-minute delay) to
+    # 2:50 and finalizes the [0:00, 0:30) window with ONE event
+    b1 = [(1, datetime.datetime(2024, 1, 1, 3, 0), 10, "view", 1.0, None),
+          (2, datetime.datetime(2024, 1, 1, 0, 5), 10, "view", 1.0, None)]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing4)
+    run()
+    # run 2 (same checkpoint — the watermark PERSISTS across restarts):
+    # a very late event for the long-finalized window must be dropped
+    b2 = [(3, datetime.datetime(2024, 1, 1, 0, 10), 10, "view", 100.0, None)]
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing4)
+    run()
+
+    rows = {r["window_start"].strftime("%H:%M"): (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(out).collect()}
+    # finalized with one event; the late 100.0 never resurrects the window
+    assert rows.get("00:00") == (1, 1.0)
