@@ -235,3 +235,34 @@ def test_matches_full_match_anchors(spark):
     assert loose.quarantined.count() == 0  # substring semantics: both pass
     strict = run_dq(df, [Matches("d", shape, full_match=True)])
     assert [r["id"] for r in strict.quarantined.collect()] == [2]
+
+
+def test_quarantine_remediation_loop(spark, tmp_path):
+    """The full audit cycle: quarantine -> persist -> restore -> fix ->
+    replay through the same rules -> everything passes."""
+    from news_data_pipeline_spark.dq import from_quarantine_records
+    from news_data_pipeline_spark.sources.writers import quarantine_writer
+
+    df = articles(spark)
+    rules = [NotNull("title")]
+    res = run_dq(df, rules)
+    qpath = str(tmp_path / "quarantine")
+    quarantine_writer(qpath)(
+        to_quarantine_records(
+            res.quarantined, source_table="articles",
+            ingestion_time="2026-01-01 00:00:00",
+        )
+    )
+    # later: read the audit trail back, repair, replay
+    restored = from_quarantine_records(spark.read.parquet(qpath), df.schema)
+    # repair both null AND empty titles — NotNull treats "" as null
+    repaired = restored.select(*df.columns).withColumn(
+        "title",
+        F.when(
+            F.col("title").isNull() | (F.col("title") == ""), F.lit("RECOVERED")
+        ).otherwise(F.col("title")),
+    )
+    replay = run_dq(repaired, rules)
+    assert replay.passed
+    assert replay.valid.count() == 2  # u2 + u3 both flow after repair
+    assert replay.quarantined.count() == 0
