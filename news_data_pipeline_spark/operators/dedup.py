@@ -234,21 +234,36 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """SimHash fingerprint per document (xxhash64 token hashes).
+    """SimHash fingerprint per document (md5-derived token hashes).
 
     Each token votes +1/-1 per bit position by its hash bit; the sign
-    vector packs into a single BIGINT. Pure Spark expressions (xxhash64
-    has no ANSI-SQL twin, so the oracle check for this operator is
-    rows-only). Near-dup = small hamming distance between fingerprints.
+    vector packs into a single BIGINT. The 64-bit token hash is the two
+    32-bit halves of ``md5(tok)`` (same scheme ``minhash_signatures``
+    uses): md5 + substring + base-16 conversion all exist in ANSI SQL,
+    so the oracle reproduces every bit exactly — unlike xxhash64, which
+    has no SQL twin and would leave this operator rows-only verified.
+    One md5 per token; bit extraction is codegen'd shift/mask arithmetic.
+    Near-dup = small hamming distance between fingerprints.
     """
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).where(F.length("tok") > 0)
-    hashed = tokens.select("id", F.xxhash64("tok").alias("h"))
+    digest = F.md5("tok")
+    hashed = tokens.select(
+        "id",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(digest, 9, 8), 16, 10).cast("long").alias("h_hi"),
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("h_lo") if b < 32 else F.col("h_hi"), b % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"bit_{b}")
         for b in range(bits)
     ]

@@ -188,7 +188,39 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
 
 
-@register("simhash_fingerprints")  # rows-only: xxhash64 has no ANSI-SQL twin
+# DuckDB twin of operators.dedup.simhash: the 64-bit token hash is the
+# two 32-bit halves of md5(tok); bit 63's weight is the BIGINT MIN literal
+# because DuckDB raises on 1::BIGINT << 63 (Spark's shiftleft wraps to the
+# same two's-complement value).
+_DUCK_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN (h_{'lo' if b < 32 else 'hi'} >> {b % 32}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS bit_{b}"
+    for b in range(64)
+)
+_DUCK_SIMHASH_PACK = " + ".join(
+    f"CASE WHEN bit_{b} > 0 THEN "
+    + (f"(1::BIGINT << {b})" if b < 63 else "(-9223372036854775808)::BIGINT")
+    + " ELSE 0::BIGINT END"
+    for b in range(64)
+)
+
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+    h AS (
+        SELECT id,
+               CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) AS h_lo,
+               CAST(concat('0x', substring(md5(tok), 9, 8)) AS BIGINT) AS h_hi
+        FROM toks WHERE length(tok) > 0),
+    v AS (SELECT id, {_DUCK_SIMHASH_VOTES} FROM h GROUP BY id)
+    SELECT id, {_DUCK_SIMHASH_PACK} AS simhash FROM v
+    """,
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text")

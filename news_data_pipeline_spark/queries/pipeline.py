@@ -196,18 +196,50 @@ def dq_quarantined_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("reasons")
 
 
-@register("dq_quarantine_records")  # rows-only: JSON payload formatting is engine-specific
+@register(
+    "dq_quarantine_records",
+    oracle=f"""
+    WITH base AS ({_DIRTY_SQL}),
+    dups AS (SELECT doc_id FROM base GROUP BY doc_id HAVING count(*) > 1)
+    SELECT doc_id, text, lang, source, n_chars,
+           concat_ws('; ',
+               CASE WHEN text IS NULL OR text = '' THEN 'not_null(text)' END,
+               CASE WHEN doc_id IN (SELECT doc_id FROM dups)
+                    THEN 'unique(doc_id)' END) AS reason,
+           'documents'           AS source_table,
+           '2026-01-01 00:00:00' AS ingestion_time
+    FROM base
+    WHERE (text IS NULL OR text = '')
+       OR doc_id IN (SELECT doc_id FROM dups)
+    """,
+)
 def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit-sink shaping: payload JSON + reason + lineage
-    (reference ``02:44-48``)."""
-    from news_data_pipeline_spark.dq import to_quarantine_records
+    (reference ``02:44-48``), verified canonically.
+
+    Raw JSON strings aren't engine-comparable (Spark's ``to_json``
+    omits null fields; key order follows the struct), so the registered
+    query round-trips: build the payload with ``to_quarantine_records``,
+    then parse it back to typed columns with ``from_quarantine_records``.
+    The oracle is a plain projection of the same quarantined rows — any
+    payload corruption (lost field, wrong value, bad escaping) breaks
+    the parsed columns and fails the hash match.
+    """
+    from news_data_pipeline_spark.dq import (
+        from_quarantine_records,
+        to_quarantine_records,
+    )
 
     dirty = _dirty_documents(spark, sf_dir)
     result = run_dq(dirty, [NotNull("text"), Unique("doc_id")], cache=False)
-    return to_quarantine_records(
+    records = to_quarantine_records(
         result.quarantined,
         source_table="documents",
         ingestion_time="2026-01-01 00:00:00",
+    )
+    parsed = from_quarantine_records(records, dirty.schema)
+    return parsed.withColumn(
+        "ingestion_time", F.date_format("ingestion_time", "yyyy-MM-dd HH:mm:ss")
     )
 
 
