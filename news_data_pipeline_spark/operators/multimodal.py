@@ -50,14 +50,25 @@ _MAGICS = {
 
 # --- fake payload builders (test/fixture side, pure Python) ------------------
 def fake_image_bytes(seed: str, width: int, height: int) -> bytes:
-    """Deterministic gray image: pixels from iterated md5 of ``seed``."""
+    """Deterministic gray image: pixels from an iterated-md5 hex chain.
+
+    The chain iterates over hex STRINGS (``md5(seed)``, ``md5(md5(seed))``,
+    ...) rather than raw digests, and pixels are the hex pairs decoded to
+    bytes — so any ANSI-SQL engine whose ``md5`` takes VARCHAR (DuckDB's
+    does; BLOB overloads don't exist) can regenerate the exact pixels and
+    oracle-check decode results end-to-end.
+    """
     need = width * height
-    out = bytearray()
-    block = seed.encode()
-    while len(out) < need:
-        block = hashlib.md5(block).digest()
-        out.extend(block)
-    return IMG_MAGIC + struct.pack("<II", width, height) + bytes(out[:need])
+    chain = ""
+    block = seed
+    while len(chain) < 2 * need:
+        block = hashlib.md5(block.encode()).hexdigest()
+        chain += block
+    return (
+        IMG_MAGIC
+        + struct.pack("<II", width, height)
+        + bytes.fromhex(chain[: 2 * need])
+    )
 
 
 def fake_audio_bytes(seed: str, sample_rate: int, n_samples: int) -> bytes:
@@ -149,17 +160,26 @@ def decode_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 w, h, px = _decode_image_bytes(bytes(b))
+                mean = sum(px) / max(len(px), 1)
                 rows.append(
                     (
                         i,
                         w,
                         h,
-                        round(sum(px) / max(len(px), 1), 4),
-                        hashlib.md5(px).hexdigest(),
+                        # explicit half-up at 4dp: Python's round() is
+                        # banker's, SQL engines' is half-away — means like
+                        # s/32 land exactly on ties, so pin one rule both
+                        # sides can express (floor(x*1e4 + 0.5)/1e4)
+                        math.floor(mean * 10000.0 + 0.5) / 10000.0,
+                        # hash the HEX encoding: VARCHAR-only SQL md5s can
+                        # reproduce it; raw-byte digests they cannot
+                        hashlib.md5(px.hex().encode()).hexdigest(),
                     )
                 )
             yield pd.DataFrame(

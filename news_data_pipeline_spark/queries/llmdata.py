@@ -318,7 +318,41 @@ def binary_column_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_features")  # rows-only: mapInPandas decode has no SQL twin
+@register(
+    "multimodal_image_features",
+    # Full pixel-path oracle: the fake container's pixels are an
+    # iterated-md5 HEX chain (operators.multimodal.fake_image_bytes), so
+    # DuckDB regenerates them from the same documents rows — dims, mean
+    # intensity (pinned half-up rounding), and the hex-encoded pixel hash
+    # all recompute exactly. The payload bytes never leave Spark; the
+    # oracle is an independent recomputation from the shared inputs.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               4 + doc_id % 8 AS width,
+               4 + doc_id % 4 AS height
+        FROM documents),
+    c AS (SELECT doc_id, width, height, md5(t) AS h1 FROM p),
+    c2 AS (SELECT *, md5(h1) AS h2 FROM c),
+    c3 AS (SELECT *, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT *, md5(h3) AS h4 FROM c3),
+    c5 AS (SELECT *, md5(h4) AS h5 FROM c4),
+    px AS (
+        SELECT doc_id, width, height,
+               substring(h1 || h2 || h3 || h4 || h5, 1, 2 * width * height) AS hx
+        FROM c5),
+    vals AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(hx, 2 * i - 1, 2)) AS INT) AS v
+        FROM px, LATERAL unnest(range(1, width * height + 1)) AS u(i)),
+    sums AS (SELECT doc_id, sum(v) AS sumpx FROM vals GROUP BY doc_id)
+    SELECT p2.doc_id, p2.width, p2.height,
+           floor(sumpx / (p2.width * p2.height)::DOUBLE * 10000 + 0.5) / 10000
+               AS mean_pixel,
+           md5(hx) AS pixel_hash
+    FROM px p2 JOIN sums USING (doc_id)
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode fan-out over synthesized image payloads: documents.text
     seeds a deterministic fake image per doc (dims from doc_id), decoded
@@ -348,7 +382,21 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_stats")  # rows-only: frame explode has no SQL twin
+@register(
+    "multimodal_frame_stats",
+    # Independent recomputation of the container arithmetic: n_frames is
+    # 4 + doc_id % 4, sampling keeps every 2nd frame (ceil(n/2)), and
+    # each sampled frame re-wraps as a 20-byte FIMG payload (4 magic +
+    # 8 dims + 4*2 pixels) — a wrong header parse or off-by-one in
+    # sample_frames breaks the count or the byte sum.
+    oracle="""
+    WITH top100 AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 100)
+    SELECT doc_id,
+           (4 + doc_id % 4 + 1) // 2        AS n_sampled_frames,
+           ((4 + doc_id % 4 + 1) // 2) * 20 AS sampled_bytes
+    FROM top100
+    """,
+)
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample fan-out: synthesized per-doc fake videos exploded to
     every-2nd frame, then aggregated — the bounded row-expansion shape a
