@@ -129,14 +129,17 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    # Persist the banded table: the self-join consumes it twice (the
-    # broadcast side and the probe side), and without materialization
-    # each side would recompute the full shingle+signature pipeline.
-    # Size is n_docs * bands rows of (id, 32-char bucket) — tiny relative
-    # to the corpus even at billions of documents, and spills if not.
+    # No persist: both self-join sides are the IDENTICAL subplan, so AQE
+    # materializes the signature groupBy's shuffle once and both sides
+    # read the same shuffle stage (verified: post-execution plan shows
+    # one ShuffleQueryStage id referenced twice; tests/test_dedup.py
+    # asserts it). Shuffle files live on executor-local disk — the right
+    # medium at 100 TB — and need no cache lifecycle, unlike persist(),
+    # which parks n_docs*bands rows in storage memory until someone
+    # remembers to unpersist.
     banded = signatures.select(
         "id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
-    ).persist()
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -168,6 +171,26 @@ def minhash_lsh_dedup_pairs(
     return lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
 
 
+def shared_shingles(
+    sh: DataFrame, *, max_df: int | None = None
+) -> DataFrame:
+    """Posting-list prune for the Jaccard self-join: keep shingles whose
+    document frequency is in ``[2, max_df]``.
+
+    df == 1 shingles can't produce a pair (free exact prune). df >
+    ``max_df`` shingles are boilerplate — navigation chrome, license
+    headers — whose posting lists cost df^2 join rows while carrying
+    ~zero Jaccard signal; ONE shingle shared by 10^6 docs is a 10^12-row
+    join. Capping them bounds the per-shingle join cost at max_df^2,
+    making total cost linear in corpus size for fixed max_df.
+    """
+    counted = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    keep = F.col("__df") > 1
+    if max_df is not None:
+        keep = keep & (F.col("__df") <= max_df)
+    return counted.where(keep).select("shingle")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -175,31 +198,28 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard similarity >= threshold.
 
-    Exact (not approximate): inverted-index self-join on shared shingles,
-    so cost is sum over shingles of df^2 within a posting list — use the
-    MinHash/LSH path first at scale and this as the verifier on
-    candidates. Jaccard is rounded to 4dp before thresholding so the
-    oracle's float math agrees.
+    With ``max_df=None`` this is exact: inverted-index self-join on
+    shared shingles, cost = sum over shingles of df^2 within a posting
+    list. At scale, ALWAYS set ``max_df``: shingles in more than
+    ``max_df`` documents are excluded from pair generation (not from the
+    per-doc sizes), bounding each posting list's join cost at max_df^2 —
+    see ``shared_shingles``. Pairs whose overlap is only boilerplate
+    score lower or disappear; use the MinHash/LSH path for recall and
+    this as the candidate verifier. Jaccard is rounded to 4dp before
+    thresholding so the oracle's float math agrees.
     """
-    # Multiple plan branches (self-join sides + two size joins) read the
-    # shingle table — persist it once instead of recomputing the
-    # split/explode/distinct pipeline per branch.
-    sh = word_shingles(df, id_col, text_col, n=n).persist()
+    # The self-join sides and the size joins all read the same shingle
+    # subplan; AQE materializes its shuffle once and reuses the stage —
+    # no persist needed (see lsh_candidate_pairs).
+    sh = word_shingles(df, id_col, text_col, n=n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # Shingles appearing in ONE document can't produce a pair — prune
-    # them before the quadratic self-join. Sizes above already counted
-    # them, so results are unchanged; on natural corpora most shingles
-    # are unique, so the posting-list join shrinks by that fraction.
-    shared = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .where(F.col("__df") > 1)
-        .select("shingle")
+    sh_shared = sh.join(
+        shared_shingles(sh, max_df=max_df), on="shingle", how="left_semi"
     )
-    sh_shared = sh.join(shared, on="shingle", how="left_semi")
     a = sh_shared.alias("a")
     b = sh_shared.alias("b")
     common = (
@@ -422,13 +442,15 @@ def lsh_dedup_representatives(
         ).alias(f"b_{b}")
         for b in range(bands)
     ]
-    # (id, bucket) membership — n_docs * bands rows, persisted once;
-    # every iteration re-reads it.
+    # (id, bucket) membership — n_docs * bands rows. NOT persisted: every
+    # iteration references the identical subplan, so AQE computes the
+    # signature shuffle once and every branch reads that shuffle stage
+    # (tests assert no persisted RDDs remain after the action — the
+    # round-1 persist here leaked storage memory in long-lived sessions).
     member = (
         sigs.select("id", F.posexplode(F.array(*[c for c in bucket_cols])).alias("band", "bucket"))
         .withColumn("bucket", F.concat_ws("#", F.col("band").cast("string"), "bucket"))
         .select("id", "bucket")
-        .persist()
     )
     labels = member.select("id").distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
@@ -442,12 +464,6 @@ def lsh_dedup_representatives(
             .groupBy("id")
             .agg(F.min("bucket_label").alias("label"))
         )
-    # NOTE: member stays persisted — unpersisting here, before the
-    # caller runs an action, would remove the cache marker and force all
-    # 2*max_iter plan branches to recompute the signature pipeline. The
-    # cache is n_docs*bands small rows; callers that sweep many queries
-    # (bench, the driver) clear the session cache between queries.
-    #
     # Documents with no shingles (empty/whitespace/null text) never
     # enter the bucket graph — join back so EVERY input document gets a
     # representative (itself) instead of silently vanishing.

@@ -167,13 +167,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_pairs",
+    # kept mirrors operators.dedup.shared_shingles' [2, max_df=100] band:
+    # the hot-shingle cap is part of the declared semantics, so the
+    # oracle reproduces it exactly (pair counts only over kept shingles;
+    # per-doc sizes over ALL shingles).
     oracle=f"""
     WITH shingles AS ({_DUCK_SHINGLES}),
     sizes AS (SELECT id, count(*) AS n_sh FROM shingles GROUP BY id),
+    kept AS (SELECT shingle FROM shingles
+             GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100),
     common AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
         FROM shingles a JOIN shingles b
           ON a.shingle = b.shingle AND a.id < b.id
+        WHERE a.shingle IN (SELECT shingle FROM kept)
         GROUP BY a.id, b.id)
     SELECT id_a, id_b,
            round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) AS jaccard
@@ -185,7 +192,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_df=100
+    )
 
 
 # DuckDB twin of operators.dedup.simhash: the 64-bit token hash is the

@@ -158,3 +158,81 @@ def test_hamming_distance_accepts_columns_and_names(spark):
         dedup.hamming_distance(F.col("a"), F.col("b")).alias("d")
     ).first()["d"]
     assert by_name == by_col == 2
+
+
+def test_ngram_max_df_drops_hot_shingles_keeps_real_pairs(spark):
+    # Every doc shares one boilerplate phrase ("subscribe to our newsletter"
+    # chrome); only docs 1 and 2 genuinely overlap. With max_df, the hot
+    # shingle is excluded from pair generation, so boilerplate-only pairs
+    # vanish while the real near-dup pair survives.
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"unique{i} filler{i} words{i} body{i} {boiler}") for i in range(3, 30)]
+    rows += [
+        (1, f"the quick brown fox jumps over the lazy dog {boiler}"),
+        (2, f"the quick brown fox jumps over the lazy cat {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "body", n=3, threshold=0.05, max_df=5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (1, 2) in got
+    # boilerplate-only overlaps are gone: no pair involves doc >= 3
+    assert all(a < 3 and b < 3 for a, b in got)
+
+
+def test_shared_shingles_cap_bounds_posting_lists(spark):
+    # The prune itself: a shingle in every doc is dropped, a df=2 shingle
+    # kept, a df=1 shingle dropped — the posting join input stays linear
+    # even when one shingle saturates the corpus.
+    boiler = "x y z"
+    rows = [(i, f"a{i} b{i} {boiler}") for i in range(20)]
+    rows += [(100, "shared pair text one"), (101, "shared pair text two")]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    sh = dedup.word_shingles(df, "doc_id", "body", n=3)
+    kept = {r["shingle"] for r in dedup.shared_shingles(sh, max_df=5).collect()}
+    assert "x y z" not in kept            # hot shingle capped out
+    assert "shared pair text" in kept     # honest df=2 shingle kept
+    # posting-list join input is bounded: every kept shingle has df <= 5
+    df_counts = (
+        sh.join(
+            dedup.shared_shingles(sh, max_df=5), on="shingle", how="left_semi"
+        )
+        .groupBy("shingle")
+        .count()
+        .collect()
+    )
+    assert df_counts and all(r["count"] <= 5 for r in df_counts)
+
+
+def test_dedup_operators_leave_no_persisted_rdds(spark):
+    # Round-1 leak regression: these operators used .persist() with a
+    # caller-must-clearCache contract. They now rely on AQE shuffle-stage
+    # reuse, so after the action completes nothing may remain cached.
+    d = docs(spark)
+    dedup.minhash_lsh_dedup_pairs(d, "doc_id", "body").count()
+    dedup.ngram_jaccard_pairs(d, "doc_id", "body", threshold=0.1).count()
+    dedup.lsh_dedup_representatives(d, "doc_id", "body").count()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
+def test_lsh_self_join_reuses_shuffle_stage(spark):
+    # The reason no persist is needed: both self-join sides are the same
+    # subplan, so the executed adaptive plan references ONE shuffle query
+    # stage from multiple branches instead of recomputing the signature
+    # pipeline per side. Needs a parquet-backed input — local relations
+    # collapse below AQE's stage machinery.
+    import re
+
+    from tests.conftest import SF_DIR
+    from news_data_pipeline_spark.sources.catalog import load_table
+
+    documents = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(documents, "doc_id", "text")
+    # collect(), not count(): count() builds its own plan, leaving this
+    # frame's adaptive plan unfinalized (isFinalPlan=false, no stages)
+    pairs.collect()
+    final = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    ids = re.findall(r"(?:ShuffleQueryStage|BroadcastQueryStage) (\d+)", final)
+    assert "ReusedExchange" in final or len(ids) > len(set(ids))
