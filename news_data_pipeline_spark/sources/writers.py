@@ -70,6 +70,167 @@ def write_layer_and_register(
         spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
 
 
+def read_layer(
+    spark: SparkSession, path: str, *, fmt: str = "parquet", require_success: bool = True
+) -> DataFrame:
+    """Read a layer, refusing partially-written output.
+
+    Spark's ``overwrite`` is delete-then-write: a writer dying mid-job
+    leaves a directory with some files and no ``_SUCCESS`` marker, which
+    a plain ``spark.read`` happily returns as truncated data. Gating on
+    the marker turns silent partial reads into loud errors. (Delta gets
+    this from its transaction log — ``_lib_dq_helpers.py:39-47``; this
+    is the parquet-layer equivalent.)
+    """
+    if require_success:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_SUCCESS")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            raise IOError(
+                f"layer at {path} has no _SUCCESS marker — refusing to read "
+                "a possibly partial write (pass require_success=False to force)"
+            )
+    return spark.read.format(fmt).load(path)
+
+
+class VersionedLayer:
+    """Atomic-overwrite layer: commit-by-pointer, never delete-then-write.
+
+    Plain ``mode("overwrite")`` deletes the live directory before the new
+    job writes — any reader (or writer crash) in that window sees a
+    missing or partial layer. Delta closes the window with a transaction
+    log (``_lib_dq_helpers.py:39-47``); without Delta in this container,
+    the same guarantee comes from the classic pointer-swap commit:
+
+    * every overwrite writes a FRESH immutable directory ``v_<uuid>``
+      under the layer root (full job + ``_SUCCESS``), touching nothing
+      readers might hold;
+    * the commit is a single atomic rename of a tiny ``_CURRENT`` file
+      naming the new version (``FileContext.rename(OVERWRITE)`` — atomic
+      on POSIX and HDFS);
+    * readers resolve ``_CURRENT`` then load that version dir. A crash
+      before the commit leaves the pointer — and every reader — on the
+      previous complete version; there is no delete-before-write window
+      at any point.
+
+    ``vacuum(keep=n)`` prunes old version dirs, never the current one.
+    Object-store caveat: rename-as-commit assumes atomic rename; on
+    S3-class stores use a real table format instead.
+    """
+
+    POINTER = "_CURRENT"
+
+    def __init__(self, path: str, *, fmt: str = "parquet") -> None:
+        self.path = path.rstrip("/")
+        self.fmt = fmt
+
+    # -- internals --------------------------------------------------------
+    def _fs(self, spark: SparkSession):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(self.path)
+        return jvm, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _commit(self, spark: SparkSession, version: str) -> None:
+        jvm, fs = self._fs(spark)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            f"{self.path}/{self.POINTER}.tmp.{version}"
+        )
+        out = fs.create(tmp, True)
+        out.write(bytearray(version, "utf-8"))
+        out.close()
+        # FileContext.rename(OVERWRITE): the one rename primitive that
+        # atomically replaces an existing destination on both local FS
+        # and HDFS (FileSystem.rename refuses existing destinations).
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            spark._jsc.hadoopConfiguration()
+        )
+        # rename takes Java varargs — py4j must pass an explicit array
+        gateway = spark.sparkContext._gateway
+        opts = gateway.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        dst = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{self.POINTER}")
+        fc.rename(tmp, dst, opts)
+
+    def current_version(self, spark: SparkSession) -> str | None:
+        jvm, fs = self._fs(spark)
+        p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{self.POINTER}")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            raw = []
+            b = stream.read()
+            while b != -1:
+                raw.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return bytes(raw).decode("utf-8").strip()
+
+    # -- public API -------------------------------------------------------
+    def overwrite(
+        self,
+        df: DataFrame,
+        *,
+        partition_by: str | Sequence[str] | None = None,
+        _failpoint: str | None = None,
+    ) -> str:
+        """Write a new version and atomically commit the pointer to it.
+
+        ``_failpoint`` is a crash-injection hook for tests: the named
+        point raises BEFORE the commit, proving readers stay on the
+        previous complete version.
+        """
+        import uuid
+
+        spark = df.sparkSession
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        write_layer(
+            df,
+            f"{self.path}/{version}",
+            partition_by=partition_by,
+            mode="error",
+            fmt=self.fmt,
+        )
+        if _failpoint == "after_stage":
+            raise RuntimeError("injected crash: staged but not committed")
+        self._commit(spark, version)
+        return version
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        version = self.current_version(spark)
+        if version is None:
+            raise IOError(f"versioned layer at {self.path} has no committed version")
+        return read_layer(
+            spark, f"{self.path}/{version}", fmt=self.fmt, require_success=True
+        )
+
+    def vacuum(self, spark: SparkSession, *, keep: int = 2) -> list[str]:
+        """Delete all but the ``keep`` most recent UNREFERENCED versions.
+
+        The current version is never a candidate regardless of age, so a
+        vacuum racing an overwrite can at worst leave extra dirs, never
+        remove live data.
+        """
+        jvm, fs = self._fs(spark)
+        current = self.current_version(spark)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        stale = sorted(
+            (
+                (f.getModificationTime(), f.getPath().getName())
+                for f in fs.listStatus(root)
+                if f.isDirectory()
+                and f.getPath().getName().startswith("v_")
+                and f.getPath().getName() != current
+            ),
+        )
+        doomed = [name for _, name in stale[: max(len(stale) - keep, 0)]]
+        for name in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}"), True)
+        return doomed
+
+
 def quarantine_writer(path: str, fmt: str = "parquet"):
     """Append-only audit sink for DQ-failed rows.
 

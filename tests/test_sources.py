@@ -137,3 +137,82 @@ def test_schema_evolution_read(spark, tmp_path):
     assert set(merged.columns) == {"id", "title", "lang"}
     rows = {r["id"]: r["lang"] for r in merged.collect()}
     assert rows == {1: None, 2: "en"}  # old rows: null for the new column
+
+
+def test_read_layer_refuses_missing_success_marker(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import read_layer, write_layer
+
+    path = str(tmp_path / "layer")
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_layer(df, path, mode="overwrite")
+    assert read_layer(spark, path).count() == 10
+    # simulate a writer that died mid-job: files present, no _SUCCESS
+    (tmp_path / "layer" / "_SUCCESS").unlink()
+    import pytest
+
+    with pytest.raises(IOError, match="_SUCCESS"):
+        read_layer(spark, path)
+    assert read_layer(spark, path, require_success=False).count() == 10
+
+
+def test_versioned_layer_overwrite_and_read(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    layer.overwrite(spark.range(5).withColumnRenamed("id", "k"))
+    assert {r["k"] for r in layer.read(spark).collect()} == set(range(5))
+    layer.overwrite(spark.range(100, 103).withColumnRenamed("id", "k"))
+    assert {r["k"] for r in layer.read(spark).collect()} == {100, 101, 102}
+
+
+def test_versioned_layer_crash_before_commit_keeps_previous(spark, tmp_path):
+    # Injected crash AFTER the new version's files are fully staged but
+    # BEFORE the pointer commit: readers must still get the previous
+    # complete version — the delete-before-write window of plain
+    # overwrite does not exist here.
+    import pytest
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    v1 = layer.overwrite(spark.range(5).withColumnRenamed("id", "k"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        layer.overwrite(
+            spark.range(999).withColumnRenamed("id", "k"),
+            _failpoint="after_stage",
+        )
+    assert layer.current_version(spark) == v1
+    assert layer.read(spark).count() == 5
+
+
+def test_versioned_layer_crash_mid_job_keeps_previous(spark, tmp_path):
+    # A writer dying DURING the staging job (task exception) also leaves
+    # readers on the previous version: the staged dir never existed as
+    # far as the pointer is concerned.
+    import pyspark.sql.functions as F
+    import pytest
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    layer.overwrite(spark.range(5).withColumnRenamed("id", "k"))
+    poisoned = spark.range(10).select(
+        F.expr("assert_true(id < 5)").alias("boom"), "id"
+    )
+    with pytest.raises(Exception):
+        layer.overwrite(poisoned)
+    assert layer.read(spark).count() == 5
+
+
+def test_versioned_layer_vacuum_never_touches_current(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    for n in (3, 4, 5, 6):
+        layer.overwrite(spark.range(n).withColumnRenamed("id", "k"))
+    current = layer.current_version(spark)
+    doomed = layer.vacuum(spark, keep=1)
+    assert current not in doomed
+    assert layer.read(spark).count() == 6
+    remaining = {p.name for p in (tmp_path / "gold").iterdir() if p.name.startswith("v_")}
+    assert current in remaining and len(remaining) == 2
