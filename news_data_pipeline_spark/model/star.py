@@ -162,9 +162,29 @@ def scd2_apply(
     insert directly; unchanged rows pass through untouched.
 
     One equi-join on the key (broadcastable when changes are a trickle)
-    + unions — no window over the full dimension.
+    + unions — no window over the full dimension. ``changes`` must hold
+    ONE row per key: the full-outer join would fan duplicates out into
+    multiple closed rows and multiple ``is_current`` versions, silently
+    corrupting the dimension — so duplicates raise (one small aggregate
+    job over the changes side; matching ``run_dq``'s degenerate-input
+    guards). Pre-deduplicate upstream if several updates per key can
+    arrive in one batch.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    dup = (
+        changes.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "scd2_apply: changes frame has multiple rows per key "
+            f"{keys} — deduplicate to the intended final version per key "
+            "before applying (duplicates would fan out the join and "
+            "corrupt the dimension)"
+        )
     ts = F.lit(effective_ts).cast("timestamp_ntz")
 
     # null is_current is malformed input — treat as historical (safe,

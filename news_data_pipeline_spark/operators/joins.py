@@ -104,6 +104,23 @@ def asof_join(
     winner among equal-timestamp right rows is partition-order dependent.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # reserved-name / output-collision guards (mirrors run_dq's reserved-
+    # column checks): internal columns must not shadow inputs, and a
+    # right payload column landing next to a same-named left column
+    # would emit duplicate output names
+    reserved = {"__ts", "__side", "__rpayload"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(reserved)}; "
+            f"inputs use {sorted(clash)} — rename them before joining"
+        )
+    dup_out = [c for c in right_cols if c in left.columns]
+    if dup_out:
+        raise ValueError(
+            f"asof_join: right_cols {dup_out} collide with left columns — "
+            "alias them on the right side before joining"
+        )
     # The right payload travels as ONE struct, null on left-side rows, so
     # the forward-fill carries a whole right ROW atomically. Filling each
     # column independently would stitch values from different right rows

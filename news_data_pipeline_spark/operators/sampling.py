@@ -87,14 +87,17 @@ def deterministic_sample(
     With ``strata``, the threshold applies per stratum independently
     (same expected rate everywhere — stratified sampling without a
     per-stratum shuffle; the hash is salted by the stratum values so
-    strata draw independently).
+    strata draw independently). Salt, stratum values, and key join with
+    the ``\\x1f`` unit separator ``surrogate_key`` uses — a bare concat
+    would collide distinct strata tuples like ``('x','yz')`` and
+    ``('xy','z')`` into one salt, silently correlating their draws.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    salt_col = F.concat(
-        F.lit(salt), *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata]
-    )
-    keyed = F.concat(
-        salt_col, F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>"))
+    keyed = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata],
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
     )
     return df.where(hash_bucket(keyed) < round(fraction * _BUCKETS))

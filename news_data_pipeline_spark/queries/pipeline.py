@@ -243,6 +243,40 @@ def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_source_join",
+    # the salt is invisible in the output: every big-side row matches
+    # exactly its own salt replica, so the result equals the plain join
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, coalesce(source, 'UNKNOWN') AS source, n_chars
+        FROM documents),
+    dim AS (SELECT source, count(*) AS src_docs FROM d GROUP BY source)
+    SELECT d.doc_id, d.source, dim.src_docs
+    FROM d JOIN dim USING (source)
+    """,
+)
+def salted_source_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join through ``operators.joins.salted_join``: the
+    reference's ``fillna("UNKNOWN")`` author bucket (``03:42-44``) is the
+    canonical hot key — every null-source document lands on one join key,
+    one shuffle partition, one straggler task. Salting spreads each hot
+    key over ``salt_buckets`` sub-keys (small side replicated per salt),
+    and the output is provably identical to the unsalted join, which is
+    exactly what the oracle checks."""
+    from news_data_pipeline_spark.operators.joins import salted_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce("source", F.lit("UNKNOWN")).alias("source"),
+        "n_chars",
+    )
+    dim = docs.groupBy("source").agg(F.count(F.lit(1)).alias("src_docs"))
+    return salted_join(docs, dim, on="source", salt_buckets=8).select(
+        "doc_id", "source", "src_docs"
+    )
+
+
 # --- silver-layer text transforms (P/F/D rows) -------------------------------
 @register(
     "documents_enriched",

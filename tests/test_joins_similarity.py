@@ -221,3 +221,23 @@ def test_asof_ignores_null_right_timestamps(spark):
         left, right, on="k", left_ts="ts", right_ts="rts", right_cols=["payload"]
     ).first()
     assert out["payload"] is None  # null-ts right row is not a match
+
+
+def test_asof_join_rejects_reserved_and_colliding_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, "L")], ["k", "t", "val"])
+    right = spark.createDataFrame([(1, 5, "R")], ["k", "rt", "price"])
+    bad_left = left.withColumnRenamed("val", "__ts")
+    with pytest.raises(ValueError, match="reserves internal column names"):
+        joins.asof_join(
+            bad_left, right, on="k", left_ts="t", right_ts="rt",
+            right_cols=["price"],
+        )
+    # right payload column named like a left column -> duplicate output
+    clash_right = right.withColumnRenamed("price", "val")
+    with pytest.raises(ValueError, match="collide with left columns"):
+        joins.asof_join(
+            left, clash_right, on="k", left_ts="t", right_ts="rt",
+            right_cols=["val"],
+        )

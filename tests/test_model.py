@@ -161,3 +161,27 @@ def test_fill_unknown_rejects_non_string_keys(spark):
     # explicit opt-out works for typed keys
     dim = build_dim(df, "num_key", fill_unknown=None)
     assert dim.count() == 1
+
+
+def test_scd2_rejects_duplicate_change_keys(spark):
+    import pytest
+
+    from news_data_pipeline_spark.model.star import scd2_apply
+
+    dim = spark.createDataFrame(
+        [("k1", "a", "2024-01-01 00:00:00", None, True)],
+        "key string, attr string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "key", "attr",
+        "CAST(valid_from AS timestamp_ntz) valid_from",
+        "CAST(valid_to AS timestamp_ntz) valid_to",
+        "is_current",
+    )
+    dup_changes = spark.createDataFrame(
+        [("k1", "b"), ("k1", "c")], "key string, attr string"
+    )
+    with pytest.raises(ValueError, match="multiple rows per key"):
+        scd2_apply(
+            dim, dup_changes, key="key", attrs=["attr"],
+            effective_ts="2024-02-01 00:00:00",
+        )

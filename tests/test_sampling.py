@@ -72,3 +72,20 @@ def test_null_keys_are_assigned_not_dropped(spark):
     assert labels[None] in ("train", "val")  # sentinel-hashed, not holdout
     kept = deterministic_sample(df, "doc_id", fraction=1.0)
     assert kept.count() == 2  # fraction=1.0 keeps EVERY row, nulls included
+
+
+def test_strata_tuples_do_not_collide(spark):
+    # ('x','yz') and ('xy','z') concatenate identically without a
+    # separator — the \x1f join must give them independent draws.
+    rows = [(k, "x", "yz") for k in range(300)]
+    rows += [(k, "xy", "z") for k in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "s1", "s2"])
+    kept = deterministic_sample(df, "doc_id", fraction=0.5, strata=["s1", "s2"])
+    by_stratum = {
+        ("x", "yz"): set(),
+        ("xy", "z"): set(),
+    }
+    for r in kept.collect():
+        by_stratum[(r["s1"], r["s2"])].add(r["doc_id"])
+    # identical key sets would mean the strata share one salt
+    assert by_stratum[("x", "yz")] != by_stratum[("xy", "z")]
