@@ -34,3 +34,48 @@ def surrogate_key(*cols: Column | str, algo: str = "md5") -> Column:
 def monotonic_row_id() -> Column:
     """Partition-local monotonic id — unique, not dense, no shuffle."""
     return F.monotonically_increasing_id()
+
+
+def global_row_number(
+    df,
+    order_by,
+    *,
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+):
+    """Dense 1-based global row number by sort order — WITHOUT the
+    single-partition window the reference uses (``03:38,43,58``).
+
+    The scalable two-pass pattern: ``repartitionByRange`` on the sort
+    key (disjoint, ordered ranges — partition i's keys all sort before
+    partition i+1's), ``row_number`` WITHIN each partition, then add
+    per-partition row-count offsets. The offsets come from one bounded
+    aggregate (#partitions rows collected to the driver — not data).
+    Ties in ``order_by`` get an arbitrary but stable-within-run order;
+    pass a total order (e.g. distinct keys) for full determinism.
+    """
+    from pyspark.sql import Window
+
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    counts = (
+        numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["__cnt"]
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        rid = (F.col("__rn") + offset_map[F.col("__pid")]).cast("long")
+    else:  # empty input — no partitions to offset
+        rid = F.col("__rn").cast("long")
+    return numbered.withColumn(id_col, rid).drop("__pid", "__rn")

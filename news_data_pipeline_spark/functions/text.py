@@ -50,8 +50,17 @@ def extract_domain(col: Column) -> Column:
     return F.regexp_extract(col, DOMAIN_RE, 1)
 
 
-def word_count(col: Column) -> Column:
-    """Whitespace token count; 0 for empty/blank strings."""
+def word_count(col: Column, *, compat_reference: bool = False) -> Column:
+    """Whitespace token count; 0 for empty/blank strings.
+
+    ``compat_reference=True`` reproduces the reference's
+    ``content_word_count`` byte-for-byte, which is actually a CHARACTER
+    count (``length(col("content"))`` mislabeled as word count,
+    ``02_silver_transformation_news_articles.py:71``) — only for
+    migrations that must match the reference's silver tables exactly.
+    """
+    if compat_reference:
+        return F.length(col)
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))

@@ -32,11 +32,21 @@ def build_dim(
     id_col: str | None = None,
     fill_unknown: str | None = "UNKNOWN",
     extra_cols: Sequence[str] = (),
+    compat_reference: bool = False,
 ) -> DataFrame:
     """Distinct natural keys + deterministic surrogate key.
 
     Mirrors ``03:36-44`` (incl. the ``fillna("UNKNOWN")`` for null members)
     with hash keys instead of the global-window row_number.
+
+    ``compat_reference=True`` reproduces the reference's ID SCHEME
+    byte-for-byte — sequential ``row_number`` by natural-key order, cast
+    to string, truncated to 5 chars (``03:39,44``) — for migrations that
+    must re-emit the reference's gold tables. The sequence comes from
+    ``global_row_number`` (range-partition + offsets), NOT the
+    reference's single-partition window, so even compat mode scales;
+    the 5-char truncation (a collision generator past row 99999) is
+    kept because byte-compat is the entire point of the flag.
     """
     id_col = id_col or f"{natural_key}_id"
     if fill_unknown is not None and dict(df.dtypes)[natural_key] != "string":
@@ -61,6 +71,13 @@ def build_dim(
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
+    if compat_reference:
+        from news_data_pipeline_spark.functions.ids import global_row_number
+
+        out = global_row_number(out, natural_key, id_col="__gid")
+        return out.withColumn(
+            id_col, F.col("__gid").cast("string").substr(1, 5)
+        ).drop("__gid")
     return out.withColumn(id_col, surrogate_key(natural_key))
 
 

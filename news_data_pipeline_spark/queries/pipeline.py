@@ -243,6 +243,48 @@ def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- reference-compat queries (byte-for-byte migration modes) ----------------
+@register(
+    "compat_dim_source_ids",
+    oracle="""
+    SELECT source,
+           substring(CAST(rn AS VARCHAR), 1, 5) AS source_id
+    FROM (SELECT source, row_number() OVER (ORDER BY source) AS rn
+          FROM (SELECT DISTINCT coalesce(source, 'UNKNOWN') AS source
+                FROM documents) t) q
+    """,
+)
+def compat_dim_source_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact dim-ID scheme (``03:39,44``): sequential
+    row_number by key order, stringified, 5-char truncated — via
+    ``build_dim(compat_reference=True)``, which produces the sequence
+    with a range-partitioned two-pass instead of the reference's
+    single-partition window. For migrations re-emitting reference gold
+    tables byte-for-byte; new pipelines use hash surrogate keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return build_dim(docs, "source", id_col="source_id", compat_reference=True)
+
+
+@register(
+    "compat_silver_word_count",
+    oracle="""
+    SELECT doc_id, length(text) AS content_word_count FROM documents
+    """,
+)
+def compat_silver_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``content_word_count`` is actually a CHARACTER
+    count (``length(content)``, ``02:71``); ``word_count(
+    compat_reference=True)`` reproduces it for byte-compat migrations.
+    The corrected semantics live in ``documents_enriched.n_words``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.word_count(F.col("text"), compat_reference=True)
+        .cast("long")
+        .alias("content_word_count"),
+    )
+
+
 @register(
     "salted_source_join",
     # the salt is invisible in the output: every big-side row matches

@@ -185,3 +185,35 @@ def test_scd2_rejects_duplicate_change_keys(spark):
             dim, dup_changes, key="key", attrs=["attr"],
             effective_ts="2024-02-01 00:00:00",
         )
+
+
+def test_global_row_number_matches_global_window(spark):
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.ids import global_row_number
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 500).cast("string").alias("k")
+    )
+    out = global_row_number(df, "k", id_col="rid", num_partitions=8)
+    rows = sorted((r["k"], r["rid"]) for r in out.collect())
+    expected = sorted({r["k"] for r in df.collect()})
+    # dense 1..n, assigned in sort order of k
+    assert [rid for _, rid in rows] == list(range(1, 501))
+    assert [k for k, _ in rows] == expected
+    # and the plan never funnels through a single-partition window
+    plan = out._jdf.queryExecution().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_build_dim_compat_reference_ids(spark):
+    from news_data_pipeline_spark.model.star import build_dim
+
+    df = spark.createDataFrame(
+        [("b",), ("a",), (None,), ("c",)], ["source"]
+    )
+    dim = build_dim(df, "source", id_col="source_id", compat_reference=True)
+    got = {r["source"]: r["source_id"] for r in dim.collect()}
+    # sequential by key order — binary collation, so uppercase UNKNOWN
+    # sorts before the lowercase members
+    assert got == {"UNKNOWN": "1", "a": "2", "b": "3", "c": "4"}
