@@ -253,6 +253,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def cross_corpus_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    eval_id_col: str | None = None,
+    eval_text_col: str | None = None,
+) -> DataFrame:
+    """Training documents sharing any word n-gram with an eval corpus —
+    the decontamination pass every benchmark-honest training pipeline
+    runs before training.
+
+    Returns (id, n_contaminated_shingles): training docs with at least
+    one shingle that also appears in the eval set, with the count of
+    distinct overlapping shingles (the filter threshold is the caller's
+    policy call). The eval side collapses to DISTINCT shingles and is
+    broadcast — eval sets are thousands of documents against a corpus of
+    billions, so the training side never shuffles for the probe; the
+    only full-corpus cost is the shingling projection itself.
+    """
+    t = word_shingles(train, id_col, text_col, n=n)
+    e = (
+        word_shingles(
+            eval_df, eval_id_col or id_col, eval_text_col or text_col, n=n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        t.join(F.broadcast(e), on="shingle", how="inner")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style "rep" family):
+    duplicate n-gram fraction per document.
+
+    Machine-generated and boilerplate-stuffed pages repeat themselves;
+    ``dup_gram_ratio`` = 1 - distinct/total n-grams is the cheap,
+    language-agnostic detector. One groupBy by doc id — map-side
+    combinable counts, no cross-document work at all.
+    """
+    sh = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    return (
+        sh.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct(F.col("shingle")).alias("n_distinct_grams"),
+        )
+        .withColumn(
+            "dup_gram_ratio",
+            F.round(
+                (F.col("n_grams") - F.col("n_distinct_grams"))
+                / F.col("n_grams").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document (md5-derived token hashes).
 

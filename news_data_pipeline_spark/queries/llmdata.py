@@ -235,6 +235,91 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, "doc_id", "text")
 
 
+@register(
+    "eval_contamination",
+    # eval set = every 97th doc (deterministic stand-in for a benchmark
+    # suite); training docs counted by DISTINCT overlapping shingles
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE id % 97 = 0)
+    SELECT t.id AS doc_id, count(*) AS n_contaminated_shingles
+    FROM shingles t JOIN eval_sh USING (shingle)
+    WHERE t.id % 97 <> 0
+    GROUP BY t.id
+    """,
+)
+def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.dedup.
+    cross_corpus_contamination): training docs sharing any word trigram
+    with the eval split; the eval shingle set broadcasts, so the
+    training corpus never shuffles for the probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.cross_corpus_contamination(
+        train, eval_df, "doc_id", "text", n=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+# non-DISTINCT twin of _DUCK_SHINGLES for duplicate-sensitive consumers
+_DUCK_SHINGLES_ALL = _DUCK_SHINGLES.replace("SELECT DISTINCT", "SELECT", 1)
+
+
+@register(
+    "document_repetition",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES_ALL})
+    SELECT id AS doc_id,
+           count(*) AS n_grams,
+           count(DISTINCT shingle) AS n_distinct_grams,
+           round((count(*) - count(DISTINCT shingle))
+                 / count(*)::DOUBLE, 4) AS dup_gram_ratio
+    FROM sh GROUP BY id
+    """,
+)
+def document_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal (operators.dedup.
+    repetition_stats): duplicate-trigram fraction per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repetition_stats(docs, "doc_id", "text", n=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.id, tf.term, tf.tf,
+               round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT id AS doc_id, term, tf, tfidf, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY tfidf DESC, term) AS rn
+        FROM scored) t
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators.terms.tf_idf_top_terms):
+    scores rounded to 4dp BEFORE ranking so cross-engine ordering is
+    stable; corpus size joins in as a broadcast one-row aggregate."""
+    from news_data_pipeline_spark.operators.terms import tf_idf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf_top_terms(docs, "doc_id", "text", k=3).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 # --- similarity search -------------------------------------------------------
 _DUCK_COSINE_SCORE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

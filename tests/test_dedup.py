@@ -236,3 +236,35 @@ def test_lsh_self_join_reuses_shuffle_stage(spark):
     assert "isFinalPlan=true" in final
     ids = re.findall(r"(?:ShuffleQueryStage|BroadcastQueryStage) (\d+)", final)
     assert "ReusedExchange" in final or len(ids) > len(set(ids))
+
+
+def test_cross_corpus_contamination_flags_only_overlapping(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the sky is blue today and calm"),
+            (2, "totally original content nothing shared here"),
+        ],
+        ["doc_id", "body"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "everyone knows the sky is blue today")], ["doc_id", "body"]
+    )
+    out = dedup.cross_corpus_contamination(train, eval_df, "doc_id", "body", n=3)
+    got = {r["id"]: r["n_contaminated_shingles"] for r in out.collect()}
+    # doc 1 shares trigrams "the sky is", "sky is blue", "is blue today"
+    assert got == {1: 3}
+
+
+def test_repetition_stats_detects_duplicated_grams(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),      # one distinct trigram
+            (2, "each word here is fully unique"),     # no repeats
+        ],
+        ["doc_id", "body"],
+    )
+    out = dedup.repetition_stats(df, "doc_id", "body", n=3)
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct_grams"] == 1
+    assert got[1]["dup_gram_ratio"] == 0.75
+    assert got[2]["dup_gram_ratio"] == 0.0
