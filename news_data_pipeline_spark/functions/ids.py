@@ -49,33 +49,45 @@ def global_row_number(
     The scalable two-pass pattern: ``repartitionByRange`` on the sort
     key (disjoint, ordered ranges — partition i's keys all sort before
     partition i+1's), ``row_number`` WITHIN each partition, then add
-    per-partition row-count offsets. The offsets come from one bounded
-    aggregate (#partitions rows collected to the driver — not data).
-    Ties in ``order_by`` get an arbitrary but stable-within-run order;
-    pass a total order (e.g. distinct keys) for full determinism.
+    per-partition row-count offsets. The numbered frame is pinned with
+    an eager ``localCheckpoint`` BEFORE the counts pass: range
+    boundaries come from per-job sampling, so without pinning, the
+    counts job and the caller's action could draw DIFFERENT boundaries
+    and the offsets would corrupt the sequence (duplicate/skipped ids).
+    The checkpoint also means the sort runs once, not once per pass.
+    Offsets attach via a broadcast join on the tiny (pid, offset) table
+    — O(1) per row, unlike a map-literal lookup which scans linearly
+    in the partition count. Ties in ``order_by`` get an arbitrary but
+    stable order (the checkpoint freezes it); pass a total order (e.g.
+    distinct keys) for cross-run determinism.
     """
     from pyspark.sql import Window
 
+    spark = df.sparkSession
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    numbered = ranged.withColumn("__rn", F.row_number().over(w))
+    numbered = ranged.withColumn("__rn", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
     counts = (
         numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     )
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = acc
+        offsets.append((row["__pid"], acc))
         acc += row["__cnt"]
-    if offsets:
-        offset_map = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
+    if not offsets:  # empty input — nothing to offset
+        return numbered.withColumn(id_col, F.col("__rn").cast("long")).drop(
+            "__pid", "__rn"
         )
-        rid = (F.col("__rn") + offset_map[F.col("__pid")]).cast("long")
-    else:  # empty input — no partitions to offset
-        rid = F.col("__rn").cast("long")
-    return numbered.withColumn(id_col, rid).drop("__pid", "__rn")
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    return (
+        numbered.join(F.broadcast(offset_df), on="__pid")
+        .withColumn(id_col, (F.col("__rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__rn", "__offset")
+    )

@@ -331,10 +331,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     One md5 per token; bit extraction is codegen'd shift/mask arithmetic.
     Near-dup = small hamming distance between fingerprints.
     """
-    tokens = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).where(F.length("tok") > 0)
+    tokens = word_shingles(
+        df, id_col, text_col, n=1, distinct=False
+    ).withColumnRenamed("shingle", "tok")
     digest = F.md5("tok")
     hashed = tokens.select(
         "id",

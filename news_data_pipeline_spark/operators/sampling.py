@@ -97,7 +97,10 @@ def deterministic_sample(
     keyed = F.concat_ws(
         "\x1f",
         F.lit(salt),
-        *[F.coalesce(F.col(s).cast("string"), F.lit("")) for s in strata],
+        # '<NULL>' sentinel (same as the key below): coalescing to ''
+        # would collapse a NULL stratum and an empty-string stratum
+        # into one salt, correlating their draws
+        *[F.coalesce(F.col(s).cast("string"), F.lit("<NULL>")) for s in strata],
         F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
     )
     return df.where(hash_bucket(keyed) < round(fraction * _BUCKETS))

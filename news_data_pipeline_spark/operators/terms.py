@@ -15,12 +15,20 @@ from pyspark.sql import DataFrame, Window
 
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf): whitespace-token term counts per document."""
-    tokens = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
-    ).where(F.length("term") > 0)
-    return tokens.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    """(id, term, tf): whitespace-token term counts per document.
+
+    Tokenization is ``word_shingles(n=1)`` — ONE tokenizer definition
+    shared with the dedup family, so token semantics (and their DuckDB
+    oracle twins) can never drift between operators.
+    """
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+
+    tokens = word_shingles(df, id_col, text_col, n=1, distinct=False)
+    return (
+        tokens.withColumnRenamed("shingle", "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
 
 
 def tf_idf_top_terms(

@@ -716,7 +716,7 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang FROM documents
     WHERE CAST(concat('0x', substring(md5(
-              concat_ws(chr(31), 'sample:', coalesce(lang, ''),
+              concat_ws(chr(31), 'sample:', coalesce(lang, '<NULL>'),
                         coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))
           ), 1, 8)) AS BIGINT) % 10000 < 2000
     """,

@@ -206,27 +206,39 @@ class VersionedLayer:
             spark, f"{self.path}/{version}", fmt=self.fmt, require_success=True
         )
 
-    def vacuum(self, spark: SparkSession, *, keep: int = 2) -> list[str]:
+    def vacuum(
+        self, spark: SparkSession, *, keep: int = 2, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete all but the ``keep`` most recent UNREFERENCED versions.
 
-        The current version is never a candidate regardless of age, so a
-        vacuum racing an overwrite can at worst leave extra dirs, never
-        remove live data.
+        Two protections make this safe to run concurrently with writers:
+        the current version is never a candidate regardless of age, and
+        nothing younger than ``min_age_seconds`` is touched — a version
+        dir that is fully staged but whose ``_commit`` hasn't landed yet
+        is unreferenced but about to become current; deleting it would
+        let the racing commit point ``_CURRENT`` at a void. The grace
+        window must exceed the longest plausible stage-to-commit gap.
+        Orphaned ``_CURRENT.tmp.*`` pointer files past the same age
+        (a writer died mid-commit) are swept too.
         """
+        import time
+
         jvm, fs = self._fs(spark)
         current = self.current_version(spark)
         root = jvm.org.apache.hadoop.fs.Path(self.path)
-        stale = sorted(
-            (
-                (f.getModificationTime(), f.getPath().getName())
-                for f in fs.listStatus(root)
-                if f.isDirectory()
-                and f.getPath().getName().startswith("v_")
-                and f.getPath().getName() != current
-            ),
-        )
+        cutoff_ms = (time.time() - min_age_seconds) * 1000.0
+        stale, tmp_orphans = [], []
+        for f in fs.listStatus(root):
+            name = f.getPath().getName()
+            if f.getModificationTime() > cutoff_ms:
+                continue  # inside the grace window — possibly mid-commit
+            if f.isDirectory() and name.startswith("v_") and name != current:
+                stale.append((f.getModificationTime(), name))
+            elif not f.isDirectory() and name.startswith(f"{self.POINTER}.tmp."):
+                tmp_orphans.append(name)
+        stale.sort()
         doomed = [name for _, name in stale[: max(len(stale) - keep, 0)]]
-        for name in doomed:
+        for name in doomed + tmp_orphans:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{self.path}/{name}"), True)
         return doomed
 

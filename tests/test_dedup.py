@@ -209,11 +209,14 @@ def test_dedup_operators_leave_no_persisted_rdds(spark):
     # Round-1 leak regression: these operators used .persist() with a
     # caller-must-clearCache contract. They now rely on AQE shuffle-stage
     # reuse, so after the action completes nothing may remain cached.
+    # delta-based: other session-scoped fixtures may hold checkpoints
+    # (global_row_number pins one); these ops must add NOTHING
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     d = docs(spark)
     dedup.minhash_lsh_dedup_pairs(d, "doc_id", "body").count()
     dedup.ngram_jaccard_pairs(d, "doc_id", "body", threshold=0.1).count()
     dedup.lsh_dedup_representatives(d, "doc_id", "body").count()
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_lsh_self_join_reuses_shuffle_stage(spark):

@@ -211,8 +211,38 @@ def test_versioned_layer_vacuum_never_touches_current(spark, tmp_path):
     for n in (3, 4, 5, 6):
         layer.overwrite(spark.range(n).withColumnRenamed("id", "k"))
     current = layer.current_version(spark)
-    doomed = layer.vacuum(spark, keep=1)
+    doomed = layer.vacuum(spark, keep=1, min_age_seconds=0)
     assert current not in doomed
     assert layer.read(spark).count() == 6
     remaining = {p.name for p in (tmp_path / "gold").iterdir() if p.name.startswith("v_")}
     assert current in remaining and len(remaining) == 2
+
+
+def test_vacuum_grace_window_protects_staged_versions(spark, tmp_path):
+    # A fully-staged version whose commit hasn't landed yet is
+    # unreferenced but must survive vacuum — deleting it would let the
+    # racing commit point _CURRENT at a void. Anything younger than
+    # min_age_seconds is untouchable.
+    import pytest
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    layer.overwrite(spark.range(5).withColumnRenamed("id", "k"))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        layer.overwrite(
+            spark.range(7).withColumnRenamed("id", "k"), _failpoint="after_stage"
+        )
+    staged = {
+        p.name for p in (tmp_path / "gold").iterdir() if p.name.startswith("v_")
+    }
+    assert len(staged) == 2  # committed v1 + orphaned stage
+    assert layer.vacuum(spark, keep=0) == []  # grace window shields both
+    assert {
+        p.name for p in (tmp_path / "gold").iterdir() if p.name.startswith("v_")
+    } == staged
+    # past the grace window the orphan becomes collectable (and stale
+    # _CURRENT.tmp files would be swept by the same pass)
+    doomed = layer.vacuum(spark, keep=0, min_age_seconds=0)
+    assert len(doomed) == 1 and doomed[0] != layer.current_version(spark)
+    assert layer.read(spark).count() == 5
