@@ -151,18 +151,39 @@ def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_user_totals(load_table(spark, sf_dir, "events"))
 
 
-@register("approx_distinct_users_daily")  # rows-only: HLL sketches differ per engine
+@register(
+    "approx_distinct_users_daily",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1
+    """,
+)
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct users per day via HyperLogLog++ —
-    the sketch the 100-TB path uses where exact distinct would shuffle
-    every user id; rsd=0.01 keeps the estimate within ~1%. Rows-only
-    check: DuckDB's approx_count_distinct uses a different sketch, so
-    values differ by design (the exact twin is validated by
-    ``user_lifetime_totals``'s grouping)."""
+    """Approximate distinct users per day via HyperLogLog++ — the sketch
+    the 100-TB path uses where exact distinct would shuffle every user
+    id; rsd=0.01 keeps the estimate within ~1%.
+
+    HLL sketch VALUES differ per engine by design, so the hash-matched
+    contract is the sketch's accuracy instead: the query emits the exact
+    count and a boolean asserting the estimate lands within 5x the
+    requested rsd. The exact count_distinct here exists ONLY to validate
+    the sketch in the harness — the production rollup drops it and ships
+    the estimate alone."""
     events = load_table(spark, sf_dir, "events")
+    ex, ap = F.col("n_users_exact"), F.col("approx_users")
     return (
         events.groupBy(F.to_date("ts").alias("day"))
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_users_exact",
+            (F.abs(ap - ex) <= ex * 0.05).alias("approx_within_5pct"),
+        )
     )
 
 
