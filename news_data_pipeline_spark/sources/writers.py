@@ -73,25 +73,13 @@ def write_layer_and_register(
 def read_layer(
     spark: SparkSession, path: str, *, fmt: str = "parquet", require_success: bool = True
 ) -> DataFrame:
-    """Read a layer, refusing partially-written output.
+    """Writer-side alias of ``catalog.read_layer`` with the ``_SUCCESS``
+    gate ON by default — the paranoid default for layers this module's
+    writers produce (Delta gets the same guarantee from its transaction
+    log, ``_lib_dq_helpers.py:39-47``)."""
+    from news_data_pipeline_spark.sources.catalog import read_layer as _read
 
-    Spark's ``overwrite`` is delete-then-write: a writer dying mid-job
-    leaves a directory with some files and no ``_SUCCESS`` marker, which
-    a plain ``spark.read`` happily returns as truncated data. Gating on
-    the marker turns silent partial reads into loud errors. (Delta gets
-    this from its transaction log — ``_lib_dq_helpers.py:39-47``; this
-    is the parquet-layer equivalent.)
-    """
-    if require_success:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_SUCCESS")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(p):
-            raise IOError(
-                f"layer at {path} has no _SUCCESS marker — refusing to read "
-                "a possibly partial write (pass require_success=False to force)"
-            )
-    return spark.read.format(fmt).load(path)
+    return _read(spark, path, fmt=fmt, require_success=require_success)
 
 
 class VersionedLayer:
@@ -289,6 +277,31 @@ def write_bucketed(
         sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(f"{database}.{table}")
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    *,
+    cluster_by: str | Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Write a layer ordered by ``cluster_by`` for data skipping.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` makes every output
+    file's min/max footer stats for the cluster keys narrow and
+    DISJOINT, so a filtered scan prunes whole files (and row groups)
+    instead of reading everything — the parquet-native cousin of
+    Delta/Iceberg clustering, and the single cheapest read-amplification
+    fix for selective queries over 100-TB fact tables. Cluster by the
+    columns your filters actually use (time, tenant, key ranges).
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    out.write.format(fmt).mode(mode).save(path)
 
 
 def compact_layer(

@@ -246,3 +246,33 @@ def test_vacuum_grace_window_protects_staged_versions(spark, tmp_path):
     doomed = layer.vacuum(spark, keep=0, min_age_seconds=0)
     assert len(doomed) == 1 and doomed[0] != layer.current_version(spark)
     assert layer.read(spark).count() == 5
+
+
+def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
+    # Clustered writes exist to make footer min/max stats prunable:
+    # every output file must cover a narrow, non-overlapping key range.
+    import pyarrow.parquet as pq
+
+    from news_data_pipeline_spark.sources.writers import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    write_clustered(df, path, cluster_by="k", num_files=4)
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        meta = pq.ParquetFile(str(f)).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    # disjoint: each file's max < next file's min (range partitioning)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # and a selective filter must prune files at planning time
+    hits = spark.read.parquet(path).where("k BETWEEN 100 AND 200")
+    assert hits.count() == 101
