@@ -152,6 +152,50 @@ def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 2)  AS p50_exact,
+           round(quantile_cont(value, 0.95), 2) AS p95_exact,
+           TRUE AS p50_within_bounds,
+           TRUE AS p95_within_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per event type — the quantile sketch a
+    100-TB rollup uses where exact percentiles would sort every value.
+
+    Same cross-engine-honest contract as ``approx_distinct_users_daily``:
+    sketch VALUES aren't comparable across engines, but the sketch's
+    guarantee is — ``approx_percentile(accuracy=a)`` promises rank error
+    <= 1/a, so the estimate must land between the exact percentiles at
+    p +- eps. The query emits the exact (interpolated) percentiles plus
+    booleans asserting the bound holds; exact values exist only to
+    validate the sketch in the harness."""
+    events = load_table(spark, sf_dir, "events")
+    eps = 0.01  # generous: accuracy=1000 guarantees rank error <= 0.001
+    agg = events.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("a95"),
+        F.expr(f"percentile(value, array(0.5 - {eps}, 0.5, 0.5 + {eps}, "
+               f"0.95 - {eps}, 0.95, 0.95 + {eps}))").alias("ex"),
+    )
+    ex = F.col("ex")
+    return agg.select(
+        "event_type",
+        F.round(ex[1], 2).alias("p50_exact"),
+        F.round(ex[4], 2).alias("p95_exact"),
+        ((F.col("a50") >= ex[0]) & (F.col("a50") <= ex[2])).alias(
+            "p50_within_bounds"
+        ),
+        ((F.col("a95") >= ex[3]) & (F.col("a95") <= ex[5])).alias(
+            "p95_within_bounds"
+        ),
+    )
+
+
+@register(
     "approx_distinct_users_daily",
     oracle="""
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
