@@ -526,6 +526,89 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "n_sampled_frames", "sampled_bytes")
 
 
+# 16-bin intensity histogram in SQL: with dim=16, a pixel byte's bin is
+# its HIGH NIBBLE — i.e. the first hex char of its pair in the pixel hex
+# chain, so the embedding recomputes from characters alone.
+_DUCK_IMG_EMB = """
+    WITH p AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               4 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+        FROM documents),
+    c1 AS (SELECT doc_id, w, h, md5(t) AS h1 FROM p),
+    c2 AS (SELECT *, md5(h1) AS h2 FROM c1),
+    c3 AS (SELECT *, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT *, md5(h3) AS h4 FROM c3),
+    c5 AS (SELECT *, md5(h4) AS h5 FROM c4),
+    px AS (
+        SELECT doc_id, w * h AS total,
+               substring(h1 || h2 || h3 || h4 || h5, 1, 2 * w * h) AS hx
+        FROM c5),
+    nib AS (
+        SELECT doc_id, total, substring(hx, 2 * i - 1, 1) AS nibble
+        FROM px, LATERAL unnest(range(1, total + 1)) AS u(i)),
+    emb AS (
+        SELECT doc_id, [{bins}] AS e
+        FROM nib GROUP BY doc_id)
+""".format(
+    bins=", ".join(
+        f"round(sum(CASE WHEN nibble = '{x:x}' THEN 1 ELSE 0 END)"
+        f" / any_value(total)::DOUBLE, 6)"
+        for x in range(16)
+    )
+)
+
+
+@register(
+    "multimodal_embedding_topk",
+    oracle=f"""
+    {_DUCK_IMG_EMB},
+    q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < 10),
+    scored AS (
+        SELECT q.query_id, emb.doc_id AS neighbor_id,
+               round(list_dot_product(qe, e)
+                     / nullif(sqrt(list_dot_product(qe, qe))
+                              * sqrt(list_dot_product(e, e)), 0.0),
+                     6) AS cosine_sim
+        FROM q, emb WHERE emb.doc_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored WHERE cosine_sim IS NOT NULL) t
+    WHERE rn <= 5
+    """,
+)
+def multimodal_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal-to-ANN composition in one Catalyst plan:
+    synthesize image payloads (mapInPandas) -> decode + embed as 16-bin
+    intensity histograms (operators.multimodal.image_embeddings) ->
+    exact cosine top-k against the first-10-doc query set
+    (operators.similarity.cosine_topk). Every stage hash-verified: the
+    oracle regenerates pixels from the md5 hex chain and exploits that a
+    byte's 16-bin histogram bin IS its high hex nibble."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(t or "", 4 + int(i) % 8, 4 + int(i) % 4)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    images = docs.mapInPandas(build, "doc_id long, payload binary")
+    emb = mm.image_embeddings(images, "doc_id", "payload", dim=16)
+    queries = emb.where(F.col("id") < 10)
+    return similarity.cosine_topk(emb, queries, id_col="id", k=5)
+
+
 @register(
     "embedding_neardup_pairs",
     oracle="""
