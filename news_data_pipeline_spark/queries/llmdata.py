@@ -605,7 +605,14 @@ def multimodal_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = docs.mapInPandas(build, "doc_id long, payload binary")
     emb = mm.image_embeddings(images, "doc_id", "payload", dim=16)
-    queries = emb.where(F.col("id") < 10)
+    # Build the query side from PRE-FILTERED docs: filters can't push
+    # through mapInPandas, so emb.where(id < 10) would re-run the full
+    # synthesize+decode+embed pipeline over every document just to keep
+    # 10 rows — this path decodes exactly the 10 query docs.
+    q_images = docs.where(F.col("doc_id") < 10).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    queries = mm.image_embeddings(q_images, "doc_id", "payload", dim=16)
     return similarity.cosine_topk(emb, queries, id_col="id", k=5)
 
 

@@ -168,30 +168,36 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same cross-engine-honest contract as ``approx_distinct_users_daily``:
     sketch VALUES aren't comparable across engines, but the sketch's
-    guarantee is — ``approx_percentile(accuracy=a)`` promises rank error
-    <= 1/a, so the estimate must land between the exact percentiles at
-    p +- eps. The query emits the exact (interpolated) percentiles plus
-    booleans asserting the bound holds; exact values exist only to
-    validate the sketch in the harness."""
+    guarantee is. ``approx_percentile(accuracy=1000)`` returns an actual
+    data value whose RANK is within 0.001*n of p*n; the interpolated
+    exact percentile at p +- eps brackets any such value as long as eps
+    also absorbs the nearest-rank-vs-interpolation gap, which scales as
+    1/n — so eps must NOT be sized from the sketch's rank error alone
+    (0.001 would break on groups under ~100 rows). eps=0.05 with the
+    upper bound clamped to the max holds for every n >= 1. Booleans
+    coalesce to true for all-null groups (both engines yield NULL
+    percentiles there). Exact values exist only to validate the sketch
+    in the harness; the production rollup ships the estimates alone."""
     events = load_table(spark, sf_dir, "events")
-    eps = 0.01  # generous: accuracy=1000 guarantees rank error <= 0.001
+    # bounds: p50 in [P(0.45), P(0.55)], p95 in [P(0.90), P(1.0)=max]
     agg = events.groupBy("event_type").agg(
         F.expr("approx_percentile(value, 0.5, 1000)").alias("a50"),
         F.expr("approx_percentile(value, 0.95, 1000)").alias("a95"),
-        F.expr(f"percentile(value, array(0.5 - {eps}, 0.5, 0.5 + {eps}, "
-               f"0.95 - {eps}, 0.95, 0.95 + {eps}))").alias("ex"),
+        F.expr(
+            "percentile(value, array(0.45, 0.5, 0.55, 0.90, 0.95, 1.0))"
+        ).alias("ex"),
     )
     ex = F.col("ex")
     return agg.select(
         "event_type",
         F.round(ex[1], 2).alias("p50_exact"),
         F.round(ex[4], 2).alias("p95_exact"),
-        ((F.col("a50") >= ex[0]) & (F.col("a50") <= ex[2])).alias(
-            "p50_within_bounds"
-        ),
-        ((F.col("a95") >= ex[3]) & (F.col("a95") <= ex[5])).alias(
-            "p95_within_bounds"
-        ),
+        F.coalesce(
+            (F.col("a50") >= ex[0]) & (F.col("a50") <= ex[2]), F.lit(True)
+        ).alias("p50_within_bounds"),
+        F.coalesce(
+            (F.col("a95") >= ex[3]) & (F.col("a95") <= ex[5]), F.lit(True)
+        ).alias("p95_within_bounds"),
     )
 
 
