@@ -163,6 +163,68 @@ def signbucket_topk(
     )
 
 
+def kmeans_iterate(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Lloyd iterations in-engine: the IVF centroid-training step that
+    ``ivf_topk`` takes as an injectable input.
+
+    Per iteration: assign every vector to its nearest centroid (one
+    broadcast pass, same rounded-distance + cid tie-break rule as
+    ``ivf_topk`` so training and probing agree on cell boundaries),
+    then recompute each centroid as the element-wise mean of its
+    members — posexplode to (cid, pos, component), one map-side-
+    combinable average per (cid, pos), reassemble ordered by position.
+    Cost per iteration: one broadcast join + two groupBys; nothing
+    quadratic, nothing on the driver. Empty cells keep their previous
+    centroid (standard Lloyd behavior) rather than vanishing.
+
+    Returns (cid, centroid) with components rounded to 6dp — the
+    cross-engine-stable precision the distance rounding expects.
+    """
+    cents = centroids.select(
+        F.col("cid"), _as_double("centroid").alias("c_vec")
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    )
+    for _ in range(iters):
+        c2 = cents.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+        scored = vecs.join(F.broadcast(c2), how="cross")
+        w = Window.partitionBy("id").orderBy(
+            F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
+            F.asc("cid"),
+        )
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("cid", "v")
+        )
+        by_pos = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        new_cents = by_pos.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c_vec")
+        )
+        # empty cells: keep the previous centroid
+        cents = (
+            cents.select("cid", F.col("c_vec").alias("old"))
+            .join(new_cents, on="cid", how="left")
+            .select("cid", F.coalesce("c_vec", "old").alias("c_vec"))
+        )
+    return cents.select("cid", F.col("c_vec").alias("centroid"))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

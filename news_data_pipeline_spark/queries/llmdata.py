@@ -715,6 +715,49 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_kmeans_centroids",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8),
+    assigned AS (
+        SELECT cid, e FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    by_pos AS (
+        SELECT cid, pos, round(avg(e[pos]), 6) AS m
+        FROM assigned, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
+        GROUP BY cid, pos),
+    newc AS (SELECT cid, list(m ORDER BY pos) AS centroid
+             FROM by_pos GROUP BY cid)
+    SELECT cent.cid, coalesce(newc.centroid, cent.c) AS centroid
+    FROM cent LEFT JOIN newc USING (cid)
+    """,
+)
+def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid training in-engine (operators.similarity.
+    kmeans_iterate): one Lloyd iteration from the deterministic seed
+    centroids ``ivf_topk`` defaults to (first 8 vectors by id) — the
+    assignment uses the identical rounded-distance + cid tie-break rule
+    as probing, so trained cells and probe cells agree exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    return similarity.kmeans_iterate(emb, seeds, iters=1)
+
+
+@register(
     "lsh_dedup_representatives",
     # exact oracle: the 3 label-propagation iterations unrolled as CTEs
     oracle="""

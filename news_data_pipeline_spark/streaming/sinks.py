@@ -81,6 +81,50 @@ def split_to_silver_and_quarantine(
     return writer.start()
 
 
+def publish_snapshots(
+    aggregated: DataFrame,
+    *,
+    layer_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = False,
+    keep_versions: int = 2,
+) -> StreamingQuery:
+    """Streaming materialized view with ATOMIC publishes.
+
+    Each micro-batch of a complete-mode aggregate overwrites the whole
+    result; writing it to a plain path would expose readers to Spark's
+    delete-then-write window on every single batch. Routing the batch
+    through ``VersionedLayer.overwrite`` makes each refresh a pointer
+    swap: a reader always loads a complete snapshot — the previous one
+    until the instant the new one commits. Old snapshots are vacuumed
+    inline (never the current one, and never inside the stage-to-commit
+    grace window of a concurrent writer).
+
+    This is the Spark-native answer to the reference's Delta gold
+    tables refreshed per run (``_lib_dq_helpers.py:216,226``): the same
+    always-consistent-read behavior, no table format required.
+    """
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(layer_path, fmt=fmt)
+
+    def _publish(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        layer.overwrite(batch)
+        layer.vacuum(batch.sparkSession, keep=keep_versions)
+
+    writer = (
+        aggregated.writeStream.outputMode("complete")
+        .foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_available_now(
     df: DataFrame, *, checkpoint: str, out_path: str | None = None,
     fmt: str = "parquet", output_mode: str = "append",

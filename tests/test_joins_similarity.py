@@ -241,3 +241,39 @@ def test_asof_join_rejects_reserved_and_colliding_names(spark):
             left, clash_right, on="k", left_ts="t", right_ts="rt",
             right_cols=["val"],
         )
+
+
+def test_kmeans_iterate_moves_centroids_to_cluster_means(spark):
+    import pytest
+
+    from news_data_pipeline_spark.operators.similarity import kmeans_iterate
+
+    # two tight clusters around (0,0) and (10,10); seeds off-center
+    vecs = [
+        (1, [0.0, 0.2]), (2, [0.2, 0.0]), (3, [-0.2, 0.0]),
+        (4, [10.0, 10.2]), (5, [10.2, 10.0]), (6, [9.8, 10.0]),
+    ]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])], ["cid", "centroid"]
+    )
+    out = {r["cid"]: r["centroid"] for r in
+           kmeans_iterate(corpus, seeds, iters=1).collect()}
+    assert out[0] == [0.0, pytest.approx(0.066667, abs=1e-6)]
+    assert out[1] == [10.0, pytest.approx(10.066667, abs=1e-6)]
+
+
+def test_kmeans_iterate_keeps_empty_cells(spark):
+    from news_data_pipeline_spark.operators.similarity import kmeans_iterate
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.1])], ["vec_id", "embedding"]
+    )
+    # second seed is far away — it captures nothing and must survive
+    seeds = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])], ["cid", "centroid"]
+    )
+    out = {r["cid"]: r["centroid"] for r in
+           kmeans_iterate(corpus, seeds, iters=2).collect()}
+    assert out[1] == [100.0, 100.0]          # empty cell: unchanged
+    assert out[0] == [0.05, 0.05]            # converged to the mean

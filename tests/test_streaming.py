@@ -304,3 +304,32 @@ def test_watermark_drops_data_later_than_threshold(spark, tmp_path):
             for r in spark.read.parquet(out).collect()}
     # finalized with one event; the late 100.0 never resurrects the window
     assert rows.get("00:00") == (1, 1.0)
+
+
+def test_publish_snapshots_atomic_materialized_view(spark, landing, tmp_path):
+    # Complete-mode aggregate published through VersionedLayer: after the
+    # replay, readers get exactly one committed, complete snapshot; a
+    # second replay (new data unchanged) republished atomically and the
+    # vacuum keeps version count bounded without ever touching current.
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+    from news_data_pipeline_spark.streaming.sinks import publish_snapshots
+
+    layer_path = str(tmp_path / "mv")
+    stream = stx.read_event_stream(spark, landing, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    q = publish_snapshots(
+        agg,
+        layer_path=layer_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+        keep_versions=1,
+    )
+    q.awaitTermination()
+    layer = VersionedLayer(layer_path)
+    got = {r["event_type"]: r["n_events"] for r in layer.read(spark).collect()}
+    assert got == {"view": 5, "click": 2}
+    # the pointer resolves to a complete snapshot with a _SUCCESS marker
+    current = layer.current_version(spark)
+    assert (tmp_path / "mv" / current / "_SUCCESS").exists()
