@@ -151,6 +151,48 @@ def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_user_totals(load_table(spark, sf_dir, "events"))
 
 
+# DuckDB twin of functions.zorder.morton_key: OR of per-bit shifts.
+def _duck_spread(col: str, bits: int, offset: int) -> str:
+    return " | ".join(
+        f"((({col} >> {b}) & 1) << {2 * b + offset})" for b in range(bits)
+    )
+
+
+@register(
+    "event_zorder_keys",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_id,
+               coalesce(user_id, 0) % 256 AS zx,
+               greatest(CAST(floor(coalesce(value, 0)) AS BIGINT), 0) % 256 AS zy
+        FROM events)
+    SELECT event_id, zx, zy,
+           ({_duck_spread('zx', 8, 0)}) | ({_duck_spread('zy', 8, 1)}) AS zkey
+    FROM d
+    """,
+)
+def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order key projection (functions.zorder.morton_key): the
+    clustering key ``write_clustered`` sorts by for 2-D data skipping —
+    pure shift/mask integer arithmetic, codegen'd, bit-exact in SQL."""
+    from news_data_pipeline_spark.functions.zorder import morton_key
+
+    events = load_table(spark, sf_dir, "events")
+    zx = (F.coalesce(F.col("user_id"), F.lit(0)) % 256).alias("zx")
+    zy = (
+        F.greatest(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long"),
+            F.lit(0).cast("long"),
+        )
+        % 256
+    ).alias("zy")
+    d = events.select("event_id", zx, zy)
+    return d.select(
+        "event_id", "zx", "zy",
+        morton_key(F.col("zx"), F.col("zy"), bits=8).alias("zkey"),
+    )
+
+
 @register(
     "approx_value_percentiles",
     oracle="""

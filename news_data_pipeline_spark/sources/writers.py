@@ -298,7 +298,13 @@ def write_clustered(
     fix for selective queries over 100-TB fact tables. Cluster by the
     columns your filters actually use (time, tenant, key ranges).
     """
-    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    from pyspark.sql import Column
+
+    cols = (
+        [cluster_by]
+        if isinstance(cluster_by, (str, Column))
+        else list(cluster_by)
+    )
     n = num_files or df.sparkSession.sparkContext.defaultParallelism
     out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
     out.write.format(fmt).mode(mode).save(path)

@@ -276,3 +276,55 @@ def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     # and a selective filter must prune files at planning time
     hits = spark.read.parquet(path).where("k BETWEEN 100 AND 200")
     assert hits.count() == 101
+
+
+def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
+    # 64x64 grid written as 4 files clustered by the Morton key: each
+    # file must cover one quadrant — BOTH x and y bounded to half the
+    # range per file. 1-D clustering can only bound one of them.
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.zorder import morton_key
+    from news_data_pipeline_spark.sources.writers import write_clustered
+
+    grid = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    path = str(tmp_path / "zordered")
+    write_clustered(
+        grid.withColumn("z", morton_key(F.col("x"), F.col("y"), bits=6)),
+        path,
+        cluster_by="z",
+        num_files=16,
+    )
+    files = sorted((tmp_path / "zordered").glob("*.parquet"))
+    assert len(files) >= 8
+    spans = {"x": [], "y": []}
+    for f in files:
+        meta = pq.ParquetFile(str(f)).metadata
+        stats = {}
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.row_group(rg).num_columns):
+                col = meta.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in ("x", "y"):
+                    lo, hi = stats.get(name, (64, -1))
+                    stats[name] = (
+                        min(lo, col.statistics.min),
+                        max(hi, col.statistics.max),
+                    )
+        for d in ("x", "y"):
+            spans[d].append(stats[d][1] - stats[d][0])
+    # Each file covers a handful of adjacent 16x16 Morton tiles (range
+    # boundaries are sampled, so files straddle tile seams) — BOTH
+    # dimensions stay well under the full 0..63 span in every file,
+    # which 1-D clustering cannot do (the unclustered dim spans ~63
+    # everywhere), and typical files are tile-tight.
+    assert max(spans["x"]) <= 48 and max(spans["y"]) <= 48
+    assert sum(spans["x"]) / len(spans["x"]) <= 32
+    assert sum(spans["y"]) / len(spans["y"]) <= 32
