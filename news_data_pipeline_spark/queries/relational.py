@@ -261,6 +261,37 @@ def part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "supplier_balance_distribution",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(percent_rank() OVER w, 6) AS bal_pct_rank,
+           round(cume_dist()    OVER w, 6) AS bal_cume_dist,
+           CAST(ntile(4) OVER w AS INT)    AS bal_quartile,
+           first_value(s_suppkey) OVER w   AS poorest_supp,
+           nth_value(s_suppkey, 2) OVER w  AS second_poorest_supp
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-window surface (percent_rank / cume_dist /
+    ntile / first_value / nth_value) per nation — deterministic via the
+    (acctbal, suppkey) total order; default running frame on both
+    engines so nth_value is null until two rows have been seen."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.first("s_suppkey").over(w).alias("poorest_supp"),
+        F.nth_value("s_suppkey", 2).over(w).alias("second_poorest_supp"),
+    )
+
+
 # --- set operations (U1 + the surface the reference lacks) ----------------
 @register(
     "nation_union_distinct",
