@@ -20,13 +20,19 @@ from pyspark.sql import Column
 def quantize(col: Column, *, lo: float, hi: float, bits: int = 16) -> Column:
     """Map a numeric column into ``[0, 2^bits)`` by linear bucketing over
     ``[lo, hi]`` (clamped). Rank-preserving, so range filters on the
-    original column translate to range filters on the quantized one."""
+    original column translate to range filters on the quantized one.
+    NULL propagates (Spark's least/greatest SKIP nulls, which would
+    otherwise silently send null rows to the TOP bucket) — coalesce
+    before quantizing if nulls should cluster somewhere specific."""
+    if hi <= lo:
+        raise ValueError(f"quantize needs hi > lo, got [{lo}, {hi}]")
     span = hi - lo
     scaled = F.floor((col - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1))
-    return F.greatest(
+    clamped = F.greatest(
         F.lit(0).cast("long"),
         F.least(scaled.cast("long"), F.lit((1 << bits) - 1).cast("long")),
     )
+    return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def _spread_bits(col: Column, bits: int) -> Column:

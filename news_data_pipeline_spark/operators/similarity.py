@@ -216,11 +216,16 @@ def kmeans_iterate(
                 lambda s: s["m"],
             ).alias("c_vec")
         )
-        # empty cells: keep the previous centroid
+        # empty cells: keep the previous centroid. localCheckpoint pins
+        # each iteration's result (nlist tiny rows): without it the plan
+        # embeds the previous cents TWICE per iteration (assignment +
+        # empty-cell join), doubling plan size per iteration and blowing
+        # up Catalyst analysis time long before any task runs.
         cents = (
             cents.select("cid", F.col("c_vec").alias("old"))
             .join(new_cents, on="cid", how="left")
             .select("cid", F.coalesce("c_vec", "old").alias("c_vec"))
+            .localCheckpoint(eager=True)
         )
     return cents.select("cid", F.col("c_vec").alias("centroid"))
 
@@ -255,8 +260,14 @@ def ivf_topk(
             .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec"))
         )
     else:
+        # accept either (cid, centroid) — kmeans_iterate's output, so
+        # training composes directly — or the corpus (id_col, vec_col)
+        cols = set(centroids.columns)
+        cid_src, vec_src = (
+            ("cid", "centroid") if {"cid", "centroid"} <= cols else (id_col, vec_col)
+        )
         centroids = centroids.select(
-            F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec")
+            F.col(cid_src).alias("cid"), _as_double(vec_src).alias("c_vec")
         )
 
     # ||c||^2 hoisted once per centroid; dot(v,v) is rank-invariant per

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 
 def write_layer(
@@ -283,7 +283,7 @@ def write_clustered(
     df: DataFrame,
     path: str,
     *,
-    cluster_by: str | Sequence[str],
+    cluster_by: str | Column | Sequence[str | Column],
     num_files: int | None = None,
     mode: str = "overwrite",
     fmt: str = "parquet",
@@ -298,8 +298,6 @@ def write_clustered(
     fix for selective queries over 100-TB fact tables. Cluster by the
     columns your filters actually use (time, tenant, key ranges).
     """
-    from pyspark.sql import Column
-
     cols = (
         [cluster_by]
         if isinstance(cluster_by, (str, Column))

@@ -89,6 +89,7 @@ def publish_snapshots(
     fmt: str = "parquet",
     available_now: bool = False,
     keep_versions: int = 2,
+    vacuum_min_age_seconds: float = 3600.0,
 ) -> StreamingQuery:
     """Streaming materialized view with ATOMIC publishes.
 
@@ -98,8 +99,11 @@ def publish_snapshots(
     through ``VersionedLayer.overwrite`` makes each refresh a pointer
     swap: a reader always loads a complete snapshot — the previous one
     until the instant the new one commits. Old snapshots are vacuumed
-    inline (never the current one, and never inside the stage-to-commit
-    grace window of a concurrent writer).
+    inline (never the current one, and never inside the vacuum grace
+    window): with the default 1-hour ``vacuum_min_age_seconds``, a
+    fast-triggering stream accumulates up to an hour of snapshots on
+    disk before pruning — lower it (to, say, 2-3 trigger intervals) for
+    high-frequency refreshes of large aggregates.
 
     This is the Spark-native answer to the reference's Delta gold
     tables refreshed per run (``_lib_dq_helpers.py:216,226``): the same
@@ -110,10 +114,21 @@ def publish_snapshots(
     layer = VersionedLayer(layer_path, fmt=fmt)
 
     def _publish(batch: DataFrame, batch_id: int) -> None:
-        if not batch.head(1):
-            return
-        layer.overwrite(batch)
-        layer.vacuum(batch.sparkSession, keep=keep_versions)
+        # both the emptiness probe and the write consume the aggregate —
+        # cache so the (possibly expensive) complete-mode result computes
+        # once per trigger, mirroring run_dq(cache=True) in the DQ sink
+        batch.persist()
+        try:
+            if not batch.head(1):
+                return
+            layer.overwrite(batch)
+        finally:
+            batch.unpersist()
+        layer.vacuum(
+            batch.sparkSession,
+            keep=keep_versions,
+            min_age_seconds=vacuum_min_age_seconds,
+        )
 
     writer = (
         aggregated.writeStream.outputMode("complete")
