@@ -1,0 +1,140 @@
+"""Training-sequence packing: lay documents end-to-end in a
+deterministic global order and split at fixed context-length
+boundaries — the layout step between a curated corpus and a
+pretraining data loader.
+
+The reference has no counterpart (it stops at gold tables); this is
+part of the beyond-reference LLM-data surface. The standard recipe
+("concatenate and chunk") needs one global running sum of token
+counts — the textbook implementation is a global window
+(``sum().over(Window.orderBy(...))``), which Spark executes on a
+SINGLE partition: a non-starter at 100 TB. This module reuses the
+two-pass range-partition pattern from ``functions.ids.global_row_number``:
+``repartitionByRange`` on the order key, per-partition running sums,
+then broadcast per-partition offsets — every stage is parallel and the
+only driver-side data is one row per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running sum of ``value_col`` over a GLOBAL sort order — without a
+    single-partition window.
+
+    Same shape as ``global_row_number`` (see that docstring for why the
+    eager ``localCheckpoint`` is load-bearing: range boundaries are
+    sampled per job, so the offsets pass and the caller's action must
+    see the SAME partitioning). ``order_by`` should be a total order
+    (include a unique tie-break key) for cross-run determinism.
+    ``out_col`` is INCLUSIVE of the current row.
+    """
+    spark = df.sparkSession
+    order_cols = list(order_by)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summed = ranged.withColumn(
+        "__run", F.sum(F.col(value_col).cast("long")).over(w)
+    ).localCheckpoint(eager=True)
+    totals = (
+        summed.groupBy("__pid").agg(F.max("__run").alias("__tot")).collect()
+    )
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__tot"] or 0
+    if not offsets:  # empty input
+        return summed.withColumn(out_col, F.col("__run")).drop("__pid", "__run")
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    return (
+        summed.join(F.broadcast(offset_df), on="__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__offset"))
+        .drop("__pid", "__run", "__offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens: Column | str,
+    *,
+    ctx_len: int,
+    salt: str = "pack:",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document a position in the packed token stream and
+    the context windows it lands in (concatenate-and-chunk packing).
+
+    Documents are laid end-to-end in a deterministic hash order
+    (``md5(salt || id)``, tie-broken by id — stable across runs,
+    engines, and corpus repartitioning, and it shuffles correlated
+    documents apart, which is exactly what the training loader wants).
+    The stream is then cut every ``ctx_len`` tokens; a document may
+    span a cut (standard pretraining packing — the loader masks or
+    crosses the boundary; this operator just reports the layout).
+
+    Returns one row per input document:
+
+    * ``start_offset`` — 0-based token offset of the document's first
+      token in the global stream;
+    * ``seq_first`` / ``seq_last`` — first / last context-window index
+      the document's tokens touch (zero-token documents sit at their
+      offset: ``seq_last == seq_first``, ``n_ctx == 1``);
+    * ``n_ctx`` — number of context windows spanned.
+
+    Cost: one range shuffle + one broadcast join (see
+    ``global_running_sum``); everything else is codegen arithmetic.
+    """
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    tok = F.col(tokens) if isinstance(tokens, str) else tokens
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        tok.cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("<NULL>")),
+            )
+        ).alias("__ok"),
+    )
+    run = global_running_sum(
+        keyed,
+        ["__ok", "id"],
+        "n_tokens",
+        out_col="__cum",
+        num_partitions=num_partitions,
+    )
+    start = F.col("__cum") - F.col("n_tokens")
+    seq_first = F.floor(start / ctx_len)
+    # last token sits at __cum - 1; greatest() pins zero-token docs to
+    # their start window instead of window (start-1)/ctx
+    seq_last = F.floor(F.greatest(F.col("__cum") - 1, start) / ctx_len)
+    return run.select(
+        F.col("id"),
+        F.col("n_tokens"),
+        start.alias("start_offset"),
+        seq_first.cast("long").alias("seq_first"),
+        seq_last.cast("long").alias("seq_last"),
+        (seq_last - seq_first + 1).cast("long").alias("n_ctx"),
+    )

@@ -104,3 +104,46 @@ def deterministic_sample(
         F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
     )
     return df.where(hash_bucket(keyed) < round(fraction * _BUCKETS))
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    *,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Down/up-weight data sources by keeping a per-group fraction of
+    rows — the mixture-reweighting step of a training-data pipeline
+    (e.g. keep all wiki, half of web, a tenth of boilerplate-heavy
+    crawls). ``rates`` maps ``group_col`` values to keep-fractions;
+    unlisted (and NULL) groups use ``default_rate``.
+
+    Membership is the same pure row-hash as ``deterministic_sample``
+    (salted by the group value, so groups draw independently):
+    reproducible across runs and engines, stable under corpus growth,
+    and executed as one codegen'd filter — no shuffle, no RNG state.
+    Changing a group's rate only adds/removes rows at the moving
+    threshold; every row kept at rate r stays kept at rate r' > r
+    (nested samples, the property that makes mixture sweeps cheap to
+    compare).
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    thr = F.lit(round(default_rate * _BUCKETS))
+    for name, r in rates.items():
+        thr = F.when(F.col(group_col) == name, F.lit(round(r * _BUCKETS))).otherwise(
+            thr
+        )
+    keyed = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>")),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
+    )
+    return df.where(hash_bucket(keyed) < thr)

@@ -925,3 +925,149 @@ def training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
         "split",
     )
+
+
+@register(
+    "packed_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST({_DUCK_TOKENS} AS BIGINT) AS n_tokens,
+               md5('pack:' || coalesce(CAST(doc_id AS VARCHAR), '<NULL>')) AS ok
+        FROM documents),
+    run AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY ok, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM toks)
+    SELECT doc_id AS id, n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 2048 AS seq_first,
+           greatest(cum - 1, cum - n_tokens) // 2048 AS seq_last,
+           greatest(cum - 1, cum - n_tokens) // 2048
+             - (cum - n_tokens) // 2048 + 1 AS n_ctx
+    FROM run
+    """,
+)
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators.packing.pack_sequences):
+    documents laid end-to-end in deterministic hash order, chunked at
+    ctx_len=2048 — the global running sum runs as range-partitioned
+    per-partition sums + broadcast offsets, never a single-partition
+    window. The oracle's textbook global window IS the semantics being
+    replicated; the Spark side is the scale-safe execution of it."""
+    from news_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", T.token_count(F.col("text")), ctx_len=2048
+    )
+
+
+@register(
+    "mixture_sampled_stats",
+    oracle=f"""
+    WITH kept AS (
+        SELECT source, CAST({_DUCK_TOKENS} AS BIGINT) AS n_tokens
+        FROM documents
+        WHERE CAST(concat('0x', substring(md5(
+                  concat_ws(chr(31), 'mix:', coalesce(source, '<NULL>'),
+                            coalesce(CAST(doc_id AS VARCHAR), '<NULL>'))
+              ), 1, 8)) AS BIGINT) % 10000
+              < CASE source WHEN 'src1' THEN 10000 WHEN 'src2' THEN 7500
+                            WHEN 'src3' THEN 5000  WHEN 'src4' THEN 2500
+                            ELSE 1000 END)
+    SELECT source, count(*) AS rows_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+    """,
+)
+def mixture_sampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting (operators.sampling.mixture_sample): keep a
+    per-source fraction of documents by pure row-hash — one codegen'd
+    filter, no shuffle until the audit aggregate. Nested samples: a
+    row kept at rate r stays kept at any higher rate, so mixture
+    sweeps are comparable run-to-run."""
+    from news_data_pipeline_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        "doc_id",
+        "source",
+        rates={"src1": 1.0, "src2": 0.75, "src3": 0.5, "src4": 0.25},
+        default_rate=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("tokens_kept"),
+    )
+
+
+@register(
+    "hot_shingles_topk",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES})
+    SELECT shingle, count(*) AS doc_freq
+    FROM shingles GROUP BY shingle
+    ORDER BY doc_freq DESC, shingle LIMIT 20
+    """,
+)
+def hot_shingles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector: top-20 word 3-grams by document
+    frequency — the empirical input for tuning ngram_jaccard_pairs'
+    max_df stop-shingle cap (see operators.dedup.shared_shingles).
+    One map-side-combined groupBy + a bounded TakeOrdered; tie-broken
+    by shingle so the top-k set is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(20)
+    )
+
+
+@register(
+    "quality_band_per_lang",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, lang,
+               {_DUCK_WORDS} AS wc,
+               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
+                     / greatest(length(text), 1)::DOUBLE, 4) AS pr
+        FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               round(least(wc / 50.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
+                     + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
+                     4) AS quality
+        FROM m),
+    ranked AS (
+        SELECT doc_id, lang, quality,
+               percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS qr
+        FROM scored)
+    SELECT doc_id, lang, quality, round(qr, 6) AS q_rank
+    FROM ranked WHERE qr >= 0.1 AND qr <= 0.9
+    """,
+)
+def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band corpus filtering: keep documents inside the
+    [p10, p90] quality band WITHIN each language — per-stratum rank
+    filtering drops each language's own worst and degenerate-best
+    tails instead of letting one language's score distribution set a
+    global cutoff. The window partitions by lang (parallel; never the
+    single-partition global window) and percent_rank is tie-stable, so
+    the kept set is deterministic in both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("quality")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    ).withColumn("qr", F.percent_rank().over(w))
+    return scored.where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9)).select(
+        "doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank")
+    )

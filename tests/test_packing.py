@@ -1,0 +1,125 @@
+"""Sequence-packing and mixture-sampling invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from news_data_pipeline_spark.operators.packing import (
+    global_running_sum,
+    pack_sequences,
+)
+from news_data_pipeline_spark.operators.sampling import mixture_sample
+
+
+def docs(spark, n=500):
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        "(id % 37) + 1 AS n_tok",
+        "concat('s', CAST(id % 4 AS STRING)) AS source",
+    )
+
+
+def test_running_sum_matches_global_window(spark):
+    df = docs(spark)
+    got = {
+        r["doc_id"]: r["rs"]
+        for r in global_running_sum(
+            df, ["doc_id"], "n_tok", out_col="rs", num_partitions=7
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i in range(500):
+        acc += (i % 37) + 1
+        want[i] = acc
+    assert got == want
+
+
+def test_running_sum_empty_input(spark):
+    df = docs(spark).where("doc_id < 0")
+    assert global_running_sum(df, ["doc_id"], "n_tok").count() == 0
+
+
+def test_pack_layout_is_a_partition_of_the_token_stream(spark):
+    df = docs(spark)
+    rows = pack_sequences(
+        df, "doc_id", F.col("n_tok"), ctx_len=64, num_partitions=5
+    ).collect()
+    assert len(rows) == 500
+    total = sum((i % 37) + 1 for i in range(500))
+    # offsets tile [0, total) exactly: sorted starts are contiguous
+    by_start = sorted(rows, key=lambda r: r["start_offset"])
+    expect = 0
+    for r in by_start:
+        assert r["start_offset"] == expect
+        expect += r["n_tokens"]
+    assert expect == total
+    for r in rows:
+        assert r["seq_first"] == r["start_offset"] // 64
+        last_tok = r["start_offset"] + max(r["n_tokens"] - 1, 0)
+        assert r["seq_last"] == last_tok // 64
+        assert r["n_ctx"] == r["seq_last"] - r["seq_first"] + 1
+
+
+def test_pack_is_stable_under_repartitioning(spark):
+    df = docs(spark)
+    a = pack_sequences(df, "doc_id", F.col("n_tok"), ctx_len=64, num_partitions=3)
+    b = pack_sequences(
+        df.repartition(13), "doc_id", F.col("n_tok"), ctx_len=64, num_partitions=11
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_zero_token_docs_keep_a_window(spark):
+    df = spark.range(10).selectExpr("id AS doc_id", "0 AS n_tok")
+    rows = pack_sequences(df, "doc_id", F.col("n_tok"), ctx_len=8).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["start_offset"] == 0
+        assert r["seq_first"] == r["seq_last"] == 0
+        assert r["n_ctx"] == 1
+
+
+def test_pack_rejects_bad_ctx(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(docs(spark), "doc_id", F.col("n_tok"), ctx_len=0)
+
+
+def test_mixture_rates_apply_per_group(spark):
+    df = docs(spark, n=4000)
+    kept = mixture_sample(
+        df, "doc_id", "source", rates={"s0": 1.0, "s1": 0.5, "s2": 0.0}, default_rate=0.25
+    )
+    counts = {
+        r["source"]: r["count"] for r in kept.groupBy("source").count().collect()
+    }
+    assert counts["s0"] == 1000  # rate 1.0 keeps everything
+    assert "s2" not in counts  # rate 0.0 keeps nothing
+    assert abs(counts["s1"] / 1000 - 0.5) < 0.06
+    assert abs(counts.get("s3", 0) / 1000 - 0.25) < 0.06  # default_rate
+
+
+def test_mixture_samples_nest(spark):
+    df = docs(spark, n=4000)
+    lo = mixture_sample(df, "doc_id", "source", rates={}, default_rate=0.2)
+    hi = mixture_sample(df, "doc_id", "source", rates={}, default_rate=0.6)
+    lo_ids = {r["doc_id"] for r in lo.select("doc_id").collect()}
+    hi_ids = {r["doc_id"] for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+
+
+def test_mixture_null_group_uses_default(spark):
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(NULL AS STRING) AS source"
+    )
+    kept = mixture_sample(
+        df, "doc_id", "source", rates={"x": 1.0}, default_rate=0.3
+    )
+    assert abs(kept.count() / 1000 - 0.3) < 0.08
+
+
+def test_mixture_rejects_bad_rates(spark):
+    with pytest.raises(ValueError):
+        mixture_sample(docs(spark), "doc_id", "source", rates={"s0": 1.5})
+    with pytest.raises(ValueError):
+        mixture_sample(docs(spark), "doc_id", "source", rates={}, default_rate=-0.1)
