@@ -75,6 +75,20 @@ def main() -> None:
     qmap["pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Pre-fork the Python worker pool (one per core) and import pandas in
+    # each: Arrow-stage queries should measure decode throughput, not 32
+    # one-time worker cold starts. Workers are reused across queries
+    # (spark.python.worker.reuse default), so this pays the fork exactly
+    # where warm-up belongs.
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _touch(batches):
+        for b in batches:
+            yield b
+
+    spark.range(n_workers * 4).repartition(n_workers).mapInPandas(
+        _touch, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from news_data_pipeline_spark.functions.text import fingerprint
+from news_data_pipeline_spark.operators.fanout import fan_out
 
 
 def exact_dedup(
@@ -41,7 +42,9 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-dup: dedup on the normalization fingerprint
     (case/punct/whitespace-insensitive), keeping the lowest id."""
     return exact_dedup(
-        df.withColumn("__fp", fingerprint(F.col(text_col))),
+        # fan_out: the normalization regexp + md5 over full text is the
+        # cost here and would otherwise pipeline onto a one-task scan
+        fan_out(df).withColumn("__fp", fingerprint(F.col(text_col))),
         keys=["__fp"],
         tie_break=[id_col],
     ).drop("__fp")
@@ -61,9 +64,13 @@ def word_shingles(
     # split(...) expression inside the transform lambda would re-split
     # the text once per shingle (quadratic per document). Likewise,
     # per-word F.get is O(1) where F.slice would copy O(n_words).
-    with_words = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+    # fan_out BEFORE the split: on a small/single-row-group scan the
+    # whole shingle+hash pipeline would otherwise run in one task.
+    with_words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.split(F.trim(F.col("__t")), r"\s+").alias("__words"),
     )
     words = F.col("__words")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
@@ -394,9 +401,11 @@ def embedding_neardup_pairs(
     # the per-pair math is dot/(na*nb) — identical operation order, so
     # results are bit-for-bit the same as the naive formula.
     v = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).cast("array<double>").alias("e"),
+        fan_out(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).cast("array<double>").alias("e"),
+            )
         )
         .withColumn("bucket", sign_bucket(F.col("e"), m))
         .withColumn("nrm", l2_norm(F.col("e")))
@@ -444,8 +453,10 @@ def winnow_fingerprints(
     bounded range window per document — every stage shuffles only by
     doc id, exactly once.
     """
-    normalized = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    with_text = df.select(F.col(id_col).alias("id"), normalized.alias("__t"))
+    raw = fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__raw")))
+    with_text = raw.select(
+        "id", F.lower(F.regexp_replace(F.col("__raw"), r"\s+", " ")).alias("__t")
+    )
     idx = F.sequence(
         F.lit(0), F.greatest(F.length("__t") - k, F.lit(0))
     )

@@ -36,6 +36,8 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+from news_data_pipeline_spark.operators.fanout import fan_out
+
 IMG_MAGIC = b"FIMG"
 AUD_MAGIC = b"FAUD"
 VID_MAGIC = b"FVID"
@@ -186,7 +188,7 @@ def decode_images(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 rows, columns=["id", "width", "height", "mean_pixel", "pixel_hash"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
 
 
 def resize_images(
@@ -215,7 +217,7 @@ def resize_images(
                 payloads.append(IMG_MAGIC + struct.pack("<II", nw, nh) + resized)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
-    return df.select(id_col, payload_col).mapInPandas(resize, "id long, payload binary")
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(resize, "id long, payload binary")
 
 
 def sample_frames(
@@ -245,7 +247,7 @@ def sample_frames(
                 {"id": ids, "frame_no": frame_nos, "payload": payloads}
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
         sample, "id long, frame_no int, payload binary"
     )
 
@@ -277,7 +279,7 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                 rows, columns=["id", "sample_rate", "duration_sec", "mean_amplitude"]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
         feats, "id long, sample_rate int, duration_sec double, mean_amplitude double"
     )
 
@@ -308,6 +310,6 @@ def image_embeddings(
                 vecs.append([round(h / total, 6) for h in hist])
             yield pd.DataFrame({"id": ids, "embedding": vecs})
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
         embed, "id long, embedding array<double>"
     )

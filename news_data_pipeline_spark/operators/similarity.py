@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from news_data_pipeline_spark.operators.fanout import fan_out
+
 
 def _as_double(col) -> Column:
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
@@ -64,9 +66,13 @@ def cosine_topk(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("q_vec"),
     ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("c_vec"),
+    # fan_out: the per-(query, vector) array folds below pipeline onto
+    # the corpus scan — a one-task scan would serialize all the math
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("c_vec"),
+        )
     ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -131,10 +137,12 @@ def signbucket_topk(
         _as_double(vec_col).alias("q_vec"),
         sign_bucket(_as_double(vec_col), m).alias("bucket"),
     ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(vec_col).alias("c_vec"),
-        sign_bucket(_as_double(vec_col), m).alias("bucket"),
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("c_vec"),
+            sign_bucket(_as_double(vec_col), m).alias("bucket"),
+        )
     ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
     scored = (
         c.join(F.broadcast(q), on="bucket")
@@ -190,8 +198,8 @@ def kmeans_iterate(
     cents = centroids.select(
         F.col("cid"), _as_double("centroid").alias("c_vec")
     )
-    vecs = corpus.select(
-        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    vecs = fan_out(
+        corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     )
     for _ in range(iters):
         c2 = cents.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
@@ -276,8 +284,8 @@ def ivf_topk(
     centroids = centroids.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
 
     def assign(df: DataFrame, out_id: str, n_cells: int) -> DataFrame:
-        scored = df.select(
-            F.col(id_col).alias(out_id), _as_double(vec_col).alias("v")
+        scored = fan_out(
+            df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias("v"))
         ).join(F.broadcast(centroids), how="cross")
         w = Window.partitionBy(out_id).orderBy(
             F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
