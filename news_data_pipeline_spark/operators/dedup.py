@@ -218,28 +218,74 @@ def ngram_jaccard_pairs(
     score lower or disappear; use the MinHash/LSH path for recall and
     this as the candidate verifier. Jaccard is rounded to 4dp before
     thresholding so the oracle's float math agrees.
+
+    Physical strategy follows the cap: with ``max_df`` set, posting
+    lists are bounded arrays, so pairs come from one collect_list
+    aggregate per shingle (a single shuffle); without it, the
+    equi-self-join streams unbounded posting lists without ever
+    materializing one. Both emit the identical pair multiset.
     """
-    # The self-join sides and the size joins all read the same shingle
-    # subplan; AQE materializes its shuffle once and reuses the stage —
-    # no persist needed (see lsh_candidate_pairs).
+    # Identical subplans (the shingle table feeding several shuffles)
+    # share one materialized exchange under AQE — no persist needed
+    # (see lsh_candidate_pairs).
     sh = word_shingles(df, id_col, text_col, n=n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_shared = sh.join(
-        shared_shingles(sh, max_df=max_df), on="shingle", how="left_semi"
-    )
-    a = sh_shared.alias("a")
-    b = sh_shared.alias("b")
-    common = (
-        a.join(
-            b,
-            on=[
-                F.col("a.shingle") == F.col("b.shingle"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+    if max_df is not None:
+        # Bounded-df path: posting lists are capped at max_df ids, so
+        # collect them per shingle and emit pairs from the (<= max_df
+        # choose 2)-element array — ONE shuffle by shingle, where the
+        # self-join path needs the df-count exchange, the semi-join, and
+        # the join's own exchanges. The count-window reuses the same
+        # exchange the collect_list aggregate needs (partitioning
+        # already satisfied), and the filter runs before any list is
+        # built, so no array ever exceeds max_df elements.
+        w_sh = Window.partitionBy("shingle")
+        kept = sh.withColumn("__df", F.count(F.lit(1)).over(w_sh)).where(
+            (F.col("__df") > 1) & (F.col("__df") <= max_df)
         )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+        posts = kept.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        )
+        ids = F.col("ids")
+        pairs = posts.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        lambda a, i: F.transform(
+                            # (id, shingle) is distinct, so the sorted
+                            # list is strictly increasing: suffix pairing
+                            # yields each id_a < id_b exactly once
+                            F.slice(ids, i + 2, F.size(ids)),
+                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_a", "p.id_b")
+        common = pairs.groupBy("id_a", "id_b").agg(
+            F.count(F.lit(1)).alias("common")
+        )
+    else:
+        # Exact/unbounded path: a hot shingle's posting list must never
+        # materialize as one array, so pairs come from the equi-self-join
+        # (linear rows in, df^2 rows out, streamed — never held).
+        sh_shared = sh.join(
+            shared_shingles(sh, max_df=None), on="shingle", how="left_semi"
+        )
+        a = sh_shared.alias("a")
+        b = sh_shared.alias("b")
+        common = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.shingle") == F.col("b.shingle"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     return (
