@@ -243,26 +243,20 @@ def ngram_jaccard_pairs(
         kept = sh.withColumn("__df", F.count(F.lit(1)).over(w_sh)).where(
             (F.col("__df") > 1) & (F.col("__df") <= max_df)
         )
-        posts = kept.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("id")).alias("ids")
+        posts = kept.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+        # Pairs via two codegen'd explodes + a filter, NOT nested
+        # transform/slice/struct lambdas: higher-order array functions
+        # are interpreted per element, and at ~millions of generated
+        # pairs that interpretation dominated the whole operator
+        # (measured 1.9 s -> 1.2 s at sf0.1). The double explode emits
+        # df^2 rows streamed through GenerateExec; id_a < id_b keeps
+        # each unordered pair exactly once ((id, shingle) is distinct,
+        # so no self-pair survives and no pair repeats within a list).
+        pairs = (
+            posts.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
         )
-        ids = F.col("ids")
-        pairs = posts.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        ids,
-                        lambda a, i: F.transform(
-                            # (id, shingle) is distinct, so the sorted
-                            # list is strictly increasing: suffix pairing
-                            # yields each id_a < id_b exactly once
-                            F.slice(ids, i + 2, F.size(ids)),
-                            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select("p.id_a", "p.id_b")
         common = pairs.groupBy("id_a", "id_b").agg(
             F.count(F.lit(1)).alias("common")
         )
