@@ -77,15 +77,12 @@ def main() -> None:
     spark = get_spark("bench")
     qmap = query_map()
 
-    # Warm-up: JIT/codegen/Arrow init on a tiny query, not on the clock.
-    qmap["pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
     # Pre-fork the Python worker pool (one per core) and import pandas in
     # each: Arrow-stage queries should measure decode throughput, not 32
     # one-time worker cold starts. Workers are reused across queries
     # (spark.python.worker.reuse default), so this pays the fork exactly
-    # where warm-up belongs.
+    # where warm-up belongs. JVM/codegen warm-up comes from the full
+    # un-timed suite pass below.
     n_workers = spark.sparkContext.defaultParallelism
 
     def _touch(batches):

@@ -233,15 +233,17 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         # Bounded-df path: posting lists are capped at max_df ids, so
         # collect them per shingle and emit pairs from the (<= max_df
-        # choose 2)-element array — ONE shuffle by shingle, where the
-        # self-join path needs the df-count exchange, the semi-join, and
-        # the join's own exchanges. The count-window reuses the same
-        # exchange the collect_list aggregate needs (partitioning
-        # already satisfied), and the filter runs before any list is
-        # built, so no array ever exceeds max_df elements.
-        w_sh = Window.partitionBy("shingle")
-        kept = sh.withColumn("__df", F.count(F.lit(1)).over(w_sh)).where(
-            (F.col("__df") > 1) & (F.col("__df") <= max_df)
+        # choose 2)-element array. Document frequency comes from the
+        # map-side-combined aggregate in shared_shingles — NOT a
+        # count-window by shingle, which would shuffle every occurrence
+        # of an ultra-hot boilerplate shingle into ONE window task just
+        # to discard it (no partial aggregation, no skew handling). The
+        # semi-join routes hot-shingle rows through a sort-merge join
+        # that AQE's skew handling can split; only df-in-[2,max_df]
+        # rows reach the collect_list, so no array exceeds max_df and
+        # that shuffle has no skewed keys left.
+        kept = sh.join(
+            shared_shingles(sh, max_df=max_df), on="shingle", how="left_semi"
         )
         posts = kept.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
         # Pairs via two codegen'd explodes + a filter, NOT nested

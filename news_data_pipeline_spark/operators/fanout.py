@@ -20,13 +20,61 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical nodes that are narrow over their child: a plan made only of
+# these (over a leaf) has no exchanges, so Dataset.rdd builds the RDD
+# lazily without running anything. Anything else (Join, Aggregate,
+# Window, Repartition, ...) is skipped — see fan_out.
+_NARROW_NODES = frozenset(
+    {
+        "Relation",
+        "LogicalRDD",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "Range",
+        "OneRowRelation",
+        # Arrow map stages are narrow; a decode chained on a scan still
+        # deserves the fan-out
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapPartitions",
+    }
+)
+
+
+def _is_narrow_scan_chain(df: DataFrame) -> bool:
+    """True iff every node of the analyzed logical plan is narrow (no
+    shuffle below), making ``df.rdd.getNumPartitions()`` free.
+
+    Under AQE, ``Dataset.rdd`` on a plan WITH exchanges materializes
+    every query stage at plan-construction time — real jobs run, and
+    the caller's action then recomputes them in a fresh execution.
+    Inspecting partition counts is only safe on shuffle-free plans, and
+    those are also the only plans that need the fan-out: anything
+    downstream of a shuffle is already ``spark.sql.shuffle.partitions``
+    wide. Unrecognized nodes fail conservative (no fan-out).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
+        if node and node not in _NARROW_NODES:
+            return False
+    return True
+
 
 def fan_out(df: DataFrame, *, min_partitions: int | None = None) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: the
-    session's ``defaultParallelism``) iff it currently has fewer
-    partitions. Streaming frames pass through untouched (no static
-    partition count to inspect; the microbatch source sizes those)."""
-    if df.isStreaming:
+    session's ``defaultParallelism``) iff it is a narrow scan-shaped
+    plan currently carrying fewer partitions. Streaming frames and
+    plans containing any wide node pass through untouched — the former
+    have no static partition count, the latter are already
+    shuffle-partitioned AND probing them would eagerly execute their
+    upstream stages under AQE."""
+    if df.isStreaming or not _is_narrow_scan_chain(df):
         return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism

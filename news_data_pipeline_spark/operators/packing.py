@@ -55,9 +55,12 @@ def global_running_sum(
     summed = ranged.withColumn(
         "__run", F.sum(F.col(value_col).cast("long")).over(w)
     ).localCheckpoint(eager=True)
-    totals = (
-        summed.groupBy("__pid").agg(F.max("__run").alias("__tot")).collect()
-    )
+    # partition total = sum of the values, NOT max(__run): with negative
+    # values the running sum is not monotone, so its max overshoots the
+    # true total and every later partition's offset would be wrong
+    totals = summed.groupBy("__pid").agg(
+        F.sum(F.col(value_col).cast("long")).alias("__tot")
+    ).collect()
     offsets: list[tuple[int, int]] = []
     acc = 0
     for row in sorted(totals, key=lambda r: r["__pid"]):
@@ -104,6 +107,13 @@ def pack_sequences(
 
     Cost: one range shuffle + one broadcast join (see
     ``global_running_sum``); everything else is codegen arithmetic.
+
+    Determinism contract: ``id_col`` must be unique and non-null.
+    Duplicate ids (or >1 NULL id) tie on the full sort key, so their
+    relative layout order — and therefore their offsets — is arbitrary
+    per run; NULL ids additionally order differently across engines
+    (Spark sorts NULL first, most SQL engines last). Dedup first
+    (``operators.dedup``) if the corpus can violate this.
     """
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive, got {ctx_len}")

@@ -189,19 +189,34 @@ def kmeans_iterate(
     members — posexplode to (cid, pos, component), one map-side-
     combinable average per (cid, pos), reassemble ordered by position.
     Cost per iteration: one broadcast join + two groupBys; nothing
-    quadratic, nothing on the driver. Empty cells keep their previous
-    centroid (standard Lloyd behavior) rather than vanishing.
+    quadratic. Empty cells keep their previous centroid (standard Lloyd
+    behavior) rather than vanishing.
+
+    This function RUNS ``iters`` jobs at call time (like any ``fit``):
+    each iteration collects the ``nlist`` centroid rows — and only
+    those — to the driver and re-plants them as a literal frame for the
+    next pass. The literal keeps every iteration's plan the same size
+    (the alternative — chaining plans — embeds the previous iteration
+    twice per pass, and Catalyst analysis blows up exponentially; a
+    ``localCheckpoint`` would fix the plan but pins non-reliable blocks
+    that outlive the call, survive ``clearCache``, and vanish with a
+    lost executor instead of recomputing). The returned frame is a
+    plain literal: lazy, composable, nothing retained.
 
     Returns (cid, centroid) with components rounded to 6dp — the
     cross-engine-stable precision the distance rounding expects.
     """
+    spark = corpus.sparkSession
     cents = centroids.select(
         F.col("cid"), _as_double("centroid").alias("c_vec")
     )
+    cent_schema = cents.schema
     vecs = fan_out(
         corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     )
+    rows = [(r["cid"], r["c_vec"]) for r in cents.collect()]
     for _ in range(iters):
+        cents = spark.createDataFrame(rows, cent_schema)
         c2 = cents.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
         scored = vecs.join(F.broadcast(c2), how="cross")
         w = Window.partitionBy("id").orderBy(
@@ -224,18 +239,12 @@ def kmeans_iterate(
                 lambda s: s["m"],
             ).alias("c_vec")
         )
-        # empty cells: keep the previous centroid. localCheckpoint pins
-        # each iteration's result (nlist tiny rows): without it the plan
-        # embeds the previous cents TWICE per iteration (assignment +
-        # empty-cell join), doubling plan size per iteration and blowing
-        # up Catalyst analysis time long before any task runs.
-        cents = (
-            cents.select("cid", F.col("c_vec").alias("old"))
-            .join(new_cents, on="cid", how="left")
-            .select("cid", F.coalesce("c_vec", "old").alias("c_vec"))
-            .localCheckpoint(eager=True)
-        )
-    return cents.select("cid", F.col("c_vec").alias("centroid"))
+        updated = {r["cid"]: r["c_vec"] for r in new_cents.collect()}
+        # empty cells keep their previous centroid
+        rows = [(cid, updated.get(cid, vec)) for cid, vec in rows]
+    return spark.createDataFrame(rows, cent_schema).select(
+        "cid", F.col("c_vec").alias("centroid")
+    )
 
 
 def ivf_topk(
@@ -268,12 +277,21 @@ def ivf_topk(
             .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec"))
         )
     else:
-        # accept either (cid, centroid) — kmeans_iterate's output, so
-        # training composes directly — or the corpus (id_col, vec_col)
+        # Explicit naming wins: (id_col, vec_col) if present, else
+        # kmeans_iterate's (cid, centroid) output so training composes
+        # directly. A frame carrying neither pair is a caller error —
+        # raise instead of guessing (a stray 'cid' column next to the
+        # intended id_col must not silently repoint the selection).
         cols = set(centroids.columns)
-        cid_src, vec_src = (
-            ("cid", "centroid") if {"cid", "centroid"} <= cols else (id_col, vec_col)
-        )
+        if {id_col, vec_col} <= cols:
+            cid_src, vec_src = id_col, vec_col
+        elif {"cid", "centroid"} <= cols:
+            cid_src, vec_src = "cid", "centroid"
+        else:
+            raise ValueError(
+                f"ivf_topk centroids must carry ({id_col!r}, {vec_col!r}) "
+                f"or ('cid', 'centroid'); got {sorted(cols)}"
+            )
         centroids = centroids.select(
             F.col(cid_src).alias("cid"), _as_double(vec_src).alias("c_vec")
         )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from news_data_pipeline_spark.functions import text as T
 from news_data_pipeline_spark.operators import dedup, similarity
+from news_data_pipeline_spark.operators.fanout import fan_out
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
@@ -470,7 +471,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.mapInPandas(build, "doc_id long, payload binary")
+    images = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
     return mm.decode_images(images, "doc_id", "payload").select(
         F.col("id").alias("doc_id"), "width", "height", "mean_pixel", "pixel_hash"
     )
@@ -518,7 +519,7 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    vids = docs.mapInPandas(build, "doc_id long, payload binary")
+    vids = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
     frames = mm.sample_frames(vids, "doc_id", "payload", every=2)
     return frames.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sampled_frames"),
@@ -603,13 +604,13 @@ def multimodal_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    images = docs.mapInPandas(build, "doc_id long, payload binary")
+    images = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
     emb = mm.image_embeddings(images, "doc_id", "payload", dim=16)
     # Build the query side from PRE-FILTERED docs: filters can't push
     # through mapInPandas, so emb.where(id < 10) would re-run the full
     # synthesize+decode+embed pipeline over every document just to keep
     # 10 rows — this path decodes exactly the 10 query docs.
-    q_images = docs.where(F.col("doc_id") < 10).mapInPandas(
+    q_images = fan_out(docs.where(F.col("doc_id") < 10)).mapInPandas(
         build, "doc_id long, payload binary"
     )
     queries = mm.image_embeddings(q_images, "doc_id", "payload", dim=16)
@@ -1058,16 +1059,47 @@ def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     [p10, p90] quality band WITHIN each language — per-stratum rank
     filtering drops each language's own worst and degenerate-best
     tails instead of letting one language's score distribution set a
-    global cutoff. The window partitions by lang (parallel; never the
-    single-partition global window) and percent_rank is tie-stable, so
-    the kept set is deterministic in both engines."""
+    global cutoff.
+
+    Scale shape: a percent_rank window partitioned by lang would funnel
+    the dominant language's ENTIRE corpus through one sort task (web
+    corpora are routinely 80% one language — that IS the global-window
+    trap with extra steps). Instead the rank is computed value-
+    compressed: quality is 4dp-rounded, so per language there are at
+    most ~10^4 distinct values — group to (lang, quality, count), run
+    the rank arithmetic on that bounded frame, and join the cutoffs
+    back by (lang, quality). percent_rank == (min_rank-1)/(n-1) with
+    min_rank = rows strictly below + 1, so ties get identical ranks in
+    both engines and the oracle's textbook percent_rank window matches
+    exactly (n==1 strata score 0.0 in both)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("quality")
     scored = docs.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
-    ).withColumn("qr", F.percent_rank().over(w))
-    return scored.where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9)).select(
-        "doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank")
+    )
+    vc = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    ranked = (
+        vc.withColumn("__cum", F.sum("c").over(w_cum))
+        .withColumn("__n", F.sum("c").over(w_all))
+        .withColumn("__rank", F.col("__cum") - F.col("c") + 1)
+        .withColumn(
+            "qr",
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rank") - 1) / (F.col("__n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select("lang", "quality", "qr")
+    )
+    return (
+        scored.join(ranked, on=["lang", "quality"])
+        .where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9))
+        .select("doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank"))
     )

@@ -35,6 +35,25 @@ def test_running_sum_matches_global_window(spark):
     assert got == want
 
 
+def test_running_sum_handles_negative_values(spark):
+    # offsets must come from partition SUMS, not max(running): with
+    # negatives the running sum is non-monotone and max overshoots
+    df = spark.range(300).selectExpr(
+        "id AS doc_id", "CASE WHEN id % 2 = 0 THEN 7 ELSE -5 END AS n_tok"
+    )
+    got = {
+        r["doc_id"]: r["rs"]
+        for r in global_running_sum(
+            df, ["doc_id"], "n_tok", out_col="rs", num_partitions=6
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i in range(300):
+        acc += 7 if i % 2 == 0 else -5
+        want[i] = acc
+    assert got == want
+
+
 def test_running_sum_empty_input(spark):
     df = docs(spark).where("doc_id < 0")
     assert global_running_sum(df, ["doc_id"], "n_tok").count() == 0
