@@ -20,20 +20,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# Logical nodes that are narrow over their child: a plan made only of
-# these (over a leaf) has no exchanges, so Dataset.rdd builds the RDD
-# lazily without running anything. Anything else (Join, Aggregate,
-# Window, Repartition, ...) is skipped — see fan_out.
+# Logical nodes (QueryPlan.nodeName) that are narrow over their
+# children: a plan made only of these (over leaves) has no exchanges,
+# so Dataset.rdd builds the RDD lazily without running anything.
+# Anything else (Join, Aggregate, Window, Sort, limits, Repartition,
+# ...) is skipped — see fan_out.
 _NARROW_NODES = frozenset(
     {
-        "Relation",
+        # leaves
+        "LogicalRelation",
+        "DataSourceV2Relation",
+        "DataSourceV2ScanRelation",
+        "StreamingRelation",
         "LogicalRDD",
+        "LocalRelation",
+        "OneRowRelation",
+        "Range",
+        # narrow unary/n-ary
         "Project",
         "Filter",
         "SubqueryAlias",
         "View",
-        "Range",
-        "OneRowRelation",
+        "Generate",
+        "Union",
         # Arrow map stages are narrow; a decode chained on a scan still
         # deserves the fan-out
         "MapInPandas",
@@ -53,17 +62,30 @@ def _is_narrow_scan_chain(df: DataFrame) -> bool:
     Inspecting partition counts is only safe on shuffle-free plans, and
     those are also the only plans that need the fan-out: anything
     downstream of a shuffle is already ``spark.sql.shuffle.partitions``
-    wide. Unrecognized nodes fail conservative (no fan-out).
+    wide.
+
+    Classification walks the actual logical plan tree by
+    ``nodeName`` — NOT the plan's string rendering, where a multi-line
+    expression (e.g. a string literal containing a newline) would split
+    a node across lines and misclassify it. A node carrying subquery
+    expressions also fails the check: probing ``.rdd`` would execute
+    the subquery plans regardless of the host node's shape.
+    Unrecognized nodes fail conservative (no fan-out).
     """
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _NARROW_NODES:
+                return False
+            if not node.subqueries().isEmpty():
+                return False
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return True
     except Exception:
         return False
-    for line in plan.splitlines():
-        node = line.lstrip(" :+-").split(" ", 1)[0].split("[", 1)[0]
-        if node and node not in _NARROW_NODES:
-            return False
-    return True
 
 
 def fan_out(df: DataFrame, *, min_partitions: int | None = None) -> DataFrame:

@@ -1,0 +1,105 @@
+"""Value-compressed per-group rank statistics.
+
+A ``percent_rank`` window partitioned by a group column funnels every
+group's rows through one sort task — for web corpora (~80% one
+language) that is the single-partition-window trap with extra steps.
+When the ranked value is low-cardinality per group (e.g. a 4dp-rounded
+score: <= 10^4 distinct values), the rank is a pure function of the
+(group, value) frequency table, so it can be computed on that bounded
+frame and joined back — the heavy side never sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_NULL_SENTINEL = "<NULL>"
+
+
+def value_compressed_percent_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    value_col: str,
+    *,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Append ``out_col`` = ``percent_rank() OVER (PARTITION BY
+    part_cols ORDER BY value_col ASC NULLS LAST)`` without ever sorting
+    or shuffling a full group.
+
+    Shape: the (group, value) frequency table is map-side-combined down
+    to the distinct values (shuffle = O(distinct), not O(rows)), the
+    window runs over that bounded frame only, and the resulting rank
+    map broadcasts back onto the input — the heavy side is never
+    exchanged at all (at pathological value cardinality AQE falls back
+    to a shuffled join on the sentinel keys, still sort-funnel-free).
+    NULL groups and NULL values are ranked (as their own stratum / as
+    the largest value, matching ``NULLS LAST``), not dropped: the join
+    runs on sentinel-encoded keys because a plain equi-join would
+    silently drop NULL keys.
+
+    Cost note: the plan branches at ``df``, so ``value_col``'s defining
+    expression (if any) is evaluated twice — both passes fully
+    parallel, and the frequency branch reads only the pruned
+    (part_cols, value) columns. That is the deliberate trade: the
+    alternatives are a per-group sort funnel or pinning the scored
+    frame in storage past the call (persist/localCheckpoint), both
+    worse at corpus scale. Pass a materialized column when the scoring
+    expression is very expensive and re-use is critical.
+
+    ``percent_rank == (min_rank - 1) / (n - 1)`` with ``min_rank`` =
+    rows strictly below + 1, so ties get identical ranks and
+    single-row groups score 0.0, exactly like the window function.
+    """
+    reserved = {f"__k_{c}" for c in part_cols} | {
+        "__k_v",
+        "__c",
+        "__cum",
+        "__n",
+        "__rank",
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"value_compressed_percent_rank reserves columns {sorted(clash)}; "
+            "rename them first"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+
+    part_keys = [f"__k_{c}" for c in part_cols]
+    keyed = df.select(
+        "*",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(k)
+            for c, k in zip(part_cols, part_keys)
+        ],
+        F.coalesce(F.col(value_col).cast("string"), F.lit(_NULL_SENTINEL)).alias(
+            "__k_v"
+        ),
+    )
+    join_keys = part_keys + ["__k_v"]
+    vc = keyed.groupBy(*join_keys, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy(*part_keys)
+        .orderBy(F.asc_nulls_last(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part_keys)
+    ranked = (
+        vc.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .withColumn("__rank", F.col("__cum") - F.col("__c") + 1)
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__n") > 1,
+                (F.col("__rank") - 1) / (F.col("__n") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(*join_keys, out_col)
+    )
+    return keyed.join(ranked, on=join_keys).select(*df.columns, out_col)

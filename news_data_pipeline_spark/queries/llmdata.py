@@ -519,7 +519,10 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    vids = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
+    # no fan_out here: the orderBy+limit upstream is a wide plan the
+    # guard rejects, and the LIMIT bounds the build to 100 rows at any
+    # corpus size — a single-task decode of 100 fakes is fine
+    vids = docs.mapInPandas(build, "doc_id long, payload binary")
     frames = mm.sample_frames(vids, "doc_id", "payload", every=2)
     return frames.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_sampled_frames"),
@@ -1048,7 +1051,8 @@ def hot_shingles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m),
     ranked AS (
         SELECT doc_id, lang, quality,
-               percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS qr
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY quality ASC NULLS LAST) AS qr
         FROM scored)
     SELECT doc_id, lang, quality, round(qr, 6) AS q_rank
     FROM ranked WHERE qr >= 0.1 AND qr <= 0.9
@@ -1064,42 +1068,22 @@ def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a percent_rank window partitioned by lang would funnel
     the dominant language's ENTIRE corpus through one sort task (web
     corpora are routinely 80% one language — that IS the global-window
-    trap with extra steps). Instead the rank is computed value-
-    compressed: quality is 4dp-rounded, so per language there are at
-    most ~10^4 distinct values — group to (lang, quality, count), run
-    the rank arithmetic on that bounded frame, and join the cutoffs
-    back by (lang, quality). percent_rank == (min_rank-1)/(n-1) with
-    min_rank = rows strictly below + 1, so ties get identical ranks in
-    both engines and the oracle's textbook percent_rank window matches
-    exactly (n==1 strata score 0.0 in both)."""
-    from pyspark.sql import Window
+    trap with extra steps). quality is 4dp-rounded, so per language
+    there are at most ~10^4 distinct values — `value_compressed_percent_
+    rank` computes the rank on that bounded frame with ONE scoring pass
+    and one full-data shuffle (see operators/ranking.py), NULL-safe, and
+    matches the oracle's textbook percent_rank window exactly."""
+    from news_data_pipeline_spark.operators.ranking import (
+        value_compressed_percent_rank,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
     )
-    vc = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("c"))
-    w_cum = (
-        Window.partitionBy("lang")
-        .orderBy("quality")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded = value_compressed_percent_rank(
+        scored, ["lang"], "quality", out_col="qr"
     )
-    w_all = Window.partitionBy("lang")
-    ranked = (
-        vc.withColumn("__cum", F.sum("c").over(w_cum))
-        .withColumn("__n", F.sum("c").over(w_all))
-        .withColumn("__rank", F.col("__cum") - F.col("c") + 1)
-        .withColumn(
-            "qr",
-            F.when(
-                F.col("__n") > 1,
-                (F.col("__rank") - 1) / (F.col("__n") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)),
-        )
-        .select("lang", "quality", "qr")
-    )
-    return (
-        scored.join(ranked, on=["lang", "quality"])
-        .where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9))
-        .select("doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank"))
+    return banded.where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9)).select(
+        "doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank")
     )

@@ -1,0 +1,87 @@
+"""value_compressed_percent_rank: window-exact semantics without the
+per-group sort funnel, NULL-safe where an equi-join would drop rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from news_data_pipeline_spark.operators.ranking import (
+    value_compressed_percent_rank,
+)
+
+
+def _window_expected(df, part, val):
+    w = Window.partitionBy(part).orderBy(F.asc_nulls_last(val))
+    return {
+        (r["id"],): r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+
+
+def test_matches_percent_rank_window_with_ties(spark):
+    df = spark.range(600).selectExpr(
+        "id",
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' "
+        "ELSE 'fr' END AS lang",
+        "CAST(id % 7 AS DOUBLE) / 10 AS q",  # heavy ties
+    )
+    got = {
+        (r["id"],): r["pr"]
+        for r in value_compressed_percent_rank(
+            df, ["lang"], "q", out_col="pr"
+        ).collect()
+    }
+    want = _window_expected(df, "lang", "q")
+    assert got == pytest.approx(want)
+
+
+def test_null_groups_and_null_values_are_ranked_not_dropped(spark):
+    # NULL lang must form its own stratum; NULL value ranks last
+    # (NULLS LAST) — a plain equi-join back would drop all of these
+    df = spark.range(100).selectExpr(
+        "id",
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE concat('l', id % 2) END AS lang",
+        "CASE WHEN id % 10 = 0 THEN NULL "
+        "ELSE CAST(id % 5 AS DOUBLE) END AS q",
+    )
+    out = value_compressed_percent_rank(df, ["lang"], "q", out_col="pr")
+    assert out.count() == 100  # nothing dropped
+    got = {(r["id"],): r["pr"] for r in out.collect()}
+    want = _window_expected(df, "lang", "q")
+    assert got == pytest.approx(want)
+
+
+def test_single_row_group_scores_zero(spark):
+    df = spark.createDataFrame([(1, "only", 0.5)], "id long, g string, q double")
+    [row] = value_compressed_percent_rank(df, ["g"], "q", out_col="pr").collect()
+    assert row["pr"] == 0.0
+
+
+def test_reserved_and_out_col_collisions_raise(spark):
+    df = spark.range(3).selectExpr("id", "'a' AS g", "1.0 AS q", "2.0 AS __k_v")
+    with pytest.raises(ValueError, match="reserves"):
+        value_compressed_percent_rank(df, ["g"], "q")
+    df2 = spark.range(3).selectExpr("id", "'a' AS g", "1.0 AS q", "0.0 AS pr")
+    with pytest.raises(ValueError, match="already exists"):
+        value_compressed_percent_rank(df2, ["g"], "q", out_col="pr")
+
+
+def test_heavy_side_is_never_shuffled(spark):
+    # the rank map must BROADCAST onto the input: the only shuffle in
+    # the plan is the tiny frequency/window branch — the probe side
+    # (the full corpus) reaches the join exchange-free, and no sort
+    # ever sees more than the distinct-value frame
+    df = spark.range(500).selectExpr(
+        "id", "concat('g', id % 3) AS g", "CAST(id % 9 AS DOUBLE) AS q"
+    )
+    out = value_compressed_percent_rank(df, ["g"], "q", out_col="pr")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 0
+    # one shuffle for the partial->final count aggregate, one for the
+    # window over the distinct-value frame; nothing touching the probe
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
