@@ -148,3 +148,71 @@ def pack_sequences(
         seq_last.cast("long").alias("seq_last"),
         (seq_last - seq_first + 1).cast("long").alias("n_ctx"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ctx_len: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into word-level chunks of up to ``ctx_len``
+    tokens starting every ``stride`` tokens (overlap = ``ctx_len -
+    stride``) — the per-document window step a fine-tuning / retrieval
+    pipeline uses where ``pack_sequences`` is the cross-document one.
+
+    One row per (document, chunk): ``chunk_id`` (0-based),
+    ``chunk_start`` (0-based token offset), ``chunk_tokens`` (token
+    count, == ``ctx_len`` except the tail), ``chunk_text`` (the tokens
+    re-joined with single spaces). Whitespace-only and NULL documents
+    yield no chunks. Tokens are whitespace runs over trimmed text —
+    the same split ``word_shingles`` uses, reproducible in ANSI SQL.
+
+    Everything is codegen: one split per document, chunk indices from
+    ``sequence`` + a single explode (the unavoidable row expansion),
+    chunk text via ``slice`` (an O(ctx_len) copy per chunk — NOT a
+    per-token higher-order lambda). No shuffle at all: chunking is a
+    narrow map, so a 100-TB corpus chunks as a pure scan.
+    """
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive, got {ctx_len}")
+    stride = ctx_len if stride is None else stride
+    if not 0 < stride <= ctx_len:
+        raise ValueError(
+            f"stride must be in (0, ctx_len], got {stride} (ctx_len={ctx_len})"
+        )
+    words = F.col("__words")
+    n = F.size(words)
+    # ceil((n - ctx)/stride) + 1 in exact integer arithmetic (// floor
+    # division matches across engines); single chunk when n <= ctx
+    n_chunks = F.when(n <= ctx_len, F.lit(1)).otherwise(
+        F.floor((n - ctx_len + stride - 1) / F.lit(stride)) + 1
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(words, start + 1, ctx_len)
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    base = fan_out(
+        df.where(F.length(F.trim(F.col(text_col))) > 0).select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+        )
+    )
+    return (
+        base.select(
+            "id", F.split(F.trim(F.col("__t")), r"\s+").alias("__words")
+        )
+        .select(
+            "id",
+            words,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            start.cast("long").alias("chunk_start"),
+            F.size(piece).cast("long").alias("chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )

@@ -1070,9 +1070,10 @@ def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora are routinely 80% one language — that IS the global-window
     trap with extra steps). quality is 4dp-rounded, so per language
     there are at most ~10^4 distinct values — `value_compressed_percent_
-    rank` computes the rank on that bounded frame with ONE scoring pass
-    and one full-data shuffle (see operators/ranking.py), NULL-safe, and
-    matches the oracle's textbook percent_rank window exactly."""
+    rank` ranks that bounded frame and broadcasts the rank map back
+    (the corpus side is never shuffled or sorted; see
+    operators/ranking.py), NULL-safe, and matches the oracle's textbook
+    percent_rank window exactly."""
     from news_data_pipeline_spark.operators.ranking import (
         value_compressed_percent_rank,
     )
@@ -1086,4 +1087,102 @@ def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return banded.where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9)).select(
         "doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank")
+    )
+
+
+@register(
+    "document_chunks",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents WHERE length(trim(text)) > 0),
+    sized AS (SELECT id, words, len(words) AS n FROM base),
+    chunked AS (
+        SELECT id, words,
+               unnest(generate_series(0,
+                   CASE WHEN n <= 64 THEN 0
+                        ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+        FROM sized)
+    SELECT id, chunk_id,
+           chunk_id * 48 AS chunk_start,
+           len(words[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS chunk_tokens,
+           array_to_string(words[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+                           ' ') AS chunk_text
+    FROM chunked
+    """,
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators.packing.chunk_documents):
+    ctx_len=64 tokens starting every 48 (16-token overlap) — the
+    per-document window step for fine-tuning / retrieval corpora. Pure
+    narrow map: split once, explode chunk indices, slice; no shuffle.
+    The oracle mirrors the integer chunk arithmetic and 1-based
+    inclusive list slicing exactly."""
+    from news_data_pipeline_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", ctx_len=64, stride=48)
+
+
+@register(
+    "neardup_components",
+    # the pairs CTEs are the minhash_lsh_pairs oracle verbatim; the
+    # l1..l3 CTEs unroll connected_components' min-label iterations
+    # exactly (LEFT JOIN + least + coalesce per hop)
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )}),
+    edges AS (
+        SELECT DISTINCT l.id AS ia, r.id AS ib
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    sym AS (SELECT ia AS u, ib AS v FROM edges
+            UNION ALL SELECT ib AS u, ia AS v FROM edges),
+    l0 AS (SELECT DISTINCT doc_id AS u, doc_id AS label FROM documents),
+    l1 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l0 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l0 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u),
+    l2 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l1 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l1 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u),
+    l3 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l2 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l2 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u)
+    SELECT u AS doc_id, label AS component FROM l3
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from LSH pairs: generic min-label propagation
+    (operators.graph.connected_components) over the candidate-pair
+    graph, every document labeled with its cluster's minimum doc_id —
+    singletons label themselves. Dedup = keep doc_id == component; the
+    per-iteration cost is linear in the edge count (near-dup clusters
+    are near-cliques, so 3 hops close them)."""
+    from news_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    return connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id", max_iter=3
     )

@@ -142,3 +142,57 @@ def test_mixture_rejects_bad_rates(spark):
         mixture_sample(docs(spark), "doc_id", "source", rates={"s0": 1.5})
     with pytest.raises(ValueError):
         mixture_sample(docs(spark), "doc_id", "source", rates={}, default_rate=-0.1)
+
+
+# --- chunk_documents ---------------------------------------------------------
+from news_data_pipeline_spark.operators.packing import chunk_documents  # noqa: E402
+
+
+def _chunks(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", **kw)
+    return sorted(
+        (r["id"], r["chunk_id"], r["chunk_start"], r["chunk_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+
+
+def test_chunk_overlap_and_tail(spark):
+    text = " ".join(str(i) for i in range(10))  # 10 tokens
+    got = _chunks(spark, [(1, text)], ctx_len=4, stride=3)
+    # starts 0,3,6 cover through token 9; start 9 would be the last:
+    # n_chunks = ceil((10-4)/3)+1 = 3
+    assert got == [
+        (1, 0, 0, 4, "0 1 2 3"),
+        (1, 1, 3, 4, "3 4 5 6"),
+        (1, 2, 6, 4, "6 7 8 9"),
+    ]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    got = _chunks(spark, [(1, "a b")], ctx_len=5, stride=2)
+    assert got == [(1, 0, 0, 2, "a b")]
+
+
+def test_chunk_empty_and_null_docs_dropped(spark):
+    got = _chunks(spark, [(1, "   "), (2, None), (3, "x")], ctx_len=4, stride=4)
+    assert got == [(3, 0, 0, 1, "x")]
+
+
+def test_chunk_no_overlap_reconstructs_document(spark):
+    text = " ".join(f"w{i}" for i in range(11))
+    got = _chunks(spark, [(7, text)], ctx_len=4, stride=4)
+    assert " ".join(c[4] for c in got) == text
+    assert [c[3] for c in got] == [4, 4, 3]  # tail chunk is short
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="ctx_len"):
+        chunk_documents(df, "doc_id", "text", ctx_len=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", ctx_len=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, "doc_id", "text", ctx_len=4, stride=0)
