@@ -328,3 +328,79 @@ def test_zorder_clustering_bounds_both_dimensions(spark, tmp_path):
     assert max(spans["x"]) <= 48 and max(spans["y"]) <= 48
     assert sum(spans["x"]) / len(spans["x"]) <= 32
     assert sum(spans["y"]) / len(spans["y"]) <= 32
+
+
+def test_json_read_with_quarantine(spark, tmp_path):
+    """PERMISSIVE JSON read splits cleanly into (good, bad): typed rows
+    on one side, raw unparseable lines on the other, nothing dropped."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from news_data_pipeline_spark.sources.files import (
+        read_json_with_quarantine,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("title", StringType()),
+    ])
+    lines = [
+        '{"id": 1, "title": "ok"}',
+        '{"id": 2, "title": "also ok"}',
+        '{"id": "not-a-number", "title": "type clash"}',
+        '{"id": 3, "broken json',
+        '{"id": 4}',  # missing field: sparse, NOT corrupt
+    ]
+    (tmp_path / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+
+    good, bad = read_json_with_quarantine(spark, str(tmp_path), schema)
+    good_rows = {r["id"]: r for r in good.collect()}
+    assert set(good_rows) == {1, 2, 4}
+    assert good.columns == ["id", "title"]
+    assert good_rows[4]["title"] is None
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 2
+    raws = {r["raw_record"] for r in bad_rows}
+    assert '{"id": 3, "broken json' in raws
+    assert any("not-a-number" in r for r in raws)
+
+
+def test_csv_read_with_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from news_data_pipeline_spark.sources.files import (
+        read_csv_with_quarantine,
+    )
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", DoubleType()),
+    ])
+    (tmp_path / "data.csv").write_text(
+        "id,name,score\n"
+        "1,alice,0.5\n"
+        "2,bob,not-a-double\n"
+        "3,carol,0.9\n"
+    )
+    good, bad = read_csv_with_quarantine(spark, str(tmp_path), schema)
+    assert {r["id"] for r in good.collect()} == {1, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["raw_record"] == "2,bob,not-a-double"
+
+
+def test_read_with_quarantine_guards_collision(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from news_data_pipeline_spark.sources.files import (
+        read_json_with_quarantine,
+    )
+
+    schema = StructType([StructField("_corrupt_record", StringType())])
+    with _pytest.raises(ValueError, match="collides"):
+        read_json_with_quarantine(spark, str(tmp_path), schema)
