@@ -171,6 +171,105 @@ def signbucket_topk(
     )
 
 
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, scored with Arrow-batched BLAS.
+
+    The scale path for the exact scorer: same semantics as
+    ``cosine_topk`` (round-6dp cosine, neighbor-id tie-break, zero-norm
+    vectors dropped), but the |Q|x|C| scoring runs as one matrix
+    multiply per Arrow batch inside ``mapInPandas`` instead of an
+    interpreted array fold per pair. The query matrix rides a broadcast
+    variable (queries are the small side by construction); each corpus
+    partition emits only its local top-k per query, so the shuffle into
+    the final global top-k carries ``partitions * |Q| * k`` rows — not
+    scores. Local-then-global top-k is exact because both stages use
+    the same total order (rounded cosine desc, neighbor id asc).
+
+    Per-pair float math differs from the JVM fold only in summation
+    order (BLAS is blocked/pairwise, the fold is sequential), i.e. in
+    the last ulp before the 6dp round — so this variant is for
+    throughput, while ``cosine_topk`` stays the oracle-verified twin.
+    ``tests/test_joins_similarity.py`` pins the two paths equal on
+    exactly-representable vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    q_rows = (
+        queries.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .collect()
+    )
+    if not q_rows:
+        empty = "query_id {t}, neighbor_id {t}, cosine_sim double, rank int".format(
+            t=id_type
+        )
+        return corpus.sparkSession.createDataFrame([], empty)
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_nrm = np.linalg.norm(Q, axis=1)
+    keep = q_nrm > 0.0  # zero-norm queries score null everywhere: drop
+    q_ids, Q, q_nrm = q_ids[keep], Q[keep], q_nrm[keep]
+    Qt = (Q / q_nrm[:, None]).T  # (d, |Q|), pre-normalized once
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, Qt))
+
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, cosine_sim double"
+    )
+
+    def score(batches):
+        ids_b, Qt_b = bq.value
+        nq = ids_b.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            nrm = np.linalg.norm(C, axis=1)
+            ok = nrm > 0.0
+            if not ok.any():
+                continue
+            C, nrm = C[ok], nrm[ok]
+            n_ids = pdf[id_col].to_numpy()[ok]
+            sims = np.round((C / nrm[:, None]) @ Qt_b, 6)  # (n, |Q|)
+            # self-pairs out of the running before top-k selection
+            self_mask = n_ids[:, None] == ids_b[None, :]
+            sims[self_mask] = -np.inf
+            kk = min(k, sims.shape[0])
+            # per-query local top-k: argsort on (sim desc, neighbor asc)
+            order = np.lexsort((n_ids[:, None].repeat(nq, 1), -sims), axis=0)[:kk]
+            qi = np.repeat(np.arange(nq)[None, :], kk, 0).ravel()
+            ni = order.ravel()
+            sel = sims[ni, qi]
+            fin = np.isfinite(sel)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_b[qi[fin]],
+                    "neighbor_id": n_ids[ni[fin]],
+                    "cosine_sim": sel[fin],
+                }
+            )
+
+    local = fan_out(corpus.select(id_col, _as_double(vec_col).alias(vec_col))).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def kmeans_iterate(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -277,3 +277,31 @@ def test_kmeans_iterate_keeps_empty_cells(spark):
            kmeans_iterate(corpus, seeds, iters=2).collect()}
     assert out[1] == [100.0, 100.0]          # empty cell: unchanged
     assert out[0] == [0.05, 0.05]            # converged to the mean
+
+
+def test_cosine_topk_arrow_matches_jvm_path(spark):
+    """The BLAS mapInPandas scorer must equal the codegen fold exactly
+    on exactly-representable vectors (integer components: every dot
+    product and norm is exact in float64 regardless of summation
+    order), including tie-breaks, zero-norm drops, and self-exclusion."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [float(rng.randint(-4, 4)) for _ in range(8)]) for i in range(120)
+    ]
+    rows.append((120, [0.0] * 8))  # zero-norm corpus vector: dropped
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vecs.where("vec_id IN (3, 7, 120)")  # incl. zero-norm query
+    jvm = similarity.cosine_topk(vecs, queries, k=4).collect()
+    arrow = similarity.cosine_topk_arrow(vecs, queries, k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(jvm, key=key) == sorted(arrow, key=key)
+    assert {r["query_id"] for r in arrow} == {3, 7}  # zero-norm query gone
+
+
+def test_cosine_topk_arrow_empty_queries(spark):
+    vecs = vectors(spark)
+    out = similarity.cosine_topk_arrow(vecs, vecs.where("vec_id = 99"), k=2)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
