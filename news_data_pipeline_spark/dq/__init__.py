@@ -10,6 +10,7 @@ from news_data_pipeline_spark.dq.rules import (
     Unique,
     config_to_rules,
 )
+from news_data_pipeline_spark.dq.profile import profile_columns
 from news_data_pipeline_spark.dq.engine import (
     DQResult,
     from_quarantine_records,
@@ -30,6 +31,7 @@ __all__ = [
     "Unique",
     "config_to_rules",
     "from_quarantine_records",
+    "profile_columns",
     "run_dq",
     "to_quarantine_records",
 ]

@@ -60,3 +60,59 @@ def tf_idf_top_terms(
         .where(F.col("rank") <= k)
         .select("id", "term", "tf", "tfidf", "rank")
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-terms query, scored with BM25.
+
+    score(d) = sum over query terms t of
+        IDF(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with the Lucene-style smoothed IDF(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
+    (always positive, so a term in >half the corpus dampens instead of
+    flipping sign).
+
+    Shape at scale: term frequencies and document lengths both key by
+    doc id (one shuffle each, map-side combined); the per-term document
+    frequencies and the (avgdl, N) corpus aggregate are tiny and ride
+    in as broadcasts — the query-term posting lists are the only rows
+    scored, so cost tracks matching docs, not the corpus. Scores round
+    to 4dp BEFORE ranking (reproducible ordering), ties break on id.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    doclen = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qtf = tf.where(F.col("term").isin(list(query_terms)))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        qtf.join(F.broadcast(dfreq), on="term")
+        .join(F.broadcast(stats))
+        .join(doclen, on="id")
+        .withColumn(
+            "c",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            )
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    scores = contrib.groupBy("id").agg(F.round(F.sum("c"), 4).alias("bm25"))
+    # global top-k as orderBy+limit: Spark plans TakeOrderedAndProject
+    # (per-partition partial top-k, k rows to the driver stage) — never
+    # a single-partition sort or window
+    return scores.orderBy(F.desc("bm25"), F.asc("id")).limit(k)

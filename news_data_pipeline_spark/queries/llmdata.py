@@ -321,6 +321,44 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY id, term),
+    dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    qtf AS (SELECT * FROM tf WHERE term IN ('spark', 'hash', 'join')),
+    dfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+    contrib AS (
+        SELECT qtf.id,
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * qtf.tf * (1.2 + 1)
+                 / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
+        FROM qtf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats)
+    SELECT id AS doc_id, round(sum(c), 4) AS bm25
+    FROM contrib GROUP BY id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {spark, hash, join} under BM25
+    (operators.terms.bm25_rank): posting-list-sized scoring with
+    broadcast corpus stats, global top-k via TakeOrderedAndProject.
+    The oracle repeats the arithmetic sub-expression-for-sub-expression
+    ((1.2 + 1), (0.25 + 0.75*...)) so both engines round the same
+    doubles."""
+    from news_data_pipeline_spark.operators.terms import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_rank(docs, "doc_id", "text", ["spark", "hash", "join"], k=10)\
+        .withColumnRenamed("id", "doc_id")
+
+
 # --- similarity search -------------------------------------------------------
 _DUCK_COSINE_SCORE = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

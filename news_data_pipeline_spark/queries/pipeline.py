@@ -243,6 +243,37 @@ def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(doc_id) AS n_non_null, count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(source), count(DISTINCT source),
+           min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def dq_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-job column profile (dq.profile.profile_columns) — the
+    rule-discovery step ahead of the reference's DQ checks
+    (``_lib_dq_helpers.py:105-190``): null counts, exact cardinality,
+    native-ordering min/max per column."""
+    from news_data_pipeline_spark.dq import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
 # --- reference-compat queries (byte-for-byte migration modes) ----------------
 @register(
     "compat_dim_source_ids",

@@ -266,3 +266,39 @@ def test_quarantine_remediation_loop(spark, tmp_path):
     assert replay.passed
     assert replay.valid.count() == 2  # u2 + u3 both flow after repair
     assert replay.quarantined.count() == 0
+
+
+def test_profile_columns_nulls_cardinality_native_minmax(spark):
+    import pytest as _pytest
+
+    from news_data_pipeline_spark.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "b", 10.0), (2, None, 9.5), (2, "a", None), (11, "a", 2.0)],
+        ["k", "s", "v"],
+    )
+    prof = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["s"]["n_non_null"], prof["s"]["n_distinct"]) == (3, 2)
+    assert (prof["v"]["n_non_null"], prof["v"]["n_distinct"]) == (3, 3)
+    # native ordering: numeric min/max (11 > 2), THEN cast to string —
+    # lexicographic profiling would claim max(k) = "2"
+    assert (prof["k"]["min_value"], prof["k"]["max_value"]) == ("1", "11")
+    assert (prof["v"]["min_value"], prof["v"]["max_value"]) == ("2.0", "10.0")
+    with _pytest.raises(ValueError, match="no such columns"):
+        profile_columns(df, ["k", "nope"])
+
+
+def test_profile_columns_approx_path_has_no_expand(spark):
+    from news_data_pipeline_spark.dq import profile_columns
+
+    df = spark.range(1000).selectExpr("id AS a", "id % 7 AS b")
+    exact = profile_columns(df, ["a", "b"])
+    approx = profile_columns(df, ["a", "b"], exact=False)
+    # exact path pays the Expand; the HLL path must not
+    assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in approx._jdf.queryExecution().executedPlan().toString()
+    got = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
+    # HLL estimate within its documented ~2.3% envelope (wide margin)
+    assert abs(got["a"] - 1000) <= 60 and got["b"] == 7

@@ -22,3 +22,29 @@ def test_tfidf_ranks_rare_terms_above_ubiquitous(spark):
     out = tf_idf_top_terms(df, "doc_id", "body", k=1)
     got = {r["id"]: (r["term"], r["rank"]) for r in out.collect()}
     assert got == {1: ("alpha", 1), 2: ("beta", 1), 3: ("gamma", 1)}
+
+
+def test_bm25_prefers_rare_term_and_saturates_tf(spark):
+    import math
+
+    from news_data_pipeline_spark.operators.terms import bm25_rank
+
+    # doc 1 matches the rare query term; doc 2 spams the common one.
+    df = spark.createDataFrame(
+        [
+            (1, "needle filler filler filler"),
+            (2, "common common common common"),
+            (3, "common filler other other"),
+            (4, "filler other other other"),
+        ],
+        ["doc_id", "body"],
+    )
+    out = bm25_rank(df, "doc_id", "body", ["needle", "common"], k=4)
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]  # doc 4 matches nothing
+    # hand-check doc 1: tf=1, dl=4, avgdl=4, df(needle)=1, N=4
+    idf = math.log((4 - 1 + 0.5) / (1 + 0.5) + 1)
+    expect = round(idf * 1 * (1.2 + 1) / (1 + 1.2 * (0.25 + 0.75 * 1.0)), 4)
+    assert rows[0]["bm25"] == expect
+    # tf saturation: doc 2 (tf=4) scores < 4x doc 3 (tf=1) on 'common'
+    assert rows[1]["bm25"] < 4 * rows[2]["bm25"]
