@@ -15,6 +15,90 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    weight: str | None = None,
+    nodes: DataFrame | None = None,
+    node_col: str = "id",
+    damping: float = 0.85,
+    iters: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations of (weighted)
+    PageRank over the directed edge list — link-graph authority scoring
+    for source/domain weighting in a crawl corpus.
+
+    Per iteration: one join of the rank vector onto the edge list, one
+    map-side-combined sum by destination, plus one tiny aggregate for
+    the dangling-node mass (nodes with no out-edges redistribute
+    uniformly — dropping that mass, as naive implementations do, leaks
+    rank out of the system and the vector no longer sums to 1). Cost is
+    linear in |E| per hop, nothing quadratic, no driver-side graph; the
+    plan grows linearly with ``iters`` exactly like
+    ``connected_components``. Out-degree (weight sums) is computed once
+    before the loop and re-joined per hop rather than recomputed.
+
+    Ranks are rounded to ``round_dp`` AFTER the final iteration only —
+    intermediate rounding would compound bias; a single final round
+    makes the output reproducible across engines (summation-order
+    differences live ~1e-15 below the rounding grid).
+
+    ``weight``: optional edge-weight column; contributions split
+    proportionally to weight instead of 1/out_degree. Parallel edges
+    are additive either way.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w"))
+    if nodes is not None:
+        base = nodes.select(F.col(node_col).alias("u")).distinct()
+    else:
+        base = (
+            e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
+        )
+    # out-weight per source, hoisted out of the loop; edges normalized
+    # once so each hop is join + sum, not join + sum + re-normalize
+    out_w = e.groupBy("u").agg(F.sum("w").alias("__ow"))
+    frac = (
+        e.join(out_w, on="u")
+        .select("u", "v", (F.col("w") / F.col("__ow")).alias("f"))
+    )
+    n = base.count()
+    if n == 0:
+        return base.select(F.col("u").alias(node_col), F.lit(0.0).alias("rank"))
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    # nodes with no out-edges: their whole rank redistributes uniformly
+    dangling = base.join(out_w, on="u", how="left_anti")
+    for _ in range(iters):
+        dm = (
+            dangling.join(ranks, on="u")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            frac.join(ranks, on="u")
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") * F.col("f")).alias("__in"))
+        )
+        ranks = base.join(
+            contrib.select(F.col("v").alias("u"), "__in"), on="u", how="left"
+        ).select(
+            "u",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dm / n))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("u").alias(node_col), F.round("rank", round_dp).alias("rank")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
