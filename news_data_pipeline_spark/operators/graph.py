@@ -26,20 +26,33 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     round_dp: int = 6,
+    checkpoint_every: int | None = 1,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations of (weighted)
     PageRank over the directed edge list — link-graph authority scoring
     for source/domain weighting in a crawl corpus.
 
     Per iteration: one join of the rank vector onto the edge list, one
-    map-side-combined sum by destination, plus one tiny aggregate for
+    map-side-combined sum by destination, plus one 1-row aggregate for
     the dangling-node mass (nodes with no out-edges redistribute
     uniformly — dropping that mass, as naive implementations do, leaks
-    rank out of the system and the vector no longer sums to 1). Cost is
-    linear in |E| per hop, nothing quadratic, no driver-side graph; the
-    plan grows linearly with ``iters`` exactly like
-    ``connected_components``. Out-degree (weight sums) is computed once
-    before the loop and re-joined per hop rather than recomputed.
+    rank out of the system and the vector no longer sums to 1). The
+    dangling mass stays INSIDE the lazy plan (1-row broadcast equi-join
+    on a constant key — never a driver ``collect``), so each iteration
+    executes exactly one job: the eager ``localCheckpoint`` below. Cost
+    is linear in |E| per hop, nothing quadratic, no driver-side graph.
+    Out-weight is computed once before the loop and re-joined per hop.
+
+    ``checkpoint_every``: eager ``localCheckpoint`` cadence. Both the
+    contribution join and the dangling aggregate reference the previous
+    rank vector, so without truncation the plan DOUBLES per hop;
+    checkpointing every N bounds subplan fan-out at 2^N and total work
+    at O(iters/N · 2^N · |E|). Default 1 = linear total work, one job
+    per hop. ``None`` disables checkpointing entirely — only sane for
+    2-3 iterations. ``localCheckpoint`` is executor-local (not
+    HDFS-reliable); on a real cluster an executor loss fails the job
+    and the caller retries — the standard trade-off for iterative
+    algorithms without a reliable checkpoint dir.
 
     Ranks are rounded to ``round_dp`` AFTER the final iteration only —
     intermediate rounding would compound bias; a single final round
@@ -48,20 +61,40 @@ def pagerank(
 
     ``weight``: optional edge-weight column; contributions split
     proportionally to weight instead of 1/out_degree. Parallel edges
-    are additive either way.
+    are additive either way. Edges with NULL endpoints or weight <= 0
+    are dropped up front — so a node whose out-edges all carry zero
+    weight is treated as dangling rather than dividing by a zero weight
+    sum (which would abort the job under ANSI mode). When ``nodes`` is
+    supplied, edges are first closed over it (both endpoints must be
+    members): mass that would flow to an excluded destination instead
+    redistributes across the source's remaining edges — or, if none
+    remain, the source becomes dangling — keeping the rank sum at 1.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
+        )
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w"))
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w_col.alias("w")
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("w") > 0))
     if nodes is not None:
         base = nodes.select(F.col(node_col).alias("u")).distinct()
+        # close the edge set over the supplied vertex set: contributions
+        # to non-members would otherwise vanish in the left join onto
+        # base, leaking rank out of the system
+        e = e.join(base, on="u", how="left_semi").join(
+            base.select(F.col("u").alias("v")), on="v", how="left_semi"
+        )
     else:
         base = (
             e.select("u").union(e.select(F.col("v").alias("u"))).distinct()
         )
     # out-weight per source, hoisted out of the loop; edges normalized
-    # once so each hop is join + sum, not join + sum + re-normalize
+    # once so each hop is join + sum, not join + sum + re-normalize.
+    # All weights are > 0 here, so __ow > 0 — no ANSI divide-by-zero.
     out_w = e.groupBy("u").agg(F.sum("w").alias("__ow"))
     frac = (
         e.join(out_w, on="u")
@@ -70,30 +103,47 @@ def pagerank(
     n = base.count()
     if n == 0:
         return base.select(F.col("u").alias(node_col), F.lit(0.0).alias("rank"))
+    if checkpoint_every is not None:
+        frac = frac.localCheckpoint(eager=True)
     ranks = base.withColumn("rank", F.lit(1.0 / n))
-    # nodes with no out-edges: their whole rank redistributes uniformly
+    # nodes with no (positive-weight, member) out-edges: their whole
+    # rank redistributes uniformly
     dangling = base.join(out_w, on="u", how="left_anti")
-    for _ in range(iters):
+    for it in range(iters):
         dm = (
             dangling.join(ranks, on="u")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            .withColumn("__k", F.lit(1))
         )
         contrib = (
             frac.join(ranks, on="u")
             .groupBy("v")
             .agg(F.sum(F.col("rank") * F.col("f")).alias("__in"))
         )
-        ranks = base.join(
-            contrib.select(F.col("v").alias("u"), "__in"), on="u", how="left"
-        ).select(
-            "u",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dm / n))
-            ).alias("rank"),
+        ranks = (
+            base.join(
+                contrib.select(F.col("v").alias("u"), "__in"),
+                on="u",
+                how="left",
+            )
+            .withColumn("__k", F.lit(1))
+            .join(F.broadcast(dm), on="__k")
+            .select(
+                "u",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__in"), F.lit(0.0))
+                        + F.col("__dm") / n
+                    )
+                ).alias("rank"),
+            )
         )
+        if checkpoint_every is not None and (
+            (it + 1) % checkpoint_every == 0 or it == iters - 1
+        ):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         F.col("u").alias(node_col), F.round("rank", round_dp).alias("rank")
     )
@@ -107,6 +157,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "id",
     max_iter: int = 5,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(node, component) labels for the undirected graph in ``edges``,
     where ``component`` is the minimum node id reachable within
@@ -117,11 +168,20 @@ def connected_components(
     min of its own label and its neighbors' labels. Per iteration the
     cost is one shuffle of the (doubled) edge list plus a
     map-side-combined min aggregate — linear in |E|, nothing quadratic,
-    no driver state; the plan grows linearly with ``max_iter`` (no
-    checkpoints — same contract as ``lsh_dedup_representatives``, whose
-    bipartite propagation this generalizes; near-dup clusters are
-    near-cliques, so 2-3 hops close them). Isolated nodes (present in
-    ``nodes`` but in no edge) keep their own id as the component.
+    no driver state; the plan grows linearly with ``max_iter`` (same
+    contract as ``lsh_dedup_representatives``, whose bipartite
+    propagation this generalizes; near-dup clusters are near-cliques,
+    so 2-3 hops close them). Isolated nodes (present in ``nodes`` but
+    in no edge) keep their own id as the component.
+
+    ``checkpoint_every``: optional eager ``localCheckpoint`` cadence
+    for deep propagation (``max_iter`` >= ~10 — long chains, not
+    near-dup cliques): every N hops the label lineage is truncated so
+    plan depth — and with it analysis/codegen time and scheduler
+    lineage — stays bounded instead of growing with ``max_iter``.
+    Default ``None`` keeps the historical fully-lazy single-job plan,
+    which is right for the 2-5 hops dedup needs. Executor-local, not
+    HDFS-reliable — see ``pagerank``.
 
     ``nodes`` optionally supplies the full vertex set (``node_col``);
     default is the nodes appearing in ``edges``. Node ids must be
@@ -129,14 +189,20 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 or None, got {checkpoint_every}"
+        )
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if nodes is not None:
         base = nodes.select(F.col(node_col).alias("u")).distinct()
     else:
         base = sym.select("u").distinct()
+    if checkpoint_every is not None:
+        sym = sym.localCheckpoint(eager=True)
     labels = base.withColumn("label", F.col("u"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels.select(F.col("u").alias("v"), "label"), on="v")
             .groupBy("u")
@@ -148,6 +214,8 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))
             ).alias("label"),
         )
+        if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select(
         F.col("u").alias(node_col), F.col("label").alias("component")
     )

@@ -1224,3 +1224,66 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         pairs, "id_a", "id_b", nodes=docs, node_col="doc_id", max_iter=3
     )
+
+
+# Iteration-unrolled PageRank hop for the DuckDB oracle (the
+# neardup_components CTE pattern): d{k} = dangling mass of r{j},
+# r{k} = teleport + damped(contributions + uniform dangling share).
+# Literals are CAST to DOUBLE so both engines run the same IEEE ops
+# ((1.0 - 0.85) != 0.15 in binary; DuckDB's bare 0.15 is DECIMAL).
+_PR_HOP = """
+    d{k} AS (
+        SELECT COALESCE(SUM(p.r), CAST(0 AS DOUBLE)) AS m
+        FROM r{j} p LEFT JOIN outw o ON p.u = o.u
+        WHERE o.u IS NULL),
+    r{k} AS (
+        SELECT b.u,
+               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.c
+               + CAST(0.85 AS DOUBLE)
+                 * (COALESCE(s.inr, CAST(0 AS DOUBLE)) + d{k}.m / nn.c) AS r
+        FROM base b
+        CROSS JOIN nn CROSS JOIN d{k}
+        LEFT JOIN (SELECT f.v AS u, SUM(f.f * p.r) AS inr
+                   FROM frac f JOIN r{j} p ON f.u = p.u
+                   GROUP BY f.v) s ON s.u = b.u)"""
+
+
+@register(
+    "source_pagerank",
+    oracle=f"""
+    WITH e AS (
+        SELECT source AS u, lang AS v, CAST(COUNT(*) AS DOUBLE) AS w
+        FROM documents
+        WHERE source IS NOT NULL AND lang IS NOT NULL
+        GROUP BY source, lang),
+    base AS (SELECT u FROM e UNION SELECT v FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM base),
+    outw AS (SELECT u, SUM(w) AS ow FROM e GROUP BY u),
+    frac AS (SELECT e.u, e.v, e.w / o.ow AS f
+             FROM e JOIN outw o ON e.u = o.u),
+    r0 AS (SELECT u, CAST(1.0 AS DOUBLE) / c AS r FROM base CROSS JOIN nn),
+    {",".join(_PR_HOP.format(k=k, j=k - 1) for k in range(1, 4))}
+    SELECT u AS node, ROUND(r, 6) AS rank FROM r3
+    """,
+)
+def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority over the source->lang publication graph:
+    edges weighted by document count, three weighted power iterations
+    (operators.graph.pagerank). Languages have no out-edges, so they
+    are all dangling — the query exercises dangling-mass conservation,
+    weighted contribution splits, and the per-hop localCheckpoint
+    cadence (one job per hop, lineage truncated, no driver collect for
+    the dangling aggregate). The oracle unrolls the same three hops as
+    CTEs with IEEE-double literals so both engines run identical
+    arithmetic."""
+    from news_data_pipeline_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        docs.where(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    return pagerank(
+        edges, "source", "lang", weight="w", node_col="node", iters=3
+    )

@@ -1,10 +1,41 @@
-"""connected_components: hop-bounded min-label propagation."""
+"""Graph operators: connected_components + pagerank."""
 
 from __future__ import annotations
 
 import pytest
 
-from news_data_pipeline_spark.operators.graph import connected_components
+from news_data_pipeline_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
+
+
+def ref_pagerank(edges, nodes, damping=0.85, iters=10):
+    """Driver-side oracle: dict-based power iteration with uniform
+    dangling-mass redistribution, mirroring the documented semantics
+    (w <= 0 edges dropped; edges closed over the node set)."""
+    edges = [
+        (u, v, w)
+        for u, v, w in edges
+        if u in nodes and v in nodes and w > 0
+    ]
+    out_w = {}
+    for u, _, w in edges:
+        out_w[u] = out_w.get(u, 0.0) + w
+    n = len(nodes)
+    ranks = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        dm = sum(r for x, r in ranks.items() if x not in out_w)
+        nxt = {x: (1.0 - damping) / n + damping * dm / n for x in nodes}
+        for u, v, w in edges:
+            nxt[v] += damping * ranks[u] * (w / out_w[u])
+        ranks = nxt
+    return {x: round(r, 6) for x, r in ranks.items()}
+
+
+def _pr(spark, edges, schema="src long, dst long", **kw):
+    df = spark.createDataFrame(edges, schema)
+    return {r["id"]: r["rank"] for r in pagerank(df, **kw).collect()}
 
 
 def _cc(spark, edges, **kw):
@@ -53,3 +84,122 @@ def test_plan_has_no_cartesian_or_python(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cc_checkpoint_bounds_plan_depth(spark):
+    """With a checkpoint cadence, a 20-hop propagation plan stays
+    bounded (lineage truncated to the last checkpoint) regardless of
+    max_iter — the unchecked 20-hop plan is deliberately NOT built
+    here: its Catalyst analysis alone takes minutes, which is the
+    pathology checkpointing removes."""
+    edges = [(i, i + 1) for i in range(14)]  # path: diameter 14
+    df = spark.createDataFrame(edges, "src long, dst long")
+    capped = connected_components(df, max_iter=20, checkpoint_every=2)
+    capped_depth = len(
+        capped._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    shallow = connected_components(df, max_iter=2)
+    shallow_depth = len(
+        shallow._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    # 20 hops, but the visible plan is no deeper than ~one uncheckpointed hop
+    assert capped_depth <= shallow_depth
+    # 20 hops cover the 14-edge path: every node reaches the global min
+    got = {r["id"]: r["component"] for r in capped.collect()}
+    assert got == {i: 0 for i in range(15)}
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_reference_fixed_point(spark):
+    # two hubs + chain; compare to the dict-based power iteration
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    got = _pr(spark, edges, node_col="id", iters=10)
+    want = ref_pagerank(
+        [(u, v, 1.0) for u, v in edges], {1, 2, 3, 4}, iters=10
+    )
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # node 3 is dangling (no out-edges); sum of ranks must stay 1
+    edges = [(1, 2), (2, 3), (1, 3)]
+    got = _pr(spark, edges, node_col="id", iters=8)
+    want = ref_pagerank(
+        [(u, v, 1.0) for u, v in edges], {1, 2, 3}, iters=8
+    )
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_weighted_and_zero_weight_is_dangling(spark):
+    # node 2's only out-edge has weight 0 -> node 2 is dangling, and
+    # the job must not die with DIVIDE_BY_ZERO under ANSI mode
+    edges = [(1, 2, 3.0), (1, 3, 1.0), (2, 3, 0.0), (3, 1, 2.0)]
+    got = _pr(
+        spark,
+        edges,
+        schema="src long, dst long, w double",
+        weight="w",
+        node_col="id",
+        iters=6,
+    )
+    want = ref_pagerank(edges, {1, 2, 3}, iters=6)
+    assert got == want
+    # weighted split: node 2 receives 3x what node 3 gets from node 1
+    assert got[2] > got[1] * 0  # sanity: present and positive
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_nodes_closure_conserves_mass(spark):
+    # node set excludes destination 99: its in-edges are dropped and
+    # node 2 (whose only remaining edge pointed there) goes dangling;
+    # rank still sums to 1 over the declared node set
+    edges = [(1, 2), (2, 99), (1, 3)]
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got = _pr(spark, edges, nodes=nodes, node_col="id", iters=6)
+    assert set(got) == {1, 2, 3}
+    want = ref_pagerank(
+        [(u, v, 1.0) for u, v in edges], {1, 2, 3}, iters=6
+    )
+    assert got == want
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_checkpoint_cadences_agree(spark):
+    # iters kept small for the fully-lazy variant: its plan doubles
+    # per hop (2^iters subtrees), which is the documented hazard
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1)]
+    base = _pr(spark, edges, node_col="id", iters=3, checkpoint_every=1)
+    lazy = _pr(spark, edges, node_col="id", iters=3, checkpoint_every=None)
+    every2 = _pr(spark, edges, node_col="id", iters=3, checkpoint_every=2)
+    assert base == lazy == every2
+
+
+def test_pagerank_checkpoint_bounds_plan_depth(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    deep = pagerank(df, node_col="id", iters=12, checkpoint_every=1)
+    depth = len(deep._jdf.queryExecution().executedPlan().toString().splitlines())
+    assert depth < 40  # truncated to the last checkpoint, not 12 hops
+
+
+def test_pagerank_plan_has_no_cartesian_or_python(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    plan = (
+        pagerank(df, node_col="id", iters=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_invalid_args_raise(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(df, iters=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(df, iters=1, checkpoint_every=0)
