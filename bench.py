@@ -2,17 +2,22 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "queries_minmax": {...}, "sf": 0.1}
 
 Each query executes fully (noop sink — every output column is computed,
-nothing collects to the driver). The timed pass runs after one un-timed
+nothing collects to the driver). The timed passes run after one un-timed
 warm pass over the whole suite: a query's first execution in a fresh JVM
 is dominated by Catalyst codegen + C2 JIT of its generated classes
 (measured 2-8 s of compile-queue stall on the heaviest pipelines —
 stack-sampled to interpreted execution, not data work), which a
 100-TB-scale run amortizes to nothing. Steady-state wall-clock is the
-throughput signal this file exists to track. Usage:
-python bench.py [sf_dir]
+throughput signal this file exists to track.
+
+Per-query numbers are the MEDIAN of three full-suite sweeps (the host is
+shared and noisy — identical code has measured 10x swings on single
+runs; the median of interleaved sweeps decorrelates a contention burst
+from any one query). Min/max across sweeps ship in ``queries_minmax``
+so a noisy rep is visible, not hidden. Usage: python bench.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -94,15 +99,25 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     # Un-timed warm pass over the whole suite: compiles every query's
-    # generated code once so the timed pass below measures steady-state
+    # generated code once so the timed passes below measure steady-state
     # data throughput, not first-run Catalyst/C2 compilation (see module
     # docstring; BENCH_BASELINE.md records the methodology A/B).
     for name in HEADLINE_QUERIES:
         run_query(qmap[name], spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
-        timings[name] = round(run_query(qmap[name], spark, sf_dir), 3)
+    # Three timed full-suite sweeps; per-query median (see docstring).
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+    for _ in range(3):
+        for name in HEADLINE_QUERIES:
+            reps[name].append(run_query(qmap[name], spark, sf_dir))
+
+    timings = {
+        name: round(sorted(ts)[1], 3) for name, ts in reps.items()
+    }
+    minmax = {
+        name: [round(min(ts), 3), round(max(ts), 3)]
+        for name, ts in reps.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -112,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_minmax": minmax,
                 "sf": sf,
             }
         )
