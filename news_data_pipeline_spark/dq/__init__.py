@@ -10,7 +10,7 @@ from news_data_pipeline_spark.dq.rules import (
     Unique,
     config_to_rules,
 )
-from news_data_pipeline_spark.dq.profile import profile_columns
+from news_data_pipeline_spark.dq.profile import profile_columns, suggest_rules
 from news_data_pipeline_spark.dq.engine import (
     DQResult,
     from_quarantine_records,
@@ -33,5 +33,6 @@ __all__ = [
     "from_quarantine_records",
     "profile_columns",
     "run_dq",
+    "suggest_rules",
     "to_quarantine_records",
 ]

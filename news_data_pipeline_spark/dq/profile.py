@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from news_data_pipeline_spark.dq.rules import InRange, NotNull, Rule, Unique
+
 
 def profile_columns(
     df: DataFrame,
@@ -64,3 +66,62 @@ def profile_columns(
     ).select(
         "col_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value"
     )
+
+
+def suggest_rules(
+    profile: DataFrame,
+    *,
+    not_null_threshold: float = 1.0,
+    suggest_keys: bool = True,
+    suggest_ranges: bool = True,
+    range_pad: float = 0.0,
+) -> list[Rule]:
+    """Turn a ``profile_columns`` frame into enforceable rules — the
+    discovery-to-enforcement bridge the reference's config dict leaves
+    manual (thresholds guessed instead of measured).
+
+    Per profiled column, in profile order:
+
+    * ``NotNull`` when the observed non-null ratio >= ``not_null_threshold``
+      (default 1.0: only columns with zero observed nulls — the profile
+      says the producer always fills it, so a null later is a defect);
+    * ``Unique`` when every row holds a distinct non-null value
+      (``n_distinct == n_non_null == n_rows``) — a natural key. Only
+      trustworthy from an ``exact=True`` profile: HLL counts can land a
+      hair above/below ``n_rows``, so approx profiles should keep this
+      off;
+    * ``InRange[min, max]`` (padded by ``range_pad`` x span per side)
+      when both profiled extremes parse as finite floats — observed
+      bounds become the plausibility envelope. Values that merely LOOK
+      numeric pass the parse (a string column of digit strings gets a
+      range rule); dates/text don't.
+
+    The profile is one row per column, so the collect here is bounded by
+    the schema width, never the data. Suggested rules feed ``run_dq``
+    unchanged; tighten or drop suggestions before enforcing in
+    production — these encode "what the data looked like today", not
+    business intent.
+    """
+    rules: list[Rule] = []
+    for row in profile.collect():
+        col = row["col_name"]
+        n_rows, n_non_null = row["n_rows"], row["n_non_null"]
+        if n_rows == 0 or n_non_null == 0:
+            continue
+        if n_non_null / n_rows >= not_null_threshold:
+            rules.append(NotNull(col))
+        if (
+            suggest_keys
+            and row["n_distinct"] == n_non_null
+            and n_non_null == n_rows
+        ):
+            rules.append(Unique(col))
+        if suggest_ranges:
+            try:
+                lo, hi = float(row["min_value"]), float(row["max_value"])
+            except (TypeError, ValueError):
+                continue
+            if lo == lo and hi == hi and abs(lo) != float("inf") and abs(hi) != float("inf"):
+                pad = range_pad * (hi - lo)
+                rules.append(InRange(col, lo - pad, hi + pad))
+    return rules

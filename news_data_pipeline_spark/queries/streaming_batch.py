@@ -360,6 +360,140 @@ def event_value_bands_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_tiebreak_order",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts,
+               o_orderkey, o_totalprice
+        FROM orders),
+    ranked AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.order_ts DESC,
+                                           o.o_totalprice DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e LEFT JOIN o
+          ON o.o_custkey = e.user_id AND o.order_ts <= e.ts)
+    SELECT event_id, user_id, ts,
+           o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_asof_tiebreak_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join variant that leans on the multi-column ``right_order``
+    tie-break: order timestamps are date-granular, so a user routinely
+    has several orders at the SAME latest as-of instant — the winner is
+    the highest (totalprice, orderkey) pair, not whichever row a task
+    saw last. Same one-shuffle forward-fill plan as
+    ``events_asof_latest_order``; only the tie policy differs."""
+    from news_data_pipeline_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("order_ts"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="order_ts",
+        right_cols=["o_orderkey", "o_totalprice"],
+        # ascending right_order; the LAST (max) pair wins the tie
+        right_order=["o_totalprice", "o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "event_value_bands_left_rangejoin",
+    oracle="""
+    WITH bands AS (
+        SELECT i * 50.0 AS lo, i * 50.0 + 25.0 AS hi,
+               'band_' || CAST(i AS VARCHAR) AS band
+        FROM (SELECT unnest(range(0, 5)) AS i))
+    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def event_value_bands_left_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer bucketized range join (operators.joins.range_join,
+    ``how="left"``): the bands deliberately cover only alternating
+    50-wide stripes, so events falling in a gap survive the join with a
+    NULL band — the rows an inner range join silently drops. The NULL
+    group aggregates the unbanded remainder, proving the range predicate
+    lives in the join condition, not a post-join filter."""
+    from news_data_pipeline_spark.operators.joins import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.range(0, 5).select(
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 25.0).alias("hi"),
+        F.concat(F.lit("band_"), F.col("id").cast("string")).alias("band"),
+    )
+    joined = range_join(
+        events, bands, left_value="value", right_lo="lo", right_hi="hi",
+        bucket_width=25.0, how="left",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "view_purchase_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts - INTERVAL 15 MINUTE
+     AND p.ts <= v.ts + INTERVAL 15 MINUTE
+    """,
+)
+def view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.ops.interval_join_streams`` — the SAME
+    function runs here on batch frames (``withWatermark`` is a no-op
+    under batch execution), attributing each purchase to the user's
+    views within ±15 minutes. The equality on user_id keeps the plan an
+    equi-join with a residual time predicate — never a nested loop; in
+    streaming mode the same two-sided time bound is what keeps join
+    state evictable."""
+    from news_data_pipeline_spark.streaming.ops import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = interval_join_streams(
+        views, purchases, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        within="15 minutes", watermark="1 hour",
+    )
+    return out.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.col("l_ts").alias("view_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register(
     "event_time_rollup",
     oracle="""
     SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month,

@@ -8,6 +8,7 @@ test here, pinned to the behavior our engine chose.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from news_data_pipeline_spark.dq import (
     ColumnExists,
@@ -302,3 +303,87 @@ def test_profile_columns_approx_path_has_no_expand(spark):
     got = {r["col_name"]: r["n_distinct"] for r in approx.collect()}
     # HLL estimate within its documented ~2.3% envelope (wide margin)
     assert abs(got["a"] - 1000) <= 60 and got["b"] == 7
+
+
+def test_suggest_rules_from_profile(spark):
+    from news_data_pipeline_spark.dq import profile_columns, suggest_rules
+    from news_data_pipeline_spark.dq.rules import InRange, NotNull, Unique
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a", "x"),
+            (2, 20.0, "b", None),
+            (3, 30.0, "b", "z"),
+        ],
+        "id long, score double, tag string, opt string",
+    )
+    rules = suggest_rules(profile_columns(df))
+    # id: fully populated, all-distinct, numeric -> all three rules
+    assert NotNull("id") in rules
+    assert any(isinstance(r, Unique) and r.keys == ("id",) for r in rules)
+    assert InRange("id", 1.0, 3.0) in rules
+    # score: unique + range
+    assert InRange("score", 10.0, 30.0) in rules
+    # tag: populated but duplicated, non-numeric -> NotNull only
+    assert NotNull("tag") in rules
+    assert not any(isinstance(r, Unique) and r.keys == ("tag",) for r in rules)
+    assert not any(isinstance(r, InRange) and r.column == "tag" for r in rules)
+    # opt: has a null -> no NotNull at the default threshold
+    assert NotNull("opt") not in rules
+
+
+def test_suggest_rules_threshold_and_pad(spark):
+    from news_data_pipeline_spark.dq import profile_columns, suggest_rules
+    from news_data_pipeline_spark.dq.rules import InRange, NotNull
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(99)] + [(None,)], "v double"
+    )
+    # 99% populated: suggested at 0.9 threshold, not at the strict default
+    strict = suggest_rules(profile_columns(df))
+    relaxed = suggest_rules(profile_columns(df), not_null_threshold=0.9)
+    assert NotNull("v") not in strict
+    assert NotNull("v") in relaxed
+    padded = suggest_rules(profile_columns(df), range_pad=0.1)
+    rng = [r for r in padded if isinstance(r, InRange)][0]
+    # span 98, 10% pad each side
+    assert rng.lo == pytest.approx(-9.8) and rng.hi == pytest.approx(107.8)
+
+
+def test_suggest_rules_e2e_enforces_profiled_shape(spark):
+    """Profile clean data -> suggested rules -> run_dq splits a later
+    batch that violates the profiled shape (discovery-to-enforcement)."""
+    from news_data_pipeline_spark.dq import (
+        profile_columns,
+        run_dq,
+        suggest_rules,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, 5.0), (2, 6.0), (3, 7.0)], "id long, score double"
+    )
+    rules = suggest_rules(profile_columns(clean))
+    later = spark.createDataFrame(
+        [(4, 6.5), (4, 6.0), (None, 5.5), (6, 99.0)],
+        "id long, score double",
+    )
+    res = run_dq(later, rules)
+    valid = res.valid.collect()
+    quarantined = {
+        (r["id"], r["score"]): set(r["reasons"])
+        for r in res.quarantined.collect()
+    }
+    # the only fully-conforming row
+    assert [(r["id"], r["score"]) for r in valid] == []
+    # 4 appears twice -> unique(id) violations on both copies
+    assert any("unique(id)" in v for k, v in quarantined.items() if k[0] == 4)
+    # null id -> not_null(id)
+    assert any(
+        "not_null(id)" in v for k, v in quarantined.items() if k[0] is None
+    )
+    # 99.0 outside profiled [5, 7] envelope
+    assert any(
+        any(x.startswith("in_range(score") for x in v)
+        for k, v in quarantined.items()
+        if k == (6, 99.0)
+    )
