@@ -589,3 +589,42 @@ def lsh_dedup_representatives(
     return all_ids.join(labels, on="id", how="left").select(
         "id", F.coalesce(F.col("label"), F.col("id")).alias("rep")
     )
+
+
+def keep_best_per_cluster(
+    labeled: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    score_col: str,
+) -> DataFrame:
+    """One survivor per cluster: the member with the highest
+    ``score_col`` (ties break to the highest ``id_col``) — the
+    production final step of near-dup dedup, where "keep the minimum
+    doc_id" (what plain label propagation yields) would throw away the
+    cleanest copy of every duplicate group.
+
+    Scale shape: a single ``max(struct(score, id))`` aggregate —
+    map-side partial combine, one shuffle of one struct per cluster per
+    partition. Deliberately NOT a ``row_number`` window: a window
+    shuffles and sorts every member row inside each cluster partition,
+    and web-corpus duplicate clusters are exactly where per-key row
+    counts explode. The struct's field order IS the tie rule; both
+    fields must be non-null (null scores sort unpredictably across
+    engines — filter or fill first).
+
+    Returns one row per cluster:
+    ``(cluster_col, id_col = argmax, score_col = max, n_members)``.
+    """
+    best = F.max(
+        F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
+    ).alias("__best")
+    return (
+        labeled.groupBy(F.col(cluster_col))
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            cluster_col,
+            F.col("__best.i").alias(id_col),
+            F.col("__best.s").alias(score_col),
+            "n_members",
+        )
+    )

@@ -1163,12 +1163,11 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "doc_id", "text", ctx_len=64, stride=48)
 
 
-@register(
-    "neardup_components",
-    # the pairs CTEs are the minhash_lsh_pairs oracle verbatim; the
-    # l1..l3 CTEs unroll connected_components' min-label iterations
-    # exactly (LEFT JOIN + least + coalesce per hop)
-    oracle=f"""
+# Shared CTE chain for the near-dup cluster oracles: the pairs CTEs are
+# the minhash_lsh_pairs oracle verbatim; the l1..l3 CTEs unroll
+# connected_components' min-label iterations exactly (LEFT JOIN + least
+# + coalesce per hop). Ends at l3 = (u=doc_id, label=component).
+_DUCK_NEARDUP_CTES = f"""
     WITH shingles AS ({_DUCK_SHINGLES}),
     sig AS (
         SELECT id,
@@ -1204,7 +1203,13 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM l2 l LEFT JOIN (
             SELECT s.u, min(p.label) AS nm
             FROM sym s JOIN l2 p ON p.u = s.v
-            GROUP BY s.u) m ON m.u = l.u)
+            GROUP BY s.u) m ON m.u = l.u)"""
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    {_DUCK_NEARDUP_CTES}
     SELECT u AS doc_id, label AS component FROM l3
     """,
 )
@@ -1287,3 +1292,60 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         edges, "source", "lang", weight="w", node_col="node", iters=3
     )
+
+
+@register(
+    "neardup_keep_best",
+    # cluster labels: the shared near-dup CTE chain; survivor: textbook
+    # row_number by (quality DESC, doc_id DESC) — the exact order the
+    # Spark side's max(struct(quality, doc_id)) aggregate encodes
+    oracle=f"""
+    {_DUCK_NEARDUP_CTES},
+    qual AS (
+        SELECT doc_id,
+               round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5
+                     + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
+                                    / greatest(length(text), 1)::DOUBLE, 4)) * 0.3
+                     + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000
+                            THEN 0.2 ELSE 0.0 END,
+                     4) AS quality
+        FROM documents),
+    j AS (
+        SELECT l3.label AS component, q.doc_id, q.quality
+        FROM l3 JOIN qual q ON q.doc_id = l3.u),
+    r AS (
+        SELECT component, doc_id, quality,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY quality DESC, doc_id DESC) AS rn,
+               count(*) OVER (PARTITION BY component) AS n_members
+        FROM j)
+    SELECT component, doc_id, quality, n_members FROM r WHERE rn = 1
+    """,
+)
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection — the production final
+    step of dedup: label clusters via LSH pairs + min-label propagation
+    (operators.graph.connected_components), score every document
+    (functions.text.quality_score), keep the HIGHEST-quality member per
+    cluster (operators.dedup.keep_best_per_cluster) instead of the
+    arbitrary minimum id. One max(struct) aggregate picks survivors —
+    no per-cluster window sort, which matters exactly where duplicate
+    clusters are huge."""
+    from news_data_pipeline_spark.operators.dedup import (
+        keep_best_per_cluster,
+        minhash_lsh_dedup_pairs,
+    )
+    from news_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    comp = connected_components(
+        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id", max_iter=3
+    )
+    scored = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    labeled = scored.join(comp, on="doc_id")
+    return keep_best_per_cluster(labeled, "doc_id", "component", "quality")

@@ -271,3 +271,40 @@ def test_repetition_stats_detects_duplicated_grams(spark):
     assert got[1]["n_grams"] == 4 and got[1]["n_distinct_grams"] == 1
     assert got[1]["dup_gram_ratio"] == 0.75
     assert got[2]["dup_gram_ratio"] == 0.0
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    from news_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+
+    labeled = spark.createDataFrame(
+        [
+            (1, "A", 0.5),
+            (2, "A", 0.9),
+            (3, "A", 0.9),  # tie with 2 -> higher id wins
+            (4, "B", 0.1),
+        ],
+        "doc_id long, component string, quality double",
+    )
+    got = {
+        r["component"]: (r["doc_id"], r["quality"], r["n_members"])
+        for r in keep_best_per_cluster(
+            labeled, "doc_id", "component", "quality"
+        ).collect()
+    }
+    assert got == {"A": (3, 0.9, 3), "B": (4, 0.1, 1)}
+
+
+def test_keep_best_per_cluster_plan_is_aggregate_not_window(spark):
+    from news_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+
+    labeled = spark.createDataFrame(
+        [(1, "A", 0.5)], "doc_id long, component string, quality double"
+    )
+    plan = (
+        keep_best_per_cluster(labeled, "doc_id", "component", "quality")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
