@@ -49,7 +49,12 @@ def main() -> None:
     print(f"corpus: {docs.count()} docs")
 
     def timed(name, df):
+        # accepts a DataFrame or a thunk; thunks time CONSTRUCTION too,
+        # which matters for operators whose checkpoint cadence executes
+        # jobs eagerly while the plan is being built (pagerank)
         t0 = time.perf_counter()
+        if callable(df):
+            df = df()
         n = df.count()
         print(f"{name}: {time.perf_counter() - t0:.1f}s, {n} rows")
 
@@ -64,6 +69,37 @@ def main() -> None:
             "minhash_lsh_dedup_pairs (quadratic output — expect minutes)",
             dedup.minhash_lsh_dedup_pairs(docs, "doc_id", "text"),
         )
+
+    # Iterative graph ops on a synthetic power-law-ish link graph:
+    # ~10 out-edges per node, destinations clustered by a modular hash
+    # so components/ranks are non-trivial. Times the per-hop cost and
+    # exercises the checkpoint cadence at depth.
+    from news_data_pipeline_spark.operators import graph  # noqa: E402
+
+    n_nodes = args.docs
+    dsts = F.array(
+        *[
+            ((F.col("id") * F.lit(7 + 2 * k) + F.lit(k * k)) % n_nodes)
+            for k in range(10)
+        ]
+    )
+    edges = (
+        spark.range(n_nodes)
+        .select(F.col("id").alias("src"), F.explode(dsts).alias("dst"))
+        .persist()
+    )
+    print(f"graph: {edges.count()} edges over {n_nodes} nodes")
+    timed(
+        "pagerank iters=10 (checkpoint_every=1)",
+        lambda: graph.pagerank(edges, "src", "dst", iters=10),
+    )
+    timed(
+        "connected_components max_iter=10 (checkpoint_every=2)",
+        lambda: graph.connected_components(
+            edges, "src", "dst", max_iter=10, checkpoint_every=2
+        ),
+    )
+    edges.unpersist()
     spark.stop()
 
 
