@@ -103,3 +103,58 @@ def value_compressed_percent_rank(
         .select(*join_keys, out_col)
     )
     return keyed.join(ranked, on=join_keys).select(*df.columns, out_col)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by,
+    k: int,
+    *,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Top ``k`` rows per key group under a TOTAL ordering (caller
+    includes a tie-break column in ``order_by``, else which tied row
+    survives is partition-order dependent).
+
+    The naive plan — ``row_number() OVER (PARTITION BY keys ORDER BY
+    ...) <= k`` — shuffles and fully sorts every member row inside each
+    key partition; hot keys (one source/domain dominating a web corpus)
+    funnel through single sort tasks. The two-phase plan bounds that:
+
+    phase 1: the same window but partitioned by (keys, input-partition
+    id) — rows are ranked within the partition slices they ALREADY sit
+    in, so a hot key's sort is split across however many input
+    partitions hold it, and each slice keeps at most ``k`` rows;
+    phase 2: the exact window over the survivors — at most
+    ``k x n_input_partitions`` rows per key, a bounded frame.
+
+    The union of per-slice top-k is a superset of the global top-k, so
+    the result is EXACT and deterministic under a total order no matter
+    how rows were distributed. Cost: one extra narrow rank pass; the
+    full-row shuffle that remains only carries phase-1 survivors.
+    ``two_phase=False`` gives the naive single-window plan (fine when
+    group sizes are known-bounded).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order = list(order_by)
+    if two_phase:
+        # materialized first: spark_partition_id() is flagged
+        # non-deterministic, which a window partition spec rejects;
+        # as a concrete column it is just a grouping key
+        sliced = Window.partitionBy(
+            "__slice", *[F.col(c) for c in keys]
+        ).orderBy(*order)
+        df = (
+            df.withColumn("__slice", F.spark_partition_id())
+            .withColumn("__slice_rn", F.row_number().over(sliced))
+            .where(F.col("__slice_rn") <= k)
+            .drop("__slice", "__slice_rn")
+        )
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1349,3 +1349,45 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = scored.join(comp, on="doc_id")
     return keep_best_per_cluster(labeled, "doc_id", "component", "quality")
+
+
+@register(
+    "top_documents_per_source",
+    # oracle is the textbook exact window; the operator's two-phase plan
+    # must produce the identical multiset under the total ordering
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5
+                     + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
+                                    / greatest(length(text), 1)::DOUBLE, 4)) * 0.3
+                     + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000
+                            THEN 0.2 ELSE 0.0 END,
+                     4) AS quality
+        FROM documents WHERE source IS NOT NULL),
+    r AS (
+        SELECT source, doc_id, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id ASC) AS rn
+        FROM scored)
+    SELECT source, doc_id, quality FROM r WHERE rn <= 3
+    """,
+)
+def top_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe top-k per group (operators.ranking.top_k_per_group):
+    the 3 highest-quality documents per source, ranked in two phases —
+    per-input-slice top-k first (hot sources sort in parallel slices,
+    each keeping <= k rows), then the exact window over the bounded
+    survivor set. Total order: quality DESC, doc_id ASC."""
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.where(F.col("source").isNotNull()).select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    return top_k_per_group(
+        scored,
+        ["source"],
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        k=3,
+    ).select("source", "doc_id", "quality")

@@ -85,3 +85,34 @@ def test_heavy_side_is_never_shuffled(spark):
     # one shuffle for the partial->final count aggregate, one for the
     # window over the distinct-value frame; nothing touching the probe
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_top_k_per_group_matches_naive_and_is_exact(spark):
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("a", i, float(i % 7)) for i in range(40)
+    ] + [("b", 100, 5.0), ("b", 101, 5.0), ("c", 200, 1.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double").repartition(4)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    two = top_k_per_group(df, ["g"], order, k=3)
+    naive = top_k_per_group(df, ["g"], order, k=3, two_phase=False)
+    key = lambda r: (r["g"], r["id"], r["v"])
+    assert sorted(map(key, two.collect())) == sorted(map(key, naive.collect()))
+    got = {r["g"]: r["id"] for r in two.where("v = 5.0 and g = 'b'").collect()}
+    # tie at v=5.0 resolves to ascending id first
+    bs = sorted(r["id"] for r in two.collect() if r["g"] == "b")
+    assert bs == [100, 101]
+    # group smaller than k survives whole
+    assert [r["id"] for r in two.collect() if r["g"] == "c"] == [200]
+
+
+def test_top_k_per_group_invalid_k(spark):
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    df = spark.createDataFrame([("a", 1)], "g string, id long")
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        top_k_per_group(df, ["g"], ["id"], k=0)
