@@ -68,33 +68,49 @@ def profile_columns(
     )
 
 
+_NUMERIC_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+)
+
+
 def suggest_rules(
-    profile: DataFrame,
+    df: DataFrame,
+    profile: DataFrame | None = None,
     *,
     not_null_threshold: float = 1.0,
     suggest_keys: bool = True,
     suggest_ranges: bool = True,
     range_pad: float = 0.0,
 ) -> list[Rule]:
-    """Turn a ``profile_columns`` frame into enforceable rules — the
+    """Turn a profile of ``df`` into enforceable rules — the
     discovery-to-enforcement bridge the reference's config dict leaves
-    manual (thresholds guessed instead of measured).
+    manual (thresholds guessed instead of measured). ``df`` supplies
+    column TYPES (the profile frame carries only stringified extremes);
+    pass ``profile`` to reuse an existing ``profile_columns(df)``
+    result, else one is computed here.
 
     Per profiled column, in profile order:
 
     * ``NotNull`` when the observed non-null ratio >= ``not_null_threshold``
       (default 1.0: only columns with zero observed nulls — the profile
-      says the producer always fills it, so a null later is a defect);
+      says the producer always fills it, so a null later is a defect).
+      For string columns the profiled minimum must also be non-empty:
+      the ``NotNull`` RULE treats ``''`` as null, and the lexicographic
+      minimum is ``''`` exactly when an empty string was observed — a
+      suggestion that would quarantine the very rows it was profiled
+      from is never emitted;
     * ``Unique`` when every row holds a distinct non-null value
       (``n_distinct == n_non_null == n_rows``) — a natural key. Only
       trustworthy from an ``exact=True`` profile: HLL counts can land a
       hair above/below ``n_rows``, so approx profiles should keep this
       off;
     * ``InRange[min, max]`` (padded by ``range_pad`` x span per side)
-      when both profiled extremes parse as finite floats — observed
-      bounds become the plausibility envelope. Values that merely LOOK
-      numeric pass the parse (a string column of digit strings gets a
-      range rule); dates/text don't.
+      for NUMERIC columns only — observed bounds become the
+      plausibility envelope. String/date/other columns never get a
+      range rule: their profiled extremes are lexicographic, so parsing
+      them as floats would invert or truncate the range (and enforcing
+      float bounds on a string column aborts under ANSI mode the first
+      time a non-numeric value arrives).
 
     The profile is one row per column, so the collect here is bounded by
     the schema width, never the data. Suggested rules feed ``run_dq``
@@ -102,13 +118,18 @@ def suggest_rules(
     production — these encode "what the data looked like today", not
     business intent.
     """
+    if profile is None:
+        profile = profile_columns(df)
+    dtypes = dict(df.dtypes)
     rules: list[Rule] = []
     for row in profile.collect():
         col = row["col_name"]
+        dtype = dtypes.get(col, "")
         n_rows, n_non_null = row["n_rows"], row["n_non_null"]
         if n_rows == 0 or n_non_null == 0:
             continue
-        if n_non_null / n_rows >= not_null_threshold:
+        blank_seen = dtype == "string" and row["min_value"] == ""
+        if n_non_null / n_rows >= not_null_threshold and not blank_seen:
             rules.append(NotNull(col))
         if (
             suggest_keys
@@ -116,12 +137,18 @@ def suggest_rules(
             and n_non_null == n_rows
         ):
             rules.append(Unique(col))
-        if suggest_ranges:
+        if suggest_ranges and (
+            dtype in _NUMERIC_TYPES or dtype.startswith("decimal")
+        ):
             try:
                 lo, hi = float(row["min_value"]), float(row["max_value"])
             except (TypeError, ValueError):
                 continue
-            if lo == lo and hi == hi and abs(lo) != float("inf") and abs(hi) != float("inf"):
+            if (
+                lo == lo and hi == hi  # not NaN
+                and abs(lo) != float("inf") and abs(hi) != float("inf")
+                and lo <= hi
+            ):
                 pad = range_pad * (hi - lo)
                 rules.append(InRange(col, lo - pad, hi + pad))
     return rules

@@ -615,6 +615,14 @@ def keep_best_per_cluster(
     Returns one row per cluster:
     ``(cluster_col, id_col = argmax, score_col = max, n_members)``.
     """
+    reserved = {"__best", "n_members"}
+    clash = reserved & set(labeled.columns)
+    if clash:
+        raise ValueError(
+            f"keep_best_per_cluster reserves column names "
+            f"{sorted(reserved)}; input uses {sorted(clash)} — rename "
+            "them before calling"
+        )
     best = F.max(
         F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i"))
     ).alias("__best")

@@ -123,21 +123,30 @@ def top_k_per_group(
     funnel through single sort tasks. The two-phase plan bounds that:
 
     phase 1: the same window but partitioned by (keys, input-partition
-    id) — rows are ranked within the partition slices they ALREADY sit
-    in, so a hot key's sort is split across however many input
-    partitions hold it, and each slice keeps at most ``k`` rows;
-    phase 2: the exact window over the survivors — at most
+    id) — one full-data exchange on the COMPOSITE key, so a hot key's
+    rows spread across however many input partitions held them and
+    every sort task sees one bounded slice, each keeping at most ``k``
+    rows; phase 2: the exact window over the survivors — at most
     ``k x n_input_partitions`` rows per key, a bounded frame.
 
     The union of per-slice top-k is a superset of the global top-k, so
     the result is EXACT and deterministic under a total order no matter
-    how rows were distributed. Cost: one extra narrow rank pass; the
-    full-row shuffle that remains only carries phase-1 survivors.
+    how rows were distributed. Cost vs naive: the same single full-data
+    shuffle, but skew-free (hashed on the composite key instead of the
+    hot key alone), plus one small exchange of the survivors.
     ``two_phase=False`` gives the naive single-window plan (fine when
     group sizes are known-bounded).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    reserved = {"__slice", "__slice_rn", "__rn"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"top_k_per_group reserves internal column names "
+            f"{sorted(reserved)}; input uses {sorted(clash)} — rename "
+            "them before calling"
+        )
     order = list(order_by)
     if two_phase:
         # materialized first: spark_partition_id() is flagged

@@ -23,6 +23,18 @@ _DUCK_WORDS = (
 )
 _DUCK_TOKENS = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))"
 
+# DuckDB twin of functions.text.quality_score over a `text` column —
+# keep in sync with the Spark formula (0.5*length band + 0.3*(1-punct
+# ratio) + 0.2*word-count band, 4dp). ONE definition: five oracles use
+# it, and a drifted copy would silently break oracle parity.
+_DUCK_QUALITY = (
+    f"round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5"
+    " + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))"
+    " / greatest(length(text), 1)::DOUBLE, 4)) * 0.3"
+    f" + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000"
+    " THEN 0.2 ELSE 0.0 END, 4)"
+)
+
 # DuckDB twin of operators.dedup.word_shingles (word n-grams, n=3).
 _DUCK_SHINGLES = """
     SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
@@ -58,18 +70,7 @@ def document_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "document_quality",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id,
-               {_DUCK_WORDS} AS wc,
-               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
-                     / greatest(length(text), 1)::DOUBLE, 4) AS pr
-        FROM documents)
-    SELECT doc_id,
-           round(least(wc / 50.0, 1.0) * 0.5
-                 + (1.0 - pr) * 0.3
-                 + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
-                 4) AS quality
-    FROM m
+    SELECT doc_id, {_DUCK_QUALITY} AS quality FROM documents
     """,
 )
 def document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,19 +911,11 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "training_corpus",
     oracle=f"""
-    WITH m AS (
+    WITH scored AS (
         SELECT doc_id, text, lang,
-               {_DUCK_WORDS} AS wc,
-               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
-                     / greatest(length(text), 1)::DOUBLE, 4) AS pr,
-               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+               {_DUCK_QUALITY} AS quality
         FROM documents),
-    scored AS (
-        SELECT doc_id, text, lang, fp,
-               round(least(wc / 50.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
-                     + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
-                     4) AS quality
-        FROM m),
     kept AS (
         SELECT * FROM (
             SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -1075,18 +1068,9 @@ def hot_shingles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_band_per_lang",
     oracle=f"""
-    WITH m AS (
-        SELECT doc_id, lang,
-               {_DUCK_WORDS} AS wc,
-               round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
-                     / greatest(length(text), 1)::DOUBLE, 4) AS pr
+    WITH scored AS (
+        SELECT doc_id, lang, {_DUCK_QUALITY} AS quality
         FROM documents),
-    scored AS (
-        SELECT doc_id, lang,
-               round(least(wc / 50.0, 1.0) * 0.5 + (1.0 - pr) * 0.3
-                     + CASE WHEN wc BETWEEN 5 AND 5000 THEN 0.2 ELSE 0.0 END,
-                     4) AS quality
-        FROM m),
     ranked AS (
         SELECT doc_id, lang, quality,
                percent_rank() OVER (PARTITION BY lang
@@ -1302,13 +1286,7 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_DUCK_NEARDUP_CTES},
     qual AS (
-        SELECT doc_id,
-               round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5
-                     + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
-                                    / greatest(length(text), 1)::DOUBLE, 4)) * 0.3
-                     + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000
-                            THEN 0.2 ELSE 0.0 END,
-                     4) AS quality
+        SELECT doc_id, {_DUCK_QUALITY} AS quality
         FROM documents),
     j AS (
         SELECT l3.label AS component, q.doc_id, q.quality
@@ -1357,13 +1335,7 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must produce the identical multiset under the total ordering
     oracle=f"""
     WITH scored AS (
-        SELECT doc_id, source,
-               round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5
-                     + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))
-                                    / greatest(length(text), 1)::DOUBLE, 4)) * 0.3
-                     + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000
-                            THEN 0.2 ELSE 0.0 END,
-                     4) AS quality
+        SELECT doc_id, source, {_DUCK_QUALITY} AS quality
         FROM documents WHERE source IS NOT NULL),
     r AS (
         SELECT source, doc_id, quality,

@@ -308,3 +308,14 @@ def test_keep_best_per_cluster_plan_is_aggregate_not_window(spark):
     )
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_keep_best_per_cluster_reserved_names_raise(spark):
+    from news_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "A", 0.5, 9)], "doc_id long, component string, quality double, n_members long"
+    )
+    with pytest.raises(ValueError, match="reserves column names"):
+        keep_best_per_cluster(df, "doc_id", "component", "quality")

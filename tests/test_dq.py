@@ -317,7 +317,7 @@ def test_suggest_rules_from_profile(spark):
         ],
         "id long, score double, tag string, opt string",
     )
-    rules = suggest_rules(profile_columns(df))
+    rules = suggest_rules(df, profile_columns(df))
     # id: fully populated, all-distinct, numeric -> all three rules
     assert NotNull("id") in rules
     assert any(isinstance(r, Unique) and r.keys == ("id",) for r in rules)
@@ -340,14 +340,35 @@ def test_suggest_rules_threshold_and_pad(spark):
         [(float(i),) for i in range(99)] + [(None,)], "v double"
     )
     # 99% populated: suggested at 0.9 threshold, not at the strict default
-    strict = suggest_rules(profile_columns(df))
-    relaxed = suggest_rules(profile_columns(df), not_null_threshold=0.9)
+    strict = suggest_rules(df)
+    relaxed = suggest_rules(df, not_null_threshold=0.9)
     assert NotNull("v") not in strict
     assert NotNull("v") in relaxed
-    padded = suggest_rules(profile_columns(df), range_pad=0.1)
+    padded = suggest_rules(df, range_pad=0.1)
     rng = [r for r in padded if isinstance(r, InRange)][0]
     # span 98, 10% pad each side
     assert rng.lo == pytest.approx(-9.8) and rng.hi == pytest.approx(107.8)
+
+
+def test_suggest_rules_never_quarantines_profiled_data(spark):
+    """Regression: suggestions must hold on the very rows they were
+    profiled from — string columns get no lexicographic InRange, an
+    observed '' blocks NotNull (the rule treats '' as null)."""
+    from news_data_pipeline_spark.dq import run_dq, suggest_rules
+    from news_data_pipeline_spark.dq.rules import InRange, NotNull
+
+    df = spark.createDataFrame(
+        [("9", "", "5"), ("10", "a", "60"), ("8", "b", "7")],
+        "numstr string, blank string, digits string",
+    )
+    rules = suggest_rules(df)
+    # '9'/'10' min/max are lexicographic ('10' < '9') — a parsed range
+    # would be inverted; digit strings must not get a range either
+    assert not any(isinstance(r, InRange) for r in rules)
+    # '' was observed, and NotNull counts '' as a violation
+    assert NotNull("blank") not in rules
+    res = run_dq(df, rules)
+    assert res.quarantined.count() == 0
 
 
 def test_suggest_rules_e2e_enforces_profiled_shape(spark):
@@ -362,7 +383,7 @@ def test_suggest_rules_e2e_enforces_profiled_shape(spark):
     clean = spark.createDataFrame(
         [(1, 5.0), (2, 6.0), (3, 7.0)], "id long, score double"
     )
-    rules = suggest_rules(profile_columns(clean))
+    rules = suggest_rules(clean, profile_columns(clean))
     later = spark.createDataFrame(
         [(4, 6.5), (4, 6.0), (None, 5.5), (6, 99.0)],
         "id long, score double",

@@ -116,3 +116,12 @@ def test_top_k_per_group_invalid_k(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         top_k_per_group(df, ["g"], ["id"], k=0)
+
+
+def test_top_k_per_group_reserved_names_raise(spark):
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "g string, __rn long")
+    with pytest.raises(ValueError, match="reserves internal column names"):
+        top_k_per_group(df, ["g"], ["__rn"], k=1)
