@@ -257,6 +257,8 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     header, amplitude stats from the body."""
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
@@ -267,12 +269,20 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
                     )
                 sr, n = struct.unpack("<II", b[4:12])
                 body = b[12 : 12 + n]
+                # explicit half-up at 4dp (same rule as decode_images):
+                # Python's round() is banker's, SQL engines' is
+                # half-away — pin one rule both sides can express
                 rows.append(
                     (
                         i,
                         sr,
-                        round(n / sr, 4) if sr else 0.0,
-                        round(sum(body) / max(len(body), 1), 4),
+                        math.floor(n / sr * 10000.0 + 0.5) / 10000.0
+                        if sr
+                        else 0.0,
+                        math.floor(
+                            sum(body) / max(len(body), 1) * 10000.0 + 0.5
+                        )
+                        / 10000.0,
                     )
                 )
             yield pd.DataFrame(

@@ -1363,3 +1363,77 @@ def top_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("quality").desc(), F.col("doc_id").asc()],
         k=3,
     ).select("source", "doc_id", "quality")
+
+
+@register(
+    "multimodal_audio_features",
+    # Same hex-chain recomputation contract as multimodal_image_features:
+    # the fake audio body is the iterated-md5 hex chain of the seed
+    # (fake_audio_bytes reuses the image chain), so DuckDB regenerates
+    # the exact samples. n_samples <= 95 needs 190 hex chars -> 6 hops.
+    # Half-up at 4dp mirrors audio_features' pinned rounding rule.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               8000 + (doc_id % 4) * 1000 AS sample_rate,
+               32 + doc_id % 64 AS n
+        FROM documents),
+    c AS (SELECT doc_id, sample_rate, n, md5(t) AS h1 FROM p),
+    c2 AS (SELECT *, md5(h1) AS h2 FROM c),
+    c3 AS (SELECT *, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT *, md5(h3) AS h4 FROM c3),
+    c5 AS (SELECT *, md5(h4) AS h5 FROM c4),
+    c6 AS (SELECT *, md5(h5) AS h6 FROM c5),
+    body AS (
+        SELECT doc_id, sample_rate, n,
+               substring(h1 || h2 || h3 || h4 || h5 || h6, 1, 2 * n) AS hx
+        FROM c6),
+    vals AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(hx, 2 * i - 1, 2)) AS INT) AS v
+        FROM body, LATERAL unnest(range(1, n + 1)) AS u(i)),
+    sums AS (SELECT doc_id, sum(v) AS sumv FROM vals GROUP BY doc_id)
+    SELECT b.doc_id, b.sample_rate,
+           floor((b.n::DOUBLE / b.sample_rate) * 10000 + 0.5) / 10000
+               AS duration_sec,
+           floor(sumv / b.n::DOUBLE * 10000 + 0.5) / 10000
+               AS mean_amplitude
+    FROM body b JOIN sums USING (doc_id)
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_image_features: documents.text seeds a
+    deterministic fake clip per doc (sample rate and length from
+    doc_id), decoded to typed features (header sample rate, duration,
+    mean amplitude) via Arrow-batched mapInPandas. The payload builder
+    runs distributed; the oracle independently recomputes the hex-chain
+    samples from the shared inputs."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_audio_bytes(
+                            t or "",
+                            8000 + int(i) % 4 * 1000,
+                            32 + int(i) % 64,
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    clips = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
+    return mm.audio_features(clips, "doc_id", "payload").select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "duration_sec",
+        "mean_amplitude",
+    )
