@@ -146,3 +146,70 @@ def test_range_join_matches_naive_model(spark, values, ranges):
         if lo <= v < lo + width
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=50),  # id (may repeat)
+            st.integers(min_value=0, max_value=5),   # value (ties likely)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@SETTINGS
+def test_top_k_per_group_matches_naive_model(spark, rows, k):
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    df = spark.createDataFrame(
+        rows, schema="g bigint, id bigint, v bigint"
+    ).repartition(3)
+    # total order: v desc, id asc, then g-free row identity via (id, v)
+    got = sorted(
+        (r["g"], r["id"], r["v"])
+        for r in top_k_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=k
+        ).collect()
+    )
+    want = []
+    for g in {r[0] for r in rows}:
+        members = sorted(
+            (r for r in rows if r[0] == g), key=lambda r: (-r[2], r[1])
+        )
+        want.extend((g, i, v) for g, i, v in members[:k])
+    # duplicate (g, id, v) rows make row_number's choice among identical
+    # rows arbitrary but the surviving multiset of value-tuples is fixed
+    assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # cluster
+            st.integers(min_value=0, max_value=99),   # doc id
+            st.integers(min_value=0, max_value=4),    # quality (ties)
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@SETTINGS
+def test_keep_best_per_cluster_matches_argmax_model(spark, rows):
+    from news_data_pipeline_spark.operators.dedup import keep_best_per_cluster
+
+    df = spark.createDataFrame(
+        rows, schema="c bigint, doc bigint, q bigint"
+    ).repartition(3)
+    got = {
+        r["c"]: (r["doc"], r["q"], r["n_members"])
+        for r in keep_best_per_cluster(df, "doc", "c", "q").collect()
+    }
+    want = {}
+    for c in {r[0] for r in rows}:
+        members = [r for r in rows if r[0] == c]
+        q, doc = max((r[2], r[1]) for r in members)
+        want[c] = (doc, q, len(members))
+    assert got == want
