@@ -50,6 +50,26 @@ def extract_domain(col: Column) -> Column:
     return F.regexp_extract(col, DOMAIN_RE, 1)
 
 
+# ASCII control chars minus tab/LF/CR (those are whitespace, handled by
+# the collapse step). Explicit ranges, not \p{Cntrl}: Java and RE2
+# disagree on property classes, and the DuckDB oracle must match
+# byte-for-byte.
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# explicit whitespace class for the same reason: Java's \s includes
+# \x0B, RE2's does not
+WS_RE = r"[ \t\n\r\f\x0B]+"
+
+
+def clean_text(col: Column) -> Column:
+    """Corpus text normalization — pure Catalyst, no UDF: control
+    characters stripped, all whitespace runs collapsed to single
+    spaces, ends trimmed. The standard first pass before tokenization /
+    shingling / quality scoring; a narrow map that runs at scan speed
+    on any corpus size."""
+    no_ctrl = F.regexp_replace(col, CTRL_RE, " ")
+    return F.trim(F.regexp_replace(no_ctrl, WS_RE, " "))
+
+
 def word_count(col: Column, *, compat_reference: bool = False) -> Column:
     """Whitespace token count; 0 for empty/blank strings.
 

@@ -1437,3 +1437,29 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_sec",
         "mean_amplitude",
     )
+
+
+@register(
+    "documents_cleaned",
+    # identical explicit regex classes on both sides: Java and RE2
+    # disagree on \s (\x0B) and \p{Cntrl}, so the classes are spelled out
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]',
+                              ' ', 'g'),
+               '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text,
+           length(text) AS n_chars_raw
+    FROM documents
+    """,
+)
+def documents_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (functions.text.clean_text): control
+    chars stripped, whitespace collapsed, trimmed — the narrow-map first
+    pass before tokenization/shingling; zero shuffles, scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.clean_text(F.col("text")).alias("clean_text"),
+        F.length("text").alias("n_chars_raw"),
+    )

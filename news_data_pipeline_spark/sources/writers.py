@@ -352,3 +352,37 @@ def compact_layer(
         fs.rename(old, dst)  # restore the original layer
         raise IOError(f"compaction rename failed: {tmp} -> {path}; original restored")
     fs.delete(old, True)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    *,
+    max_records_per_file: int,
+    num_shards: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Export a corpus in bounded-size shards — the layout training-data
+    loaders want: no shard larger than ``max_records_per_file`` rows, so
+    downstream readers (dataloader workers, sampling jobs, backfills)
+    get uniform parallel units instead of one task per whatever file
+    sizes the upstream job happened to leave.
+
+    ``maxRecordsPerFile`` does the per-file capping inside each write
+    task (rolls to a new file at the cap — no extra shuffle);
+    ``num_shards`` optionally repartitions first to bound the file
+    COUNT too (coarse x fine: tasks x per-file cap). Without it the
+    file count is input-partitions x ceil(rows_per_partition / cap).
+    """
+    if max_records_per_file < 1:
+        raise ValueError(
+            f"max_records_per_file must be >= 1, got {max_records_per_file}"
+        )
+    out = df.repartition(num_shards) if num_shards else df
+    (
+        out.write.format(fmt)
+        .mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .save(path)
+    )

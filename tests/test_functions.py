@@ -128,3 +128,20 @@ def test_redact_pii(spark):
     assert one(spark, "no pii here", text.redact_pii) == "no pii here"
     n = one(spark, s, text.pii_count)
     assert n >= 3  # email, phone, ip, ssn (phone/ssn may overlap-count)
+
+
+def test_clean_text_strips_controls_and_collapses_whitespace(spark):
+    from news_data_pipeline_spark.functions.text import clean_text
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a\x00b\x07c",),            # control chars -> spaces -> collapsed
+            ("  lots\t\tof\n\nspace  ",),
+            ("\x0bvertical\x0btab\x0b",),
+            ("",),
+        ],
+        "t string",
+    )
+    got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
+    assert got == ["a b c", "lots of space", "vertical tab", ""]

@@ -404,3 +404,32 @@ def test_read_with_quarantine_guards_collision(spark, tmp_path):
     schema = StructType([StructField("_corrupt_record", StringType())])
     with _pytest.raises(ValueError, match="collides"):
         read_json_with_quarantine(spark, str(tmp_path), schema)
+
+
+def test_write_sharded_caps_rows_per_file(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import write_sharded
+    import glob
+
+    out = str(tmp_path / "shards")
+    df = spark.range(1000).repartition(2)
+    write_sharded(df, out, max_records_per_file=150, num_shards=2)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) >= 7  # 1000 rows / 150 cap -> at least ceil
+    import duckdb
+
+    con = duckdb.connect()
+    for f in files:
+        (n,) = con.execute(f"SELECT count(*) FROM '{f}'").fetchone()
+        assert n <= 150
+    total = sum(
+        con.execute(f"SELECT count(*) FROM '{f}'").fetchone()[0] for f in files
+    )
+    assert total == 1000
+
+
+def test_write_sharded_invalid_cap(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import write_sharded
+    import pytest
+
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_sharded(spark.range(5), str(tmp_path / "x"), max_records_per_file=0)
