@@ -50,13 +50,16 @@ def extract_domain(col: Column) -> Column:
     return F.regexp_extract(col, DOMAIN_RE, 1)
 
 
-# ASCII control chars minus tab/LF/CR (those are whitespace, handled by
-# the collapse step). Explicit ranges, not \p{Cntrl}: Java and RE2
-# disagree on property classes, and the DuckDB oracle must match
-# byte-for-byte.
+# ASCII control chars minus tab/LF/CR: VT/FF/NUL/etc. are stripped (to
+# a space) HERE; tab/LF/CR survive to the whitespace collapse below.
+# Explicit ranges, not \p{Cntrl}: Java and RE2 disagree on property
+# classes, and the DuckDB oracle must match byte-for-byte.
 CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
-# explicit whitespace class for the same reason: Java's \s includes
-# \x0B, RE2's does not
+# Explicit class for the same reason: Java's \s includes \x0B, RE2's
+# does not. \f and \x0B are defensively redundant after CTRL_RE (kept
+# so either regex is safe to apply alone); keep the two engines'
+# classes identical — this constant and the documents_cleaned oracle
+# (queries/llmdata.py) must change together.
 WS_RE = r"[ \t\n\r\f\x0B]+"
 
 

@@ -379,7 +379,11 @@ def write_sharded(
         raise ValueError(
             f"max_records_per_file must be >= 1, got {max_records_per_file}"
         )
-    out = df.repartition(num_shards) if num_shards else df
+    if num_shards is not None and num_shards < 1:
+        # a dynamically-computed 0 (rows // shard_size) must fail fast,
+        # not silently skip the repartition and emit an unbounded count
+        raise ValueError(f"num_shards must be >= 1 or None, got {num_shards}")
+    out = df.repartition(num_shards) if num_shards is not None else df
     (
         out.write.format(fmt)
         .mode(mode)

@@ -433,3 +433,14 @@ def test_write_sharded_invalid_cap(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_sharded(spark.range(5), str(tmp_path / "x"), max_records_per_file=0)
+
+
+def test_write_sharded_invalid_num_shards(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import write_sharded
+    import pytest
+
+    with pytest.raises(ValueError, match="num_shards"):
+        write_sharded(
+            spark.range(5), str(tmp_path / "y"),
+            max_records_per_file=2, num_shards=0,
+        )
