@@ -158,6 +158,7 @@ def connected_components(
     node_col: str = "id",
     max_iter: int = 5,
     checkpoint_every: int | None = None,
+    checkpoint_edges: bool = False,
 ) -> DataFrame:
     """(node, component) labels for the undirected graph in ``edges``,
     where ``component`` is the minimum node id reachable within
@@ -165,14 +166,22 @@ def connected_components(
     ``max_iter`` >= the component's diameter.
 
     Min-label propagation, one hop per iteration: every node takes the
-    min of its own label and its neighbors' labels. Per iteration the
-    cost is one shuffle of the (doubled) edge list plus a
-    map-side-combined min aggregate — linear in |E|, nothing quadratic,
-    no driver state; the plan grows linearly with ``max_iter`` (same
-    contract as ``lsh_dedup_representatives``, whose bipartite
-    propagation this generalizes; near-dup clusters are near-cliques,
-    so 2-3 hops close them). Isolated nodes (present in ``nodes`` but
-    in no edge) keep their own id as the component.
+    min of its own label and its neighbors' labels. The graph is
+    prepared ONCE as the symmetrized edge list plus a self-loop per
+    node, so a hop is a single join (edge list against current labels)
+    followed by one map-side-combined min aggregate — the self-loop
+    carries each node's own label through the same aggregate, so the
+    label frame is referenced exactly once per hop and the plan grows
+    LINEARLY with ``max_iter`` (a least/coalesce left-join formulation
+    references labels twice per hop and the plan re-derives the label
+    seed 2^hops times). Per iteration the cost is one shuffle of the
+    (doubled) edge list — linear in |E|, nothing quadratic, no driver
+    state (same contract as ``lsh_dedup_representatives``, whose
+    bipartite propagation this generalizes; near-dup clusters are
+    near-cliques, so 2-3 hops close them). Isolated nodes (present in
+    ``nodes`` but in no edge) keep their own id as the component via
+    their self-loop. Edges with an endpoint outside ``nodes`` (when
+    given) are ignored, exactly as if absent.
 
     ``checkpoint_every``: optional eager ``localCheckpoint`` cadence
     for deep propagation (``max_iter`` >= ~10 — long chains, not
@@ -182,6 +191,19 @@ def connected_components(
     Default ``None`` keeps the historical fully-lazy single-job plan,
     which is right for the 2-5 hops dedup needs. Executor-local, not
     HDFS-reliable — see ``pagerank``.
+
+    ``checkpoint_edges``: eagerly ``localCheckpoint`` the prepared
+    (symmetrized + self-loop) edge list ONCE before propagation,
+    leaving the label chain lazy. Use when ``edges`` is itself an
+    expensive derivation (LSH candidate pairs: shingle -> MinHash ->
+    band join) — every hop joins the edge list, so without this each of
+    the ``max_iter`` hops re-derives the whole chain from the source
+    scan. One materialization of |E| rows buys ``max_iter``x fewer
+    recomputations of the dominant cost; at cluster scale that is the
+    difference between one MinHash pass and three. Because the label
+    seed also derives from the checkpointed list, the whole propagation
+    then runs without touching the source again. Implied by
+    ``checkpoint_every``.
 
     ``nodes`` optionally supplies the full vertex set (``node_col``);
     default is the nodes appearing in ``edges``. Node ids must be
@@ -197,22 +219,30 @@ def connected_components(
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     if nodes is not None:
         base = nodes.select(F.col(node_col).alias("u")).distinct()
+        # drop edges touching unlisted nodes (matches the label-lookup
+        # inner join + base-restricted output of the two-ref hop shape)
+        in_base = base.select(F.col("u").alias("v"))
+        sym = sym.join(base, on="u", how="leftsemi").join(
+            in_base, on="v", how="leftsemi"
+        )
     else:
         base = sym.select("u").distinct()
-    if checkpoint_every is not None:
+    # self-loops: each node feeds its own label into the per-hop min, so
+    # one inner join + groupBy per hop covers "min(own, neighbors)"
+    sym = sym.union(base.select("u", F.col("u").alias("v")))
+    if checkpoint_edges or checkpoint_every is not None:
         sym = sym.localCheckpoint(eager=True)
-    labels = base.withColumn("label", F.col("u"))
+        # re-derive the seed from the checkpointed list: self-loops make
+        # its u-set exactly the node set, and propagation then never
+        # re-reads the (possibly expensive) source lineage
+        labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+    else:
+        labels = base.withColumn("label", F.col("u"))
     for it in range(max_iter):
-        nbr_min = (
+        labels = (
             sym.join(labels.select(F.col("u").alias("v"), "label"), on="v")
             .groupBy("u")
-            .agg(F.min("label").alias("__nbr"))
-        )
-        labels = labels.join(nbr_min, on="u", how="left").select(
-            "u",
-            F.least(
-                F.col("label"), F.coalesce(F.col("__nbr"), F.col("label"))
-            ).alias("label"),
+            .agg(F.min("label").alias("label"))
         )
         if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)

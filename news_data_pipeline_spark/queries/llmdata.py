@@ -773,13 +773,14 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM v CROSS JOIN cent) t
         WHERE r = 1),
     by_pos AS (
-        SELECT cid, pos, round(avg(e[pos]), 6) AS m
+        SELECT cid, u.pos - 1 AS pos, round(avg(e[u.pos]), 6) AS value
         FROM assigned, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
-        GROUP BY cid, pos),
-    newc AS (SELECT cid, list(m ORDER BY pos) AS centroid
-             FROM by_pos GROUP BY cid)
-    SELECT cent.cid, coalesce(newc.centroid, cent.c) AS centroid
-    FROM cent LEFT JOIN newc USING (cid)
+        GROUP BY cid, u.pos),
+    seed_pos AS (
+        SELECT cid, u.pos - 1 AS pos, c[u.pos] AS value
+        FROM cent, LATERAL unnest(range(1, len(c) + 1)) AS u(pos))
+    SELECT s.cid, s.pos, coalesce(b.value, s.value) AS value
+    FROM seed_pos s LEFT JOIN by_pos b ON s.cid = b.cid AND s.pos = b.pos
     """,
 )
 def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,7 +788,14 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_iterate): one Lloyd iteration from the deterministic seed
     centroids ``ivf_topk`` defaults to (first 8 vectors by id) — the
     assignment uses the identical rounded-distance + cid tie-break rule
-    as probing, so trained cells and probe cells agree exactly."""
+    as probing, so trained cells and probe cells agree exactly.
+
+    Output is reshaped to scalar ``(cid, pos, value)`` rows — one row
+    per centroid component via ``posexplode`` — because harness
+    canonicalizers hash sorted scalar columns and cannot factorize a
+    top-level ``array<double>`` cell. Empty cells keep their seed
+    centroid (standard Lloyd), mirrored by the oracle's LEFT JOIN onto
+    the exploded seeds."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = (
         emb.orderBy("vec_id")
@@ -797,7 +805,10 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").cast("array<double>").alias("centroid"),
         )
     )
-    return similarity.kmeans_iterate(emb, seeds, iters=1)
+    trained = similarity.kmeans_iterate(emb, seeds, iters=1)
+    return trained.select(
+        "cid", F.posexplode("centroid").alias("pos", "value")
+    )
 
 
 @register(
@@ -1203,7 +1214,10 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, every document labeled with its cluster's minimum doc_id —
     singletons label themselves. Dedup = keep doc_id == component; the
     per-iteration cost is linear in the edge count (near-dup clusters
-    are near-cliques, so 3 hops close them)."""
+    are near-cliques, so 3 hops close them). ``checkpoint_edges``
+    materializes the LSH pair list once so the 3 hops don't re-derive
+    MinHash shingling from the source scan — the dominant cost at
+    corpus scale."""
     from news_data_pipeline_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1211,7 +1225,13 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
     )
     return connected_components(
-        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id", max_iter=3
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=docs,
+        node_col="doc_id",
+        max_iter=3,
+        checkpoint_edges=True,
     )
 
 
@@ -1320,7 +1340,13 @@ def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
     )
     comp = connected_components(
-        pairs, "id_a", "id_b", nodes=docs, node_col="doc_id", max_iter=3
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=docs,
+        node_col="doc_id",
+        max_iter=3,
+        checkpoint_edges=True,
     )
     scored = docs.select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")

@@ -34,6 +34,28 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def query_signature(name: str) -> str:
+    """Content signature of a registered query: oracle SQL + fn source.
+
+    ``RECORDED.txt`` stores this signature next to each recorded name so
+    that editing either the implementation or the oracle invalidates the
+    stale correctness row — the registry ordering then re-prioritizes
+    the query into the never-verified prefix a budgeted harness sweep
+    actually reaches. Whitespace-normalized so pure reformatting does
+    not churn entries.
+    """
+    import hashlib
+    import inspect
+
+    q = QUERIES[name]
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):  # pragma: no cover - frozen/interactive
+        src = q.fn.__qualname__
+    blob = " ".join(((q.oracle or "") + "\n" + src).split())
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
 def query_map() -> dict[str, SparkQuery]:
     return {name: q.fn for name, q in QUERIES.items()}
 

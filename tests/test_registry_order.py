@@ -1,0 +1,104 @@
+"""Registry ordering + RECORDED.txt invalidation (no Spark needed).
+
+Pins the contract the driver's budgeted sweep depends on:
+- a query with no valid RECORDED entry (never green, or green with a
+  stale signature) sorts into the leading prefix;
+- valid entries sort by last-green round ascending (stalest first);
+- ``query_signature`` changes when the oracle SQL changes and is
+  whitespace-insensitive.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+
+@pytest.fixture
+def registry_env(tmp_path, monkeypatch):
+    """Point the registry at a synthetic RECORDED.txt and reload;
+    restore the real ordering afterwards."""
+    import news_data_pipeline_spark.queries as q
+
+    def reorder(lines: list[str]):
+        rec = tmp_path / "RECORDED.txt"
+        rec.write_text("\n".join(lines) + "\n")
+        monkeypatch.setenv("SPARK_GRAFT_RECORDED", str(rec))
+        q._order_registry()
+        return list(q.QUERIES)
+
+    yield q, reorder
+    monkeypatch.delenv("SPARK_GRAFT_RECORDED", raising=False)
+    q._order_registry()
+
+
+def test_never_recorded_sorts_first(registry_env):
+    q, reorder = registry_env
+    names = list(q.QUERIES)
+    probe = names[-1]
+    lines = [
+        f"{n} 1 {q.query_signature(n)}" for n in names if n != probe
+    ]
+    assert reorder(lines)[0] == probe
+
+
+def test_stale_signature_invalidates(registry_env):
+    q, reorder = registry_env
+    names = list(q.QUERIES)
+    probe = names[-1]
+    lines = [
+        f"{n} 1 {q.query_signature(n) if n != probe else 'deadbeef0000'}"
+        for n in names
+    ]
+    assert reorder(lines)[0] == probe
+
+
+def test_rounds_sort_ascending(registry_env):
+    q, reorder = registry_env
+    names = sorted(q.QUERIES)
+    # alternate rounds 2 and 1: all round-1 entries must precede round-2
+    lines = [
+        f"{n} {1 + (i % 2)} {q.query_signature(n)}"
+        for i, n in enumerate(names)
+    ]
+    ordered = reorder(lines)
+    rounds = [1 + (names.index(n) % 2) for n in ordered]
+    assert rounds == sorted(rounds)
+
+
+def test_malformed_lines_ignored(registry_env):
+    q, reorder = registry_env
+    names = list(q.QUERIES)
+    # old one-token format: every line malformed -> everything tier-None,
+    # ordering falls back to module interleave without raising
+    ordered = reorder([n for n in names])
+    assert set(ordered) == set(names)
+
+
+def test_signature_tracks_oracle_and_ignores_whitespace():
+    from news_data_pipeline_spark.queries import registry
+
+    name = next(iter(registry.QUERIES))
+    orig = registry.QUERIES[name]
+    sig0 = registry.query_signature(name)
+    try:
+        registry.QUERIES[name] = registry.Query(
+            fn=orig.fn, oracle=(orig.oracle or "") + " AND 1=1"
+        )
+        assert registry.query_signature(name) != sig0
+        registry.QUERIES[name] = registry.Query(
+            fn=orig.fn, oracle="  ".join((orig.oracle or "").split())
+        )
+        assert registry.query_signature(name) == sig0
+    finally:
+        registry.QUERIES[name] = orig
+
+
+def test_recorded_file_env_override(tmp_path, monkeypatch):
+    import news_data_pipeline_spark.queries as q
+
+    monkeypatch.setenv("SPARK_GRAFT_RECORDED", str(tmp_path / "R.txt"))
+    assert q._recorded_file() == tmp_path / "R.txt"
+    monkeypatch.delenv("SPARK_GRAFT_RECORDED")
+    assert q._recorded_file().name == "RECORDED.txt"

@@ -1,9 +1,26 @@
-"""Regenerate RECORDED.txt from every CORRECTNESS_r*.json.
+"""Refresh RECORDED.txt from every CORRECTNESS_r*.json.
 
-RECORDED.txt drives the registry ordering (queries/__init__.py): names
-already holding a recorded correctness row sort AFTER never-recorded
-ones, so a budgeted harness sweep spends its prefix on unverified
-queries. Run at the start of each round, commit the result:
+RECORDED.txt drives the registry ordering (queries/__init__.py). One
+line per query with a GREEN driver correctness row::
+
+    <name> <last_green_round> <signature>
+
+- Only rows with ``hash_match == true`` count (a query whose only row
+  FAILED must stay in the unverified-first prefix so the driver
+  re-samples the fix). A row with ``err == "no_oracle"`` that still ran
+  (``spark_rows`` recorded) counts as the driver's weaker rows-only
+  pass — currently no registered query is oracle-less, but the rule
+  keeps a future one from pinning the prefix forever.
+- ``signature`` is ``query_signature(name)`` — a hash of the oracle SQL
+  + fn source — stamped at refresh time. Run this at ROUND START,
+  before editing anything, so the stamped signature is exactly the code
+  the driver verified last round; the registry treats a signature
+  mismatch as "edited since verification" and re-prioritizes the query.
+- Merge semantics: an existing line's round/signature is kept unless a
+  NEWER round has a green row, so re-running after mid-round edits
+  cannot launder an unverified edit into a verified entry.
+
+Usage (start of each round, commit the result)::
 
     python tools/update_recorded.py
 """
@@ -13,19 +30,63 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# One-time bootstrap invalidations: queries whose oracle/implementation
+# was edited AFTER their last green driver row, so the signature stamped
+# from today's source would not be the verified one. Forced stale until
+# a fresh green row replaces the entry.
+BOOTSTRAP_STALE = {"training_corpus"}
+
+
+def green_names(path: str) -> set[str]:
+    with open(path) as f:
+        rows = json.load(f)
+    out = set()
+    for name, row in rows.items():
+        if row.get("hash_match") is True:
+            out.add(name)
+        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            out.add(name)
+    return out
 
 
 def main() -> None:
-    seen: set[str] = set()
+    from news_data_pipeline_spark.queries import QUERIES, query_signature
+
+    out_path = os.path.join(ROOT, "RECORDED.txt")
+    existing: dict[str, tuple[int, str]] = {}
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) == 3 and parts[1].isdigit():
+                    existing[parts[0]] = (int(parts[1]), parts[2])
+
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        with open(path) as f:
-            seen |= set(json.load(f))
-    out = os.path.join(ROOT, "RECORDED.txt")
-    with open(out, "w") as f:
-        f.write("\n".join(sorted(seen)) + "\n")
-    print(f"{out}: {len(seen)} recorded query names")
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        for name in green_names(path):
+            if name not in existing or rnd > existing[name][0]:
+                sig = (
+                    "bootstrap-stale"
+                    if name in BOOTSTRAP_STALE
+                    else query_signature(name)
+                    if name in QUERIES
+                    else "unregistered"
+                )
+                existing[name] = (rnd, sig)
+
+    with open(out_path, "w") as f:
+        for name in sorted(existing):
+            rnd, sig = existing[name]
+            f.write(f"{name} {rnd} {sig}\n")
+    stale = sum(1 for _, s in existing.values() if s == "bootstrap-stale")
+    print(f"{out_path}: {len(existing)} recorded names ({stale} forced stale)")
 
 
 if __name__ == "__main__":
