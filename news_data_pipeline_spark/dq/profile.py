@@ -94,11 +94,12 @@ def suggest_rules(
     * ``NotNull`` when the observed non-null ratio >= ``not_null_threshold``
       (default 1.0: only columns with zero observed nulls — the profile
       says the producer always fills it, so a null later is a defect).
-      For string columns the profiled minimum must also be non-empty:
-      the ``NotNull`` RULE treats ``''`` as null, and the lexicographic
-      minimum is ``''`` exactly when an empty string was observed — a
-      suggestion that would quarantine the very rows it was profiled
-      from is never emitted;
+      For string and binary columns the profiled minimum must also be
+      non-empty: the ``NotNull`` RULE treats a value casting to ``''``
+      as null for ANY type, and the lexicographic/bytewise minimum
+      casts to ``''`` exactly when an empty ``''``/``b''`` was observed
+      — a suggestion that would quarantine the very rows it was
+      profiled from is never emitted;
     * ``Unique`` when every row holds a distinct non-null value
       (``n_distinct == n_non_null == n_rows``) — a natural key. Only
       trustworthy from an ``exact=True`` profile: HLL counts can land a
@@ -128,7 +129,11 @@ def suggest_rules(
         n_rows, n_non_null = row["n_rows"], row["n_non_null"]
         if n_rows == 0 or n_non_null == 0:
             continue
-        blank_seen = dtype == "string" and row["min_value"] == ""
+        # the NotNull RULE flags cast-to-string == '' for ANY type; the
+        # profiled min casts to '' exactly when an empty value was
+        # observed in a string OR binary column (b'' is the bytewise
+        # minimum), so both need the never-quarantine-profiled-rows guard
+        blank_seen = dtype in ("string", "binary") and row["min_value"] == ""
         if n_non_null / n_rows >= not_null_threshold and not blank_seen:
             rules.append(NotNull(col))
         if (

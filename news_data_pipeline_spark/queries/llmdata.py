@@ -388,6 +388,58 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+@register(
+    "cosine_topk_arrow_sign",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CASE WHEN x >= 0 THEN CAST(1 AS DOUBLE)
+                             ELSE CAST(-1 AS DOUBLE) END) AS e
+        FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qe, v.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(q.qe, v.e)
+                                  / (sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(v.e, v.e))), 6)
+                            DESC,
+                            v.vec_id) AS rank
+        FROM q JOIN v ON q.query_id <> v.vec_id) t
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_arrow_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine through the Arrow-batched BLAS scorer
+    (operators.similarity.cosine_topk_arrow) — the production scoring
+    path — made oracle-exact by sign-binarizing the vectors first.
+
+    The BLAS matrix multiply sums in blocked/pairwise order while SQL
+    engines fold sequentially, so raw-float cosines can differ in the
+    last ulp and flip a 6dp round. Sign vectors (components +-1, dim 64)
+    eliminate the gap: every norm is exactly 8, every normalized
+    component is exactly +-1/8, and every cosine is an integer multiple
+    of 1/64 — all exactly representable doubles, so ANY summation order
+    yields identical bits and the oracle comparison is exact, while the
+    query still drives the real scorer end-to-end (broadcast query
+    matrix, per-partition matmul + local top-k, self-pair masking,
+    global re-rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sign_vec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.when(x >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+    )
+    signed = emb.select("vec_id", sign_vec.alias("embedding"))
+    queries = signed.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_arrow(signed, queries, k=5)
+
+
 def _duck_sign_bucket(side: str) -> str:
     bits = " || ".join(
         f"CASE WHEN {side}[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)

@@ -371,6 +371,27 @@ def test_suggest_rules_never_quarantines_profiled_data(spark):
     assert res.quarantined.count() == 0
 
 
+def test_suggest_rules_binary_empty_blocks_not_null(spark):
+    """Regression: a fully-populated binary column containing b'' must
+    not get a NotNull suggestion — b'' is the bytewise minimum and casts
+    to '', which the NotNull RULE counts as a violation for any type."""
+    from news_data_pipeline_spark.dq import run_dq, suggest_rules
+    from news_data_pipeline_spark.dq.rules import NotNull
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, b"xy"), (3, b"z")], "id bigint, payload binary"
+    )
+    rules = suggest_rules(df)
+    assert NotNull("payload") not in rules
+    # non-empty binary columns still earn the suggestion
+    full = spark.createDataFrame(
+        [(1, b"a"), (2, b"xy")], "id bigint, payload binary"
+    )
+    assert NotNull("payload") in suggest_rules(full)
+    res = run_dq(df, rules)
+    assert res.quarantined.count() == 0
+
+
 def test_suggest_rules_e2e_enforces_profiled_shape(spark):
     """Profile clean data -> suggested rules -> run_dq splits a later
     batch that violates the profiled shape (discovery-to-enforcement)."""

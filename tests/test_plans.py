@@ -54,6 +54,18 @@ def test_no_scale_antipatterns(spark, name):
         f"{name}: unpartitioned Window (single-partition exchange at "
         f"scale):\n{m.group(0)}"
     )
+    # Correctness harnesses canonicalize results by sorting/hashing
+    # scalar cells; a top-level array/map column crashes that step
+    # (pandas cannot factorize ndarray cells). Surface collections as
+    # scalars instead: posexplode to rows, or array_join to a string.
+    from pyspark.sql.types import ArrayType, MapType
+
+    for field in df.schema.fields:
+        assert not isinstance(field.dataType, (ArrayType, MapType)), (
+            f"{name}: top-level {field.dataType.simpleString()} column "
+            f"'{field.name}' is not canonicalizable by the correctness "
+            "harness — explode it to rows or array_join it to a string"
+        )
 
 
 def test_global_window_detector_catches_the_antipattern(spark):

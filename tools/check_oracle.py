@@ -31,6 +31,16 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def collection_columns(df) -> list[str]:
+    from pyspark.sql.types import ArrayType, MapType
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+
+
 def canon_value(v):
     import datetime
     import numpy as np
@@ -115,7 +125,20 @@ def main() -> int:
         executed += 1
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            bad = collection_columns(frame)
+            if bad:
+                # the driver's canonicalizer (pandas sort_values over
+                # every column) crashes on ndarray/dict cells — fail the
+                # same class locally instead of tuple-izing it away
+                print(
+                    f"FAIL {name}: top-level collection column(s) {bad} "
+                    "— driver canonicalizer cannot hash these; explode "
+                    "to rows or array_join to a string"
+                )
+                failures.append(name)
+                continue
+            sdf = frame.toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             failures.append(name)
