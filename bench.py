@@ -55,6 +55,19 @@ HEADLINE_QUERIES = (
     "training_corpus",
 )
 
+# Second tier: oracled-but-heavier graph/ANN/retrieval operators whose
+# wall-clock should be tracked before it regresses silently. Kept OUT of
+# the headline total ("value") so cross-round baseline ratios stay
+# apples-to-apples with the round-1 suite; reported separately as
+# "tail_queries"/"tail_value".
+TAIL_QUERIES = (
+    "neardup_components",
+    "neardup_keep_best",
+    "lsh_dedup_representatives",
+    "bm25_search",
+    "tfidf_top_terms",
+)
+
 
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
@@ -102,21 +115,28 @@ def main() -> None:
     # generated code once so the timed passes below measure steady-state
     # data throughput, not first-run Catalyst/C2 compilation (see module
     # docstring; BENCH_BASELINE.md records the methodology A/B).
-    for name in HEADLINE_QUERIES:
+    all_queries = HEADLINE_QUERIES + TAIL_QUERIES
+    for name in all_queries:
         run_query(qmap[name], spark, sf_dir)
 
     # Three timed full-suite sweeps; per-query median (see docstring).
-    reps: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+    reps: dict[str, list[float]] = {name: [] for name in all_queries}
     for _ in range(3):
-        for name in HEADLINE_QUERIES:
+        for name in all_queries:
             reps[name].append(run_query(qmap[name], spark, sf_dir))
 
-    timings = {
-        name: round(sorted(ts)[1], 3) for name, ts in reps.items()
-    }
+    def median(ts: list[float]) -> float:
+        return round(sorted(ts)[1], 3)
+
+    timings = {name: median(reps[name]) for name in HEADLINE_QUERIES}
     minmax = {
-        name: [round(min(ts), 3), round(max(ts), 3)]
-        for name, ts in reps.items()
+        name: [round(min(reps[name]), 3), round(max(reps[name]), 3)]
+        for name in HEADLINE_QUERIES
+    }
+    tail_timings = {name: median(reps[name]) for name in TAIL_QUERIES}
+    tail_minmax = {
+        name: [round(min(reps[name]), 3), round(max(reps[name]), 3)]
+        for name in TAIL_QUERIES
     }
 
     total = round(sum(timings.values()), 3)
@@ -128,6 +148,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_minmax": minmax,
+                "tail_value": round(sum(tail_timings.values()), 3),
+                "tail_queries": tail_timings,
+                "tail_queries_minmax": tail_minmax,
                 "sf": sf,
             }
         )
