@@ -112,6 +112,31 @@ def minhash_signatures(
     return shingles.groupBy("id").agg(*aggs)
 
 
+def banded_buckets(
+    signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bucket) LSH bucket membership from a signature matrix.
+
+    One bucket hash per band, exploded from a single Project — NOT a
+    union of per-band selects, which would re-run the whole signature
+    pipeline once per band (and self-joins over it would double that
+    again). Shared by the pair self-join and the incremental
+    against-corpus probe.
+    """
+    bucket_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        "id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, *, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
@@ -122,20 +147,6 @@ def lsh_candidate_pairs(
     ``rows_per_band`` components; each band hashes to a bucket key and
     pairs emerge from an equi-self-join per bucket — no quadratic pass.
     """
-    # One bucket hash per band, exploded from a single Project — NOT a
-    # union of per-band selects, which would re-run the whole signature
-    # pipeline once per band (and the self-join below doubles it again).
-    # With identical child plans on both join sides, Spark reuses the
-    # shuffle exchange instead of recomputing.
-    bucket_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        )
-        for b in range(bands)
-    ]
     # No persist: both self-join sides are the IDENTICAL subplan, so AQE
     # materializes the signature groupBy's shuffle once and both sides
     # read the same shuffle stage (verified: post-execution plan shows
@@ -144,8 +155,8 @@ def lsh_candidate_pairs(
     # medium at 100 TB — and need no cache lifecycle, unlike persist(),
     # which parks n_docs*bands rows in storage memory until someone
     # remembers to unpersist.
-    banded = signatures.select(
-        "id", F.posexplode(F.array(*bucket_cols)).alias("band", "bucket")
+    banded = banded_buckets(
+        signatures, bands=bands, rows_per_band=rows_per_band
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -176,6 +187,77 @@ def minhash_lsh_dedup_pairs(
     sh = word_shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     sigs = minhash_signatures(sh, num_hashes=bands * rows_per_band)
     return lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+
+
+def exact_dedup_against_corpus(
+    new_df: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental exact dedup: drop new-batch rows whose normalization
+    fingerprint already exists in a reference corpus.
+
+    The production shape of continuous ingestion — each arriving batch
+    is deduplicated against everything already accepted, NOT by
+    re-deduplicating the union (which would re-hash the full corpus per
+    batch AND could evict previously-kept rows). One narrow fingerprint
+    projection per side and a left-anti join on the 128-bit key; the
+    corpus side prunes to a single column before the shuffle, so at
+    scale the probe moves ~16 bytes/row. Rows with a null ``text_col``
+    fingerprint to null and survive (a null join key never matches) —
+    null-vs-null equality must not silently collapse distinct empty
+    documents. Batch-internal duplicates are kept (dedup them first
+    with ``fingerprint_dedup`` — separable policies).
+    """
+    new_fp = fan_out(new_df).withColumn("__fp", fingerprint(F.col(text_col)))
+    corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("__fp"))
+    return new_fp.join(corpus_fp, on="__fp", how="left_anti").drop("__fp")
+
+
+def lsh_dedup_against_corpus(
+    new_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental NEAR-dup: drop new-batch rows sharing any MinHash LSH
+    band bucket with a reference-corpus document.
+
+    Same banding as ``minhash_lsh_dedup_pairs``, but instead of the
+    all-pairs self-join, the new side left-semi probes the corpus's
+    (band, bucket) membership — contamination detection stops at the
+    first shared bucket, so the join never materializes candidate
+    PAIRS, only flagged ids: linear output even when a batch document
+    collides with a million corpus near-copies. Cost is one
+    shingle+signature pass per side (the corpus side is recomputed
+    here; persist its buckets externally for a real rolling pipeline)
+    plus two bucket/id-keyed shuffles. Documents with no shingles
+    (empty text) have no buckets and survive.
+    """
+    new_b = banded_buckets(
+        minhash_signatures(
+            word_shingles(new_df, id_col, text_col, n=shingle_n, distinct=False),
+            num_hashes=bands * rows_per_band,
+        ),
+        bands=bands,
+        rows_per_band=rows_per_band,
+    )
+    corpus_b = banded_buckets(
+        minhash_signatures(
+            word_shingles(corpus, id_col, text_col, n=shingle_n, distinct=False),
+            num_hashes=bands * rows_per_band,
+        ),
+        bands=bands,
+        rows_per_band=rows_per_band,
+    ).select("band", "bucket")
+    contaminated = (
+        new_b.join(corpus_b, on=["band", "bucket"], how="left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(contaminated, on=id_col, how="left_anti")
 
 
 def shared_shingles(

@@ -105,6 +105,74 @@ def value_compressed_percent_rank(
     return keyed.join(ranked, on=join_keys).select(*df.columns, out_col)
 
 
+def top_fraction_per_group(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    frac: float,
+) -> DataFrame:
+    """Keep each group's top ``frac`` fraction of rows by ``value_col``
+    — threshold semantics, ties included — without sorting any group.
+
+    The per-group cutoff is the HIGHEST value v such that at least
+    ``ceil(frac * n)`` rows score >= v; every row at or above its
+    group's cutoff survives (so the kept count can exceed the target by
+    the tie width — adaptive quality filtering wants the value
+    threshold, not an arbitrary intra-tie choice). Every group with a
+    non-null value keeps at least one row.
+
+    Shape (the ``value_compressed_percent_rank`` philosophy): the
+    (group, value) histogram is map-side-combined to distinct values, a
+    cumulative window runs over that bounded frame only, and the
+    one-row-per-group thresholds join back — broadcastable, and the
+    heavy side is never sorted or funneled through per-group tasks even
+    when one group dominates the corpus. Null values never pass the
+    threshold and don't count toward ``n``; null group keys form their
+    own group (sentinel-keyed join — a plain equi-join would silently
+    drop them).
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    part_keys = [f"__k_{c}" for c in keys]
+    reserved = set(part_keys) | {"__c", "__cum", "__n", "__thr"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"top_fraction_per_group reserves columns {sorted(clash)}; "
+            "rename them first"
+        )
+    keyed = df.select(
+        "*",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)).alias(k)
+            for c, k in zip(keys, part_keys)
+        ],
+    )
+    hist = (
+        keyed.where(F.col(value_col).isNotNull())
+        .groupBy(*part_keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*part_keys)
+        .orderBy(F.desc(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part_keys)
+    thresholds = (
+        hist.withColumn("__cum", F.sum("__c").over(w_cum))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .where(F.col("__cum") >= F.ceil(F.lit(frac) * F.col("__n")))
+        .groupBy(*part_keys)
+        .agg(F.max(value_col).alias("__thr"))
+    )
+    return (
+        keyed.join(thresholds, on=part_keys)
+        .where(F.col(value_col) >= F.col("__thr"))
+        .select(*df.columns)
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: list[str],

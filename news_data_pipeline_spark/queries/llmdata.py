@@ -168,6 +168,78 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_exact",
+    # corpus = doc_id % 4 == 0, batch = the rest; NOT EXISTS (not NOT
+    # IN) so a null fingerprint — empty text — survives on both engines
+    # exactly like Spark's null-key left-anti join
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, lang,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+        FROM documents),
+    corpus AS (SELECT f FROM fp WHERE doc_id % 4 = 0)
+    SELECT b.doc_id, b.source, b.lang
+    FROM fp b
+    WHERE b.doc_id % 4 <> 0
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.
+    exact_dedup_against_corpus): the new batch (doc_id % 4 != 0) keeps
+    only documents whose normalization fingerprint is absent from the
+    already-accepted corpus (doc_id % 4 == 0) — the per-batch shape of
+    continuous ingestion, where re-deduplicating the whole union per
+    batch would re-hash the corpus every time."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup.exact_dedup_against_corpus(
+        batch, corpus, "text", "doc_id"
+    ).select("doc_id", "source", "lang")
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )}),
+    flagged AS (
+        SELECT DISTINCT n.id
+        FROM banded n JOIN banded c
+          ON n.band = c.band AND n.bucket = c.bucket
+        WHERE n.id % 4 <> 0 AND c.id % 4 = 0)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d
+    WHERE d.doc_id % 4 <> 0
+      AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.id = d.doc_id)
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (operators.dedup.lsh_dedup_against_corpus):
+    new-batch documents (doc_id % 4 != 0) sharing any MinHash LSH band
+    bucket with the accepted corpus (doc_id % 4 == 0) are dropped. The
+    probe is a left-semi on (band, bucket) — flagged ids, never
+    candidate pairs, so output stays linear even against a corpus of
+    near-copies."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    return dedup.lsh_dedup_against_corpus(
+        batch, corpus, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    ).select("doc_id", "source", "lang")
+
+
+@register(
     "ngram_jaccard_pairs",
     # kept mirrors operators.dedup.shared_shingles' [2, max_df=100] band:
     # the hot-shingle cap is part of the declared semantics, so the
@@ -951,6 +1023,51 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_dataset_splits",
+    # split keyed on SOURCE, not doc_id: every document of a source
+    # lands in one split (no train/eval leakage through same-site
+    # near-duplicates). Output proves both properties: per-split doc
+    # and source counts, where summing n_sources across splits equals
+    # the distinct source count only if no source straddles splits.
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               CAST(concat('0x', substring(
+                   md5('split:' || coalesce(CAST(source AS VARCHAR), '<NULL>')), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+        FROM documents)
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources
+    FROM b GROUP BY 1
+    """,
+)
+def grouped_dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits (operators.sampling.assign_splits keyed on
+    the GROUP column): hashing ``source`` instead of ``doc_id`` sends
+    every document from one site to the same split, so near-duplicate
+    pages within a site can never straddle the train/eval boundary —
+    the grouped-split discipline any contamination-honest pipeline
+    applies to crawl data. Same md5 hash-range mechanics as
+    ``dataset_splits``: engine- and partitioning-independent."""
+    from news_data_pipeline_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(
+            docs, "source", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+@register(
     "documents_stratified_sample",
     oracle="""
     SELECT doc_id, lang FROM documents
@@ -1441,6 +1558,49 @@ def top_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("quality").desc(), F.col("doc_id").asc()],
         k=3,
     ).select("source", "doc_id", "quality")
+
+
+@register(
+    "quality_top_fraction_per_lang",
+    # histogram-threshold semantics: cutoff = highest quality value v
+    # with >= ceil(frac*n) rows at or above it; ties at the cutoff kept
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang, {_DUCK_QUALITY} AS quality FROM documents),
+    h AS (
+        SELECT lang, quality, count(*) AS c
+        FROM q WHERE quality IS NOT NULL GROUP BY lang, quality),
+    cum AS (
+        SELECT lang, quality,
+               sum(c) OVER (PARTITION BY lang ORDER BY quality DESC) AS cum,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM h),
+    thr AS (
+        SELECT lang, max(quality) AS t
+        FROM cum WHERE cum >= ceil(0.25 * n) GROUP BY lang)
+    SELECT q.doc_id, q.lang, q.quality
+    FROM q JOIN thr ON q.lang = thr.lang
+    WHERE q.quality >= thr.t
+    """,
+)
+def quality_top_fraction_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filtering (operators.ranking.
+    top_fraction_per_group): keep each language's top quarter of
+    documents by quality score — per-language thresholds, so a
+    low-resource language isn't filtered against a high-resource
+    language's quality distribution. The cutoff comes from the
+    (lang, quality) histogram — distinct 4dp score values, a bounded
+    frame — so no full group ever sorts; ties at the cutoff are kept
+    (threshold semantics)."""
+    from news_data_pipeline_spark.operators.ranking import (
+        top_fraction_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", T.quality_score(F.col("text")).alias("quality")
+    )
+    return top_fraction_per_group(scored, ["lang"], "quality", 0.25)
 
 
 @register(

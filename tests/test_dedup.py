@@ -319,3 +319,77 @@ def test_keep_best_per_cluster_reserved_names_raise(spark):
     )
     with pytest.raises(ValueError, match="reserves column names"):
         keep_best_per_cluster(df, "doc_id", "component", "quality")
+
+
+def test_exact_dedup_against_corpus(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        exact_dedup_against_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "unique corpus doc")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),  # same fingerprint as doc 1 -> dropped
+            (11, "a genuinely new document"),
+            (12, None),  # null fingerprints never match -> kept
+            (13, "HELLO-- world"),  # formatting-only variant -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in exact_dedup_against_corpus(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert kept == {11, 12}
+
+
+def test_lsh_dedup_against_corpus(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        lsh_dedup_against_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "entirely different corpus text about ships")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base),  # identical -> identical signature -> dropped
+            (11, "completely unrelated words zebra xylophone quartz"),
+            (12, ""),  # no shingles, no buckets -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in lsh_dedup_against_corpus(
+            batch, corpus, "doc_id", "text"
+        ).collect()
+    }
+    assert kept == {11, 12}
+
+
+def test_lsh_against_corpus_output_linear_in_batch(spark):
+    """Contamination probing must emit flagged IDS, not candidate pairs:
+    one batch doc colliding with many corpus near-copies still yields
+    exactly one dropped row (no pair blowup)."""
+    from news_data_pipeline_spark.operators.dedup import (
+        lsh_dedup_against_corpus,
+    )
+
+    text = "repeated corpus boilerplate text shared by every mirror copy"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(50)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, text), (101, "fresh unique content nothing shares")],
+        "doc_id long, text string",
+    )
+    out = lsh_dedup_against_corpus(batch, corpus, "doc_id", "text")
+    assert {r["doc_id"] for r in out.collect()} == {101}

@@ -125,3 +125,99 @@ def test_top_k_per_group_reserved_names_raise(spark):
     df = spark.createDataFrame([("a", 1)], "g string, __rn long")
     with pytest.raises(ValueError, match="reserves internal column names"):
         top_k_per_group(df, ["g"], ["__rn"], k=1)
+
+
+def _model_top_fraction(rows, frac):
+    """Naive model: per group, cutoff = highest v with ceil(frac*n) rows
+    at or above; keep rows >= cutoff. rows: (rid, g, v)."""
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for rid, g, v in rows:
+        if v is not None:
+            by_g[g].append(v)
+    kept = set()
+    for g, vals in by_g.items():
+        target = math.ceil(frac * len(vals))
+        for t in sorted(set(vals), reverse=True):
+            if sum(1 for v in vals if v >= t) >= target:
+                cutoff = t
+                break
+        kept |= {
+            rid for rid, gg, v in rows
+            if gg == g and v is not None and v >= cutoff
+        }
+    return kept
+
+
+def test_top_fraction_matches_model_with_ties(spark):
+    from news_data_pipeline_spark.operators.ranking import (
+        top_fraction_per_group,
+    )
+
+    rows = [
+        (0, "a", 5.0), (1, "a", 5.0), (2, "a", 3.0), (3, "a", 1.0),
+        (4, "b", 2.0), (5, "b", 2.0), (6, "b", 2.0),
+        (7, "c", 9.0),
+        (8, None, 4.0), (9, None, 1.0),   # null group key is a group
+        (10, "a", None),                   # null value: never kept
+    ]
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    for frac in (0.25, 0.5, 1.0):
+        got = {
+            r["rid"]
+            for r in top_fraction_per_group(df, ["g"], "v", frac).collect()
+        }
+        assert got == _model_top_fraction(rows, frac), frac
+
+
+def test_top_fraction_every_group_keeps_a_row(spark):
+    from news_data_pipeline_spark.operators.ranking import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}", float(i)) for i in range(6)], "rid long, g string, v double"
+    )
+    out = top_fraction_per_group(df, ["g"], "v", 0.01)
+    assert out.count() == 6  # tiny frac still keeps >= 1 per group
+
+
+def test_top_fraction_validates_inputs(spark):
+    from news_data_pipeline_spark.operators.ranking import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "rid long, g string, v double")
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, ["g"], "v", 0.0)
+    with pytest.raises(ValueError, match="frac"):
+        top_fraction_per_group(df, ["g"], "v", 1.5)
+    bad = df.withColumnRenamed("rid", "__thr")
+    with pytest.raises(ValueError, match="reserves"):
+        top_fraction_per_group(bad, ["g"], "v", 0.5)
+
+
+def test_top_fraction_never_sorts_full_groups(spark):
+    """The window must run over the (group, value) histogram, not the
+    raw rows: no Sort node may take the full input exchange."""
+    from news_data_pipeline_spark.operators.ranking import (
+        top_fraction_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot", float(i % 7)) for i in range(100)],
+        "rid long, g string, v double",
+    )
+    plan = (
+        top_fraction_per_group(df, ["g"], "v", 0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the only Window sits above a HashAggregate (the histogram), and
+    # the per-group frame it sorts is value-compressed
+    assert "Window" in plan
+    before_window = plan.split("Window")[0]
+    assert "Sort" not in before_window or "Exchange" in plan
