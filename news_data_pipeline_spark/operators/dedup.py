@@ -15,6 +15,7 @@ which AQE can re-plan when buckets skew.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 import pyspark.sql.functions as F
@@ -381,6 +382,97 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def remove_frequent_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    delimiter: str = "\n",
+    max_doc_ratio: float = 0.5,
+    out_col: str = "cleaned_text",
+) -> DataFrame:
+    """Strip segments that appear in more than ``max_doc_ratio`` of all
+    documents — corpus-adaptive boilerplate removal.
+
+    With ``delimiter='\\n'`` this is CCNet/RefinedWeb-style line-level
+    dedup (navigation chrome, cookie banners, license footers repeat
+    verbatim across a site's pages; any line present in most documents
+    is boilerplate, not content). With ``delimiter=' '`` it is
+    corpus-adaptive stopword removal — the threshold derives from THIS
+    corpus's document frequencies, not a fixed language list.
+
+    Shape: segments explode to (id, pos, segment); document frequency
+    is one count-distinct per segment (map-side combined); the hot set
+    joins back as a left-anti (never broadcast-assumed — a boilerplate
+    set from a billion-page crawl can be huge); surviving segments
+    reassemble in position order with one ``collect_list`` aggregate.
+    Cost is linear in corpus token count with two segment-keyed
+    shuffles — nothing quadratic, no per-document Python.
+
+    Output: every input row, with ``out_col`` holding the reassembled
+    text (empty segments from doubled delimiters are dropped — i.e.
+    whitespace-normalized), plus ``n_segments_kept``. A document whose
+    every segment was boilerplate keeps an empty string; a null
+    ``text_col`` stays null (``n_segments_kept`` 0).
+    """
+    if not 0.0 < max_doc_ratio <= 1.0:
+        raise ValueError(
+            f"max_doc_ratio must be in (0, 1], got {max_doc_ratio}"
+        )
+    reserved = {"__pos", "__seg", "__df", "__total", out_col, "n_segments_kept"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"remove_frequent_segments reserves columns {sorted(clash)}; "
+            "rename them first"
+        )
+    segs = (
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.posexplode(
+                F.split(F.col(text_col), re.escape(delimiter))
+            ).alias("__pos", "__seg"),
+        )
+        .where(F.col("__seg") != "")
+    )
+    # 1-row total (the tfidf broadcast-N pattern): the ratio threshold
+    # needs the corpus size, never collected to the driver
+    total = df.select(F.count(F.lit(1)).alias("__total"))
+    hot = (
+        segs.groupBy("__seg")
+        .agg(F.count_distinct("id").alias("__df"))
+        .join(F.broadcast(total), how="cross")
+        .where(F.col("__df") > F.lit(max_doc_ratio) * F.col("__total"))
+        .select("__seg")
+    )
+    kept = segs.join(hot, on="__seg", how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            delimiter,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_segments_kept"),
+    )
+    return (
+        df.join(
+            rebuilt.withColumnRenamed("id", id_col), on=id_col, how="left"
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.coalesce(F.col(out_col), F.lit(""))),
+        )
+        .withColumn(
+            "n_segments_kept", F.coalesce("n_segments_kept", F.lit(0))
+        )
     )
 
 

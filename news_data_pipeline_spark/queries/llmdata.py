@@ -1561,6 +1561,88 @@ def top_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "adaptive_stopword_removal",
+    # remove_frequent_segments with delimiter=' ': corpus-adaptive
+    # stopword stripping (same operator with '\n' = CCNet line-level
+    # boilerplate removal; the test corpus is single-line, so the word
+    # delimiter is the semantically active configuration here)
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    segs AS (
+        SELECT doc_id, i AS pos, ws[i] AS seg FROM (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+            LATERAL unnest(range(1, len(ws) + 1)) AS u(i)
+        WHERE ws[i] <> ''),
+    hot AS (
+        SELECT seg FROM segs CROSS JOIN n
+        GROUP BY seg, n.total
+        HAVING count(DISTINCT doc_id) > 0.5 * n.total),
+    kept AS (
+        SELECT doc_id, pos, seg FROM segs
+        WHERE seg NOT IN (SELECT seg FROM hot)),
+    rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(seg ORDER BY pos), ' ') AS cleaned_text,
+               count(*) AS n_segments_kept
+        FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(r.cleaned_text, '') END AS cleaned_text,
+           coalesce(r.n_segments_kept, 0) AS n_segments_kept
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def adaptive_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive boilerplate stripping (operators.dedup.
+    remove_frequent_segments): segments appearing in over half of all
+    documents are removed and the survivors reassembled in order. The
+    document-frequency threshold comes from THIS corpus, not a fixed
+    stopword list — the same operator with delimiter='\\n' is line-level
+    boilerplate dedup over web pages."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_frequent_segments(
+        docs, "doc_id", "text", delimiter=" ", max_doc_ratio=0.5
+    ).select("doc_id", "cleaned_text", "n_segments_kept")
+
+
+@register(
+    "cap_documents_per_source",
+    # deterministic per-group cap: the "survivors" are the k smallest
+    # md5(doc_id) per source — an unbiased, reproducible choice that no
+    # reordering or repartitioning can change
+    oracle="""
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents WHERE source IS NOT NULL) t
+    WHERE rn <= 20
+    """,
+)
+def cap_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators.ranking.top_k_per_group
+    ordered by content hash): keep at most 20 documents per source,
+    chosen by md5(doc_id) — the RefinedWeb-style guard against a single
+    site dominating the training mixture. Hash order makes the kept
+    subset an unbiased deterministic sample; the two-phase ranking
+    spreads hot sources across slices, so the biggest site in the crawl
+    still never funnels through one sort task."""
+    from news_data_pipeline_spark.operators.ranking import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.where(F.col("source").isNotNull()).select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("__h")
+    )
+    return top_k_per_group(
+        eligible,
+        ["source"],
+        [F.col("__h").asc(), F.col("doc_id").asc()],
+        k=20,
+    ).select("source", "doc_id")
+
+
+@register(
     "quality_top_fraction_per_lang",
     # histogram-threshold semantics: cutoff = highest quality value v
     # with >= ceil(frac*n) rows at or above it; ties at the cutoff kept

@@ -393,3 +393,74 @@ def test_lsh_against_corpus_output_linear_in_batch(spark):
     )
     out = lsh_dedup_against_corpus(batch, corpus, "doc_id", "text")
     assert {r["doc_id"] for r in out.collect()} == {101}
+
+
+def test_remove_frequent_segments_line_level(spark):
+    """CCNet-style boilerplate removal: a line present in >50% of docs
+    vanishes everywhere; per-doc unique lines survive in order."""
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    boiler = "ACCEPT COOKIES"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nreal article one\nmore text"),
+            (2, f"intro\n{boiler}\nreal article two"),
+            (3, f"{boiler}\nthird thing"),
+            (4, "no boilerplate here at all"),
+            (5, None),
+            (6, boiler),  # nothing left after removal
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["cleaned_text"], r["n_segments_kept"])
+        for r in remove_frequent_segments(
+            docs, "doc_id", "text", delimiter="\n", max_doc_ratio=0.5
+        ).collect()
+    }
+    assert out[1] == ("real article one\nmore text", 2)
+    assert out[2] == ("intro\nreal article two", 2)
+    assert out[3] == ("third thing", 1)
+    assert out[4] == ("no boilerplate here at all", 1)
+    assert out[5] == (None, 0)
+    assert out[6] == ("", 0)
+
+
+def test_remove_frequent_segments_threshold_boundary(spark):
+    """Strictly-greater threshold: a segment in exactly half the docs
+    stays; doubled delimiters are whitespace-normalized away."""
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "half\n\nkeep one"), (2, "half\nkeep two"), (3, "solo"), (4, "only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in remove_frequent_segments(
+            docs, "doc_id", "text", delimiter="\n", max_doc_ratio=0.5
+        ).collect()
+    }
+    # 'half' in 2/4 docs == 0.5, not > 0.5 -> kept; '' segments dropped
+    assert out[1] == "half\nkeep one"
+    assert out[2] == "half\nkeep two"
+
+
+def test_remove_frequent_segments_validates(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+    import pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_doc_ratio"):
+        remove_frequent_segments(docs, "doc_id", "text", max_doc_ratio=0.0)
+    bad = spark.createDataFrame(
+        [(1, "x", "y")], "doc_id long, text string, cleaned_text string"
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        remove_frequent_segments(bad, "doc_id", "text")
