@@ -7,12 +7,14 @@ from news_data_pipeline_spark.streaming.ops import (
     watermarked_dedup,
 )
 from news_data_pipeline_spark.streaming.sinks import (
+    ingest_deduplicated,
     run_available_now,
     split_to_silver_and_quarantine,
 )
 from news_data_pipeline_spark.streaming.state import running_user_totals
 
 __all__ = [
+    "ingest_deduplicated",
     "interval_join_streams",
     "read_event_stream",
     "run_available_now",

@@ -140,6 +140,104 @@ def publish_snapshots(
     return writer.start()
 
 
+def ingest_deduplicated(
+    stream: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    corpus_path: str,
+    checkpoint: str,
+    method: str = "exact",
+    fmt: str = "parquet",
+    available_now: bool = False,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> StreamingQuery:
+    """Continuously ingest documents, deduplicating each micro-batch
+    against everything already accepted — the streaming twin of
+    ``dedup.exact_dedup_against_corpus`` / ``lsh_dedup_against_corpus``.
+
+    Per batch: batch-internal exact dedup first (deterministic
+    keep-lowest-id — a batch can carry its own duplicates), then the
+    against-corpus probe (``method='exact'`` fingerprint anti-join, or
+    ``'lsh'`` MinHash band-bucket probe for near-dups), and survivors
+    append to the corpus as their own ``batch_id=N`` partition.
+
+    Idempotence: a replayed batch (crash between write and checkpoint
+    commit) overwrites its own partition, and the corpus read EXCLUDES
+    the current ``batch_id`` — otherwise a replay would see its own
+    prior output as "corpus", flag every row duplicate, and overwrite
+    the partition with nothing. Reading the parent path with
+    ``basePath`` surfaces ``batch_id`` as an ordinary partition column,
+    so the exclusion is partition pruning, not a scan-and-filter.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from news_data_pipeline_spark.operators.dedup import (
+        exact_dedup_against_corpus,
+        fingerprint_dedup,
+        lsh_dedup_against_corpus,
+    )
+
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    if "batch_id" in stream.columns:
+        raise ValueError(
+            "ingest_deduplicated reserves 'batch_id' for the corpus "
+            "partition column; rename it first"
+        )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        spark = batch.sparkSession
+        deduped = fingerprint_dedup(batch, text_col, id_col)
+        try:
+            corpus = (
+                spark.read.option("basePath", corpus_path)
+                .format(fmt)
+                .load(corpus_path)
+                .where(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+            )
+            # force schema resolution now: an empty/first-run path must
+            # fall into the no-corpus branch, not fail mid-probe
+            corpus.schema
+            have_corpus = True
+        except AnalysisException:
+            have_corpus = False
+        if have_corpus:
+            if method == "exact":
+                deduped = exact_dedup_against_corpus(
+                    deduped, corpus, text_col, id_col
+                )
+            else:
+                deduped = lsh_dedup_against_corpus(
+                    deduped,
+                    corpus,
+                    id_col,
+                    text_col,
+                    shingle_n=shingle_n,
+                    bands=bands,
+                    rows_per_band=rows_per_band,
+                )
+        write_layer(
+            deduped,
+            f"{corpus_path}/batch_id={batch_id}",
+            mode="overwrite",
+            fmt=fmt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_available_now(
     df: DataFrame, *, checkpoint: str, out_path: str | None = None,
     fmt: str = "parquet", output_mode: str = "append",

@@ -333,3 +333,108 @@ def test_publish_snapshots_atomic_materialized_view(spark, landing, tmp_path):
     # the pointer resolves to a complete snapshot with a _SUCCESS marker
     current = layer.current_version(spark)
     assert (tmp_path / "mv" / current / "_SUCCESS").exists()
+
+
+def test_ingest_deduplicated_across_batches(spark, tmp_path):
+    """Streaming incremental dedup: each micro-batch drops documents
+    already accepted in earlier batches (and its own internal dups);
+    the corpus accumulates only unique survivors."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    # file 1: two uniques + an internal duplicate (keep lowest id)
+    spark.createDataFrame(
+        [(1, "alpha document"), (2, "beta document"), (3, "Alpha DOCUMENT")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f1"))
+    # file 2: one dup of batch-1 content, one genuinely new
+    spark.createDataFrame(
+        [(10, "alpha document"), (11, "gamma document")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.ingest_deduplicated(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        corpus_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ckpt"),
+        method="exact",
+        available_now=True,
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    # 3 (fingerprint-dup of 1) and 10 (dup of batch-1 "alpha") dropped;
+    # file ordering is lexicographic, so f1 is batch 0
+    assert set(texts) == {1, 2, 11}
+    assert corpus.select("batch_id").distinct().count() == 2
+
+
+def test_ingest_deduplicated_lsh_near_dups(spark, tmp_path):
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame([(1, base)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "f1"))
+    spark.createDataFrame(
+        [(2, base), (3, "completely unrelated zebra xylophone quartz words")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.ingest_deduplicated(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        corpus_path=str(tmp_path / "corpus"),
+        checkpoint=str(tmp_path / "ckpt"),
+        method="lsh",
+        available_now=True,
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    assert {r["doc_id"] for r in corpus.collect()} == {1, 3}
+
+
+def test_ingest_deduplicated_validates(spark, tmp_path):
+    import os
+
+    os.makedirs(tmp_path / "x")
+    os.makedirs(tmp_path / "y")
+    schema = "doc_id long, text string, batch_id long"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="batch_id"):
+        stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=str(tmp_path / "c"),
+            checkpoint=str(tmp_path / "k"),
+        )
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(
+        str(tmp_path / "y")
+    )
+    with pytest.raises(ValueError, match="method"):
+        stx.ingest_deduplicated(
+            stream2,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=str(tmp_path / "c"),
+            checkpoint=str(tmp_path / "k"),
+            method="nope",
+        )
