@@ -335,6 +335,60 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+@register(
+    "eval_contamination_fraction",
+    # the filter-policy view of decontamination: overlap as a FRACTION
+    # of each training doc's distinct shingles, thresholded — absolute
+    # counts flag long documents that share one boilerplate trigram,
+    # fractions flag documents that substantially ARE the eval item
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    eval_sh AS (SELECT DISTINCT shingle FROM shingles WHERE id % 97 = 0),
+    contam AS (
+        SELECT t.id, count(*) AS n_contaminated
+        FROM shingles t JOIN eval_sh USING (shingle)
+        WHERE t.id % 97 <> 0 GROUP BY t.id),
+    totals AS (
+        SELECT id, count(*) AS n_shingles FROM shingles
+        WHERE id % 97 <> 0 GROUP BY id)
+    SELECT c.id AS doc_id, c.n_contaminated, t.n_shingles,
+           round(c.n_contaminated / CAST(t.n_shingles AS DOUBLE), 4)
+               AS contaminated_frac
+    FROM contam c JOIN totals t USING (id)
+    WHERE c.n_contaminated / CAST(t.n_shingles AS DOUBLE) >= 0.05
+    """,
+)
+def eval_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a fractional threshold: training documents
+    whose distinct-trigram overlap with the eval split is at least 5%
+    of their own shingle set (operators.dedup.cross_corpus_contamination
+    joined against per-doc shingle totals). The fraction — not the raw
+    count — is what a drop policy should threshold on, or every long
+    document sharing one boilerplate phrase gets flagged."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    contam = dedup.cross_corpus_contamination(
+        train, eval_df, "doc_id", "text", n=3
+    ).withColumnRenamed("n_contaminated_shingles", "n_contaminated")
+    totals = (
+        dedup.word_shingles(train, "doc_id", "text", n=3)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    frac = F.col("n_contaminated") / F.col("n_shingles").cast("double")
+    return (
+        contam.join(totals, on="id")
+        .where(frac >= 0.05)
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_contaminated",
+            "n_shingles",
+            F.round(frac, 4).alias("contaminated_frac"),
+        )
+    )
+
+
 # non-DISTINCT twin of _DUCK_SHINGLES for duplicate-sensitive consumers
 _DUCK_SHINGLES_ALL = _DUCK_SHINGLES.replace("SELECT DISTINCT", "SELECT", 1)
 
@@ -1464,6 +1518,56 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pagerank(
         edges, "source", "lang", weight="w", node_col="node", iters=3
+    )
+
+
+@register(
+    "neardup_rate_per_source",
+    # corpus-health metric over the same near-dup CTE chain: a document
+    # is a near-duplicate iff it is not its cluster's representative
+    oracle=f"""
+    {_DUCK_NEARDUP_CTES}
+    SELECT d.source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE l3.u <> l3.label) AS n_neardups,
+           round(count(*) FILTER (WHERE l3.u <> l3.label)
+                 / CAST(count(*) AS DOUBLE), 4) AS neardup_rate
+    FROM l3 JOIN documents d ON d.doc_id = l3.u
+    GROUP BY d.source
+    """,
+)
+def neardup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-rate dashboard metric: per source, the fraction of
+    documents that are near-duplicates of an earlier document (cluster
+    label != own id after LSH + min-label propagation). The per-site
+    view is what crawl triage acts on — a mirror-heavy domain shows up
+    as a high rate long before it distorts the training mixture."""
+    from news_data_pipeline_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    comp = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=docs,
+        node_col="doc_id",
+        max_iter=3,
+        checkpoint_edges=True,
+    )
+    is_dup = (F.col("doc_id") != F.col("component")).cast("long")
+    return (
+        docs.join(comp, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_dup).alias("n_neardups"),
+            F.round(
+                F.sum(is_dup) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("neardup_rate"),
+        )
     )
 
 
