@@ -444,3 +444,81 @@ def test_write_sharded_invalid_num_shards(spark, tmp_path):
             spark.range(5), str(tmp_path / "y"),
             max_records_per_file=2, num_shards=0,
         )
+
+
+def test_jsonl_round_trip_with_declared_schema(spark, tmp_path):
+    from news_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt_records,
+        write_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr"), (3, None, None)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, "doc_id long, text string, lang string")
+    valid, corrupt = split_corrupt_records(back)
+    assert corrupt.count() == 0
+    assert {
+        (r["doc_id"], r["text"], r["lang"]) for r in valid.collect()
+    } == {(1, "hello world", "en"), (2, "bonjour", "fr"), (3, None, None)}
+
+
+def test_jsonl_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
+    from news_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt_records,
+    )
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-00000.json").write_text(
+        '{"doc_id": 1, "text": "good line"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "not a number", "text": "type mismatch"}\n'
+    )
+    back = read_jsonl(spark, str(p), "doc_id long, text string")
+    valid, corrupt = split_corrupt_records(back)
+    assert {r["doc_id"] for r in valid.collect()} == {1, 2}
+    payloads = [r["payload"] for r in corrupt.collect()]
+    assert len(payloads) == 2
+    assert "not json at all" in " ".join(payloads)
+
+
+def test_jsonl_schema_guards(spark, tmp_path):
+    import pytest
+
+    from news_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt_records,
+        write_jsonl,
+    )
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(tmp_path), "a long, _corrupt_record string")
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        split_corrupt_records(df)
+    with pytest.raises(ValueError, match="max_records_per_file"):
+        write_jsonl(df, str(tmp_path / "x"), max_records_per_file=0)
+
+
+def test_jsonl_bounded_shards(spark, tmp_path):
+    import glob
+
+    from news_data_pipeline_spark.sources.jsonl import write_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id long, text string"
+    ).coalesce(1)
+    out = str(tmp_path / "sharded")
+    write_jsonl(df, out, max_records_per_file=30)
+    files = glob.glob(f"{out}/part-*")
+    assert len(files) == 4  # 30+30+30+10 from one task
+    for f in files:
+        with open(f) as fh:
+            assert sum(1 for _ in fh) <= 30
