@@ -153,3 +153,89 @@ def test_dq_min_rows_threshold(spark, rows, threshold):
     # MinRows is table-level: it never quarantines rows
     assert res.quarantined.count() == 0
     assert res.valid.count() == len(tagged)
+
+
+# --- round-4 operator properties (same randomized-model discipline) ---
+
+doc_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abc x", min_size=0, max_size=12),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(doc_strategy, st.sampled_from([0.3, 0.5, 0.9]))
+@SETTINGS
+def test_remove_frequent_segments_matches_model(spark, rows, ratio):
+    """Randomized docs vs a Python model of df-threshold segment
+    removal (delimiter=' '): kept segments, order, and counts agree."""
+    from collections import defaultdict
+
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    tagged = [(i, t[0]) for i, t in enumerate(rows)]
+    df = spark.createDataFrame(tagged, "doc_id long, text string")
+
+    seg_docs = defaultdict(set)
+    for rid, text in tagged:
+        for seg in text.split(" "):
+            if seg:
+                seg_docs[seg].add(rid)
+    n = len(tagged)
+    hot = {s for s, ds in seg_docs.items() if len(ds) > ratio * n}
+    expected = {}
+    for rid, text in tagged:
+        kept = [s for s in text.split(" ") if s and s not in hot]
+        expected[rid] = (" ".join(kept), len(kept))
+
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_segments_kept"])
+        for r in remove_frequent_segments(
+            df, "doc_id", "text", delimiter=" ", max_doc_ratio=ratio
+        ).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(st.sampled_from(["aa bb", "cc dd", "", "ee"]), min_size=1, max_size=6),
+    st.lists(st.sampled_from(["AA,bb!", "cc dd", "ff gg"]), min_size=1, max_size=6),
+)
+@SETTINGS
+def test_exact_against_corpus_matches_model(spark, corpus_texts, batch_texts):
+    """Survivors = batch rows whose normalization fingerprint (lowercase
+    alphanumeric) is absent from the corpus; empty fingerprints always
+    survive (null-key anti-join semantics)."""
+    import re as _re
+
+    from news_data_pipeline_spark.operators.dedup import (
+        exact_dedup_against_corpus,
+    )
+
+    def fp(t):
+        return _re.sub(r"[^a-z0-9]", "", t.lower())
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    corpus_fps = {fp(t) for t in corpus_texts if fp(t)}
+    expected = {
+        100 + i
+        for i, t in enumerate(batch_texts)
+        if not fp(t) or fp(t) not in corpus_fps
+    }
+    got = {
+        r["doc_id"]
+        for r in exact_dedup_against_corpus(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert got == expected
