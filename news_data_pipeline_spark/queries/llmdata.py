@@ -990,6 +990,76 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_kmeans_two_iters",
+    # two unrolled Lloyd iterations: round-1 means (6dp, empty cells
+    # keep seeds) become round-2 centroids; output is the exploded
+    # scalar (cid, pos, value) shape the harness can canonicalize
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8),
+    a1 AS (
+        SELECT cid, e FROM (
+            SELECT v.vec_id, v.e, cent0.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent0.c)
+                                      + list_dot_product(cent0.c, cent0.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent0) t
+        WHERE r = 1),
+    bp1 AS (
+        SELECT cid, u.pos, round(avg(e[u.pos]), 6) AS m
+        FROM a1, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
+        GROUP BY cid, u.pos),
+    nc1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM bp1 GROUP BY cid),
+    cent1 AS (
+        SELECT cent0.cid, coalesce(nc1.c, cent0.c) AS c
+        FROM cent0 LEFT JOIN nc1 USING (cid)),
+    a2 AS (
+        SELECT cid, e FROM (
+            SELECT v.vec_id, v.e, cent1.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent1.c)
+                                      + list_dot_product(cent1.c, cent1.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent1) t
+        WHERE r = 1),
+    bp2 AS (
+        SELECT cid, u.pos - 1 AS pos, round(avg(e[u.pos]), 6) AS value
+        FROM a2, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
+        GROUP BY cid, u.pos),
+    seed2 AS (
+        SELECT cid, u.pos - 1 AS pos, c[u.pos] AS value
+        FROM cent1, LATERAL unnest(range(1, len(c) + 1)) AS u(pos))
+    SELECT s.cid, s.pos, coalesce(b.value, s.value) AS value
+    FROM seed2 s LEFT JOIN bp2 b ON s.cid = b.cid AND s.pos = b.pos
+    """,
+)
+def ivf_kmeans_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations (operators.similarity.kmeans_iterate,
+    iters=2): pins the iteration COMPOSITION — round-1 means, rounded
+    to the 6dp the distance rule expects, are re-planted as literal
+    round-2 centroids, and the oracle unrolls both assignments with the
+    identical rounded-distance + cid tie-break. The constant-size-plan
+    contract (collect nlist rows, re-seed a literal frame per pass) is
+    exactly what this exercises cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    trained = similarity.kmeans_iterate(emb, seeds, iters=2)
+    return trained.select(
+        "cid", F.posexplode("centroid").alias("pos", "value")
+    )
+
+
+@register(
     "lsh_dedup_representatives",
     # exact oracle: the 3 label-propagation iterations unrolled as CTEs
     oracle="""
