@@ -443,3 +443,131 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Sample covariance matrix of an embedding column as scalar
+    ``(i, j, cov)`` rows (population normalization, 6dp).
+
+    cov[i,j] = avg(x_i * x_j) - avg(x_i) * avg(x_j): three plain
+    aggregates over the double-exploded components, all map-side
+    combined — one shuffle of d^2 partial sums per partition, nothing
+    driver-side, no d x d matrix object until a consumer collects the
+    d^2 scalar rows (64-dim => 4096 rows; trivially collectable at any
+    corpus size because the output depends on d, not rows). Null
+    vectors are skipped; rows must share one dimensionality (ragged
+    inputs produce nulls that propagate visibly rather than silently
+    truncating).
+
+    The double explode is O(rows * d^2) expansion — the right plan up
+    to a few hundred dimensions, where d^2 stays ~10^4-10^5 per row and
+    everything remains codegen'd; for thousand-dim embeddings switch to
+    an Arrow ``mapInPandas`` partial X^T X (the ``cosine_topk_arrow``
+    pattern) and merge partials with the same aggregate.
+    """
+    v = fan_out(
+        df.select(_as_double(vec_col).alias("v")).where(
+            F.col("v").isNotNull()
+        )
+    )
+    pairs = v.select(
+        F.posexplode("v").alias("i", "xi"), F.col("v")
+    ).select("i", "xi", F.posexplode("v").alias("j", "xj"))
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.avg(F.col("xi") * F.col("xj")).alias("__exy"),
+            F.avg("xi").alias("__ex"),
+            F.avg("xj").alias("__ey"),
+        )
+        .select(
+            "i",
+            "j",
+            # + 0.0 folds IEEE -0.0 to +0.0: repr-sorting canonicalizers
+            # order the two zeros differently and misalign row streams
+            (
+                F.round(F.col("__exy") - F.col("__ex") * F.col("__ey"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components:
+    ``(id, pc)`` with ``pc`` an ``array<double>`` of length ``k``.
+
+    Scale shape: the ONLY distributed work is the covariance aggregate
+    (see ``embedding_covariance`` — d^2 scalar rows, corpus-size
+    independent); the eigendecomposition runs driver-side on the tiny
+    d x d matrix (64x64 here — microseconds, and the classic split for
+    PCA at corpus scale: data-sized work distributed, model-sized work
+    local), and the d x k projection matrix returns as a broadcast
+    literal applied with codegen'd array math. Deterministic sign
+    convention: each eigenvector is flipped so its largest-magnitude
+    component is positive (eigh's sign is otherwise arbitrary and would
+    flip across BLAS builds).
+
+    Means are subtracted before projection (PCA is centered by
+    definition). Components come out in DECREASING eigenvalue order.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cov_rows = embedding_covariance(df, vec_col).collect()
+    if not cov_rows:
+        raise ValueError("pca_project: no non-null vectors to fit on")
+    d = max(r["i"] for r in cov_rows) + 1
+    if k > d:
+        raise ValueError(f"k={k} exceeds dimensionality d={d}")
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+    mean_row = (
+        df.select(_as_double(vec_col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_row:
+        mu[r["i"]] = r["m"]
+    vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]  # (d, k)
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
+    flip[flip == 0] = 1.0
+    W = W * flip
+    w_lit = F.array(
+        *[
+            F.array(*[F.lit(float(W[i, c])) for i in range(d)])
+            for c in range(k)
+        ]
+    )
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    centered = F.zip_with(
+        _as_double(vec_col), mu_lit, lambda x, m: x - m
+    )
+    proj = F.transform(
+        w_lit,
+        lambda col_w: F.round(
+            F.aggregate(
+                F.zip_with(centered, col_w, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias("pc"))

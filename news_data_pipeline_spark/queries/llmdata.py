@@ -990,6 +990,34 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance",
+    # population covariance per (i, j): three aggregates over the
+    # double-exploded components, identical grouping on both engines
+    oracle="""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+               WHERE embedding IS NOT NULL)
+    SELECT ui.i - 1 AS i, uj.j - 1 AS j,
+           -- + 0.0 folds IEEE -0.0 to +0.0 (repr-sorted canonicalizers
+           -- misalign otherwise)
+           round(avg(e[ui.i] * e[uj.j]) - avg(e[ui.i]) * avg(e[uj.j]), 6)
+               + 0.0 AS cov
+    FROM v,
+         LATERAL unnest(range(1, len(e) + 1)) AS ui(i),
+         LATERAL unnest(range(1, len(e) + 1)) AS uj(j)
+    GROUP BY ui.i, uj.j
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix as scalar (i, j, cov) rows
+    (operators.similarity.embedding_covariance) — the distributed half
+    of PCA: d^2 map-side-combined aggregates, corpus-size-independent
+    output; ``pca_project`` eigendecomposes these 64x64 values
+    driver-side and projects with a broadcast literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb, "embedding")
+
+
+@register(
     "ivf_kmeans_two_iters",
     # two unrolled Lloyd iterations: round-1 means (6dp, empty cells
     # keep seeds) become round-2 centroids; output is the exploded

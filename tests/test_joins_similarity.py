@@ -305,3 +305,83 @@ def test_cosine_topk_arrow_empty_queries(spark):
     out = similarity.cosine_topk_arrow(vecs, vecs.where("vec_id = 99"), k=2)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from news_data_pipeline_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 4)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df).collect()
+    }
+    C = np.cov(X, rowvar=False, bias=True)  # population normalization
+    assert len(got) == 16
+    for i in range(4):
+        for j in range(4):
+            assert abs(got[(i, j)] - C[i, j]) < 1e-6, (i, j)
+    # symmetric and never -0.0 (canonicalizers sort the two zeros apart)
+    for (i, j), v in got.items():
+        assert got[(j, i)] == v
+        assert not (v == 0.0 and np.signbit(v))
+
+
+def test_pca_project_matches_numpy_model(spark):
+    """Same covariance-eig-project pipeline in numpy (with the
+    operator's 6dp covariance rounding and sign convention) must agree
+    with the distributed projection."""
+    import numpy as np
+
+    from news_data_pipeline_spark.operators.similarity import pca_project
+
+    rng = np.random.default_rng(11)
+    # anisotropic data so components are well separated
+    X = rng.normal(size=(60, 5)) @ np.diag([5.0, 2.0, 1.0, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: list(r["pc"]) for r in pca_project(df, k=2).collect()
+    }
+
+    C = np.round(np.cov(X, rowvar=False, bias=True), 6)
+    vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
+    order = np.argsort(vals)[::-1][:2]
+    W = vecs[:, order]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(2)])
+    W = W * flip
+    P = (X - X.mean(axis=0)) @ W
+    for i in range(60):
+        for c in range(2):
+            assert abs(got[i][c] - P[i, c]) < 1e-3, (i, c)
+    # explained variance must be ordered
+    P_all = np.array([got[i] for i in range(60)])
+    assert P_all[:, 0].var() >= P_all[:, 1].var()
+
+
+def test_pca_project_validates(spark):
+    import pytest
+
+    from news_data_pipeline_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        pca_project(df, k=0)
+    with pytest.raises(ValueError, match="exceeds dimensionality"):
+        pca_project(df, k=5)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        pca_project(empty, k=1)
