@@ -80,6 +80,64 @@ class DQResult:
     def passed(self) -> bool:
         return all(r["passed"] for r in self.report.values())
 
+    def report_frame(self) -> DataFrame:
+        """The pass/fail report as a DataFrame ``(rule, passed,
+        violations)`` — same single aggregate as :attr:`report`, but
+        kept IN Spark: nothing collects, so the report can be written
+        to an audit table, joined against run history, or unioned
+        across tables without driver round-trips. Row-level rules
+        unpivot from the one-pass flag sums; ``MinRows`` derives from
+        the same total; ``ColumnExists`` rows are driver-known literals
+        (schema inspection needs no data pass).
+        """
+        spark = self._annotated.sparkSession
+        aggs = [F.count(F.lit(1)).alias("__total")] + [
+            F.sum(F.col(c).cast("long")).alias(c) for c in self._flag_cols
+        ]
+        agg = self._annotated.agg(*aggs)
+        rows = []
+        for i, rule in enumerate(self._rules):
+            if isinstance(rule, ColumnExists):
+                continue
+            if isinstance(rule, MinRows):
+                v = F.when(
+                    F.col("__total") >= rule.threshold, F.lit(0)
+                ).otherwise(F.lit(1))
+            else:
+                v = F.coalesce(F.col(_flag_name(i, rule)), F.lit(0))
+            rows.append(
+                F.struct(
+                    F.lit(rule.rule_name()).alias("rule"),
+                    (v == 0).alias("passed"),
+                    v.cast("long").alias("violations"),
+                )
+            )
+        frames = []
+        if rows:
+            frames.append(
+                agg.select(
+                    F.explode(F.array(*rows)).alias("r")
+                ).select("r.rule", "r.passed", "r.violations")
+            )
+        schema_rows = [
+            (name, entry["passed"], entry["violations"])
+            for name, entry in self._schema_report.items()
+        ]
+        if schema_rows:
+            frames.append(
+                spark.createDataFrame(
+                    schema_rows, "rule string, passed boolean, violations long"
+                )
+            )
+        if not frames:
+            return spark.createDataFrame(
+                [], "rule string, passed boolean, violations long"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.union(f)
+        return out
+
 
 def run_dq(df: DataFrame, rules: list[Rule], *, cache: bool = False) -> DQResult:
     """Evaluate all rules in one annotated pass and split the frame.

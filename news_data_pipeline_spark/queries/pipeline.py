@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from news_data_pipeline_spark.dq import NotNull, Unique, run_dq
+from news_data_pipeline_spark.dq import MinRows, NotNull, Unique, run_dq
 from news_data_pipeline_spark.functions import text as T
 from news_data_pipeline_spark.model.star import build_dim, build_fact, dim_date
 from news_data_pipeline_spark.queries.registry import register
@@ -241,6 +241,42 @@ def dq_quarantine_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.withColumn(
         "ingestion_time", F.date_format("ingestion_time", "yyyy-MM-dd HH:mm:ss")
     )
+
+
+@register(
+    "dq_report_documents",
+    # the report itself as data: per-rule pass/fail + violation counts
+    # from ONE aggregate (Q5's single-pass contract, driver-verified)
+    oracle=f"""
+    WITH base AS ({_DIRTY_SQL}),
+    dups AS (SELECT doc_id FROM base GROUP BY doc_id HAVING count(*) > 1)
+    SELECT 'not_null(text)' AS rule,
+           count(*) FILTER (text IS NULL OR text = '') = 0 AS passed,
+           count(*) FILTER (text IS NULL OR text = '') AS violations
+    FROM base
+    UNION ALL
+    SELECT 'unique(doc_id)',
+           count(*) FILTER (doc_id IN (SELECT doc_id FROM dups)) = 0,
+           count(*) FILTER (doc_id IN (SELECT doc_id FROM dups))
+    FROM base
+    UNION ALL
+    SELECT 'min_rows(1)', count(*) >= 1,
+           CASE WHEN count(*) >= 1 THEN 0 ELSE 1 END
+    FROM base
+    """,
+)
+def dq_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DQ pass/fail report AS a frame (DQResult.report_frame):
+    per-rule violations from the engine's one annotated pass, unpivoted
+    in Spark — writable to an audit table with no driver collect. The
+    reference prints its report (`_lib_dq_helpers.py:126,140` runs one
+    count() job per rule to build it); here it is one lazy aggregate
+    and a registry-verified result."""
+    dirty = _dirty_documents(spark, sf_dir)
+    result = run_dq(
+        dirty, [NotNull("text"), Unique("doc_id"), MinRows(1)], cache=False
+    )
+    return result.report_frame()
 
 
 @register(

@@ -429,3 +429,43 @@ def test_suggest_rules_e2e_enforces_profiled_shape(spark):
         for k, v in quarantined.items()
         if k == (6, 99.0)
     )
+
+
+def test_report_frame_matches_dict_report(spark):
+    """report_frame must agree with the collected dict report on every
+    rule kind, including schema-level ColumnExists and MinRows."""
+    from news_data_pipeline_spark.dq import run_dq
+    from news_data_pipeline_spark.dq.rules import (
+        ColumnExists,
+        MinRows,
+        NotNull,
+        Unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id bigint, v string"
+    )
+    res = run_dq(
+        df,
+        [
+            NotNull("v"),
+            Unique("id"),
+            MinRows(5),
+            ColumnExists("id", "missing_col"),
+        ],
+    )
+    frame = {
+        r["rule"]: (r["passed"], r["violations"])
+        for r in res.report_frame().collect()
+    }
+    assert set(frame) == set(res.report)
+    for rule, entry in res.report.items():
+        assert frame[rule] == (entry["passed"], entry["violations"]), rule
+
+
+def test_report_frame_no_rules(spark):
+    from news_data_pipeline_spark.dq import run_dq
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    res = run_dq(df, [])
+    assert res.report_frame().count() == 0
