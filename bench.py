@@ -66,6 +66,9 @@ TAIL_QUERIES = (
     "lsh_dedup_representatives",
     "bm25_search",
     "tfidf_top_terms",
+    "dedup_incremental_lsh",
+    "adaptive_stopword_removal",
+    "quality_top_fraction_per_lang",
 )
 
 
