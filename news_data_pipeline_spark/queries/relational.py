@@ -713,3 +713,150 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "nation_pair_trade",
+    # TPC-H Q7 shape: bilateral trade volume between supplier and
+    # customer nations by order year, dims broadcast, fact never shuffled
+    # except for the final small aggregate
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY ns.n_name, nc.n_name, 3
+    """,
+)
+def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: cross-border trade volume per (supplier
+    nation, customer nation, year). supplier/nation broadcast onto
+    lineitem; orders-customer resolve the buyer nation; the one big
+    shuffle is lineitem-orders on the order key — unavoidable and
+    equi-keyed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    sells = dim_join(
+        li, supp.select("s_suppkey", "s_nationkey"),
+        on=[li.l_suppkey == supp.s_suppkey],
+    )
+    sells = dim_join(sells, ns, on=[F.col("s_nationkey") == ns.ns_key])
+    buys = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    buys = dim_join(buys, nc, on=[cust.c_nationkey == nc.nc_key]).select(
+        "o_orderkey", "o_orderdate", "cust_nation"
+    )
+    joined = sells.join(buys, sells.l_orderkey == buys.o_orderkey)
+    return (
+        joined.where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@register(
+    "ship_lag_priority_bands",
+    # TPC-H Q12 flavor without l_shipmode (absent from the fixture):
+    # shipping-lag bands x priority-class counts
+    oracle="""
+    SELECT CASE WHEN lag_days <= 30 THEN '0-30'
+                WHEN lag_days <= 60 THEN '31-60'
+                ELSE '60+' END AS lag_band,
+           count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_priority_lines,
+           count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_priority_lines
+    FROM (
+        SELECT o.o_orderpriority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS lag_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) t
+    GROUP BY 1
+    """,
+)
+def ship_lag_priority_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue over the columns the fixture has: order-to-ship
+    lag banded, high- vs low-priority line counts per band — the
+    conditional-aggregate (count FILTER / sum CASE) idiom on the fact
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    band = (
+        F.when(lag <= 30, "0-30").when(lag <= 60, "31-60").otherwise("60+")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(band.alias("lag_band")).agg(
+        F.sum(high.cast("long")).alias("high_priority_lines"),
+        F.sum((~high).cast("long")).alias("low_priority_lines"),
+    )
+
+
+@register(
+    "part_type_revenue_share",
+    # TPC-H Q14 shape: each part type's share of total lineitem revenue;
+    # the total rides a window over the small aggregate, not a re-scan
+    oracle="""
+    WITH per_type AS (
+        SELECT p.p_type,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type)
+    SELECT p_type,
+           round(rev, 2) AS revenue,
+           round(100.0 * rev / sum(rev) OVER (), 4) AS revenue_share_pct
+    FROM per_type
+    """,
+)
+def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: revenue share per part type. The share
+    denominator is a window over the per-type aggregate (a handful of
+    rows) — never a second scan of lineitem; part broadcasts onto the
+    fact side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_type = (
+        dim_join(
+            li,
+            part.select("p_partkey", "p_type"),
+            on=[li.l_partkey == part.p_partkey],
+        )
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return per_type.select(
+        "p_type",
+        F.round("rev", 2).alias("revenue"),
+        F.round(100.0 * F.col("rev") / F.sum("rev").over(w), 4).alias(
+            "revenue_share_pct"
+        ),
+    )
