@@ -385,6 +385,51 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame
+) -> DataFrame:
+    """Exact shingle Jaccard for an explicit candidate-pair list:
+    ``(id_a, id_b)`` + ``(id, shingle)`` -> ``(id_a, id_b, jaccard)``.
+
+    The verification half of two-stage near-dup detection: LSH banding
+    proposes candidates (cheap, recall-oriented, with bucket-collision
+    false positives), and this scores ONLY those pairs exactly —
+    cost is the sum of candidate documents' shingle counts, not the
+    all-pairs posting-list join an unscoped exact pass needs.
+    Intersection = one equi-join of the pair list against each side's
+    shingle set; union = |A| + |B| - intersection from per-doc sizes.
+    Candidates sharing no shingle (pure bucket collisions) score 0.0
+    rather than dropping out — the caller's threshold sees every
+    candidate it asked about. ``shingles`` must be distinct per
+    (id, shingle), as ``word_shingles(distinct=True)`` produces.
+    """
+    sa = shingles.select(F.col("id").alias("id_a"), "shingle")
+    sb = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, on="id_a")
+        .join(sb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        pairs.join(inter, on=["id_a", "id_b"], how="left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")), on="id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("__shared"), F.lit(0))
+                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__shared"), F.lit(0))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def remove_frequent_segments(
     df: DataFrame,
     id_col: str,

@@ -168,6 +168,59 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_candidates_exact_jaccard",
+    # two-stage dedup: LSH proposes, exact Jaccard disposes — scored
+    # only over the candidate list, never all pairs
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )}),
+    cand AS (
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS shared
+        FROM cand c
+        JOIN shingles sa ON sa.id = c.id_a
+        JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id)
+    SELECT c.id_a, c.id_b,
+           round(coalesce(i.shared, 0)
+                 / CAST(na.n + nb.n - coalesce(i.shared, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes na ON na.id = c.id_a
+    JOIN sizes nb ON nb.id = c.id_b
+    """,
+)
+def lsh_candidates_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup detection (operators.dedup.jaccard_for_pairs
+    over minhash_lsh_dedup_pairs): LSH banding proposes candidates,
+    exact shingle Jaccard scores ONLY those — the
+    generate-then-verify flow production dedup uses, where the exact
+    pass costs the candidates' shingle mass instead of an all-pairs
+    posting join. Bucket-collision false positives surface with score
+    0.0 for the caller's threshold to drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    return dedup.jaccard_for_pairs(pairs, sh)
+
+
+@register(
     "dedup_incremental_exact",
     # corpus = doc_id % 4 == 0, batch = the rest; NOT EXISTS (not NOT
     # IN) so a null fingerprint — empty text — survives on both engines

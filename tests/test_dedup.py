@@ -464,3 +464,28 @@ def test_remove_frequent_segments_validates(spark):
     )
     with pytest.raises(ValueError, match="reserves"):
         remove_frequent_segments(bad, "doc_id", "text")
+
+
+def test_jaccard_for_pairs_exact_values_and_collisions(spark):
+    """Hand-computed Jaccard for an explicit candidate list; a pair
+    sharing nothing scores 0.0 instead of dropping out."""
+    from news_data_pipeline_spark.operators.dedup import jaccard_for_pairs
+
+    shingles = spark.createDataFrame(
+        [
+            (1, "a b c"), (1, "b c d"),            # doc1: 2 shingles
+            (2, "a b c"), (2, "x y z"),            # doc2: 2 shingles
+            (3, "p q r"),                          # doc3: 1 shingle
+        ],
+        "id long, shingle string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(pairs, shingles).collect()
+    }
+    # |{abc}| / |{abc,bcd,xyz}| = 1/3
+    assert got[(1, 2)] == round(1 / 3, 6)
+    assert got[(1, 3)] == 0.0
