@@ -249,3 +249,66 @@ def connected_components(
     return labels.select(
         F.col("u").alias(node_col), F.col("label").alias("component")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, n_triangles) for every node on at least one triangle of
+    the undirected graph — the local clustering signal that separates
+    a genuine near-dup clique (dense: every pair agrees the documents
+    match) from a chain of borderline LSH collisions (sparse: A~B and
+    B~C but never A~C).
+
+    Degree-ordered counting: each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, wedges form only at
+    a triangle's MINIMUM-rank corner, and the closing edge is probed in
+    canonical (least, greatest) form against the edge list itself. The
+    orientation bounds every out-neighborhood by sqrt(2m)-ish, so wedge
+    generation is O(m^1.5) worst case instead of sum(deg^2) — the
+    difference between a skewed hub exploding and not. All three stages
+    are keyed equi-joins; no node ever needs its neighborhood in one
+    partition.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("u"))
+        .unionAll(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ranked = (
+        e.join(deg.withColumnRenamed("u", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("u", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, F.col("u") == F.col("u2")).where(
+        F.col("v") < F.col("w")
+    )
+    closed = wedges.join(
+        e,
+        (F.least("v", "w") == F.col("a")) & (F.greatest("v", "w") == F.col("b")),
+    ).select("u", "v", "w")
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionAll(closed.select(F.col("v").alias("node")))
+        .unionAll(closed.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

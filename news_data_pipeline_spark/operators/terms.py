@@ -116,3 +116,36 @@ def bm25_rank(
     # (per-partition partial top-k, k rows to the driver stage) — never
     # a single-partition sort or window
     return scores.orderBy(F.desc("bm25"), F.asc("id")).limit(k)
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, *, round_dp: int = 4
+) -> DataFrame:
+    """Per-document mean unigram log-probability — the distributed
+    version of CCNet-style LM quality filtering (a KenLM perplexity
+    gate collapsed to its unigram term, which is the part that
+    parallelizes as pure relational algebra).
+
+    Two passes over the token multiset: (1) corpus term frequencies
+    keyed by term, (2) score = sum(tf * ln(ctf / total)) / sum(tf) per
+    document keyed by id. The vocabulary joins back on term — an
+    equi-join that scales with vocabulary size, not corpus size — and
+    the single-row total-token count rides in as a broadcast. Documents
+    with rarer tokens score lower (more negative); boilerplate scores
+    high. Rounded to ``round_dp`` BEFORE any consumer banding so both
+    engines band the same doubles.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("ctf"))
+    total = vocab.agg(F.sum("ctf").alias("total_tokens"))
+    scored = (
+        tf.join(vocab, on="term")
+        .join(F.broadcast(total))
+        .withColumn(
+            "lp", F.col("tf") * F.log(F.col("ctf") / F.col("total_tokens"))
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum("lp") / F.sum("tf"), round_dp).alias("avg_logprob"),
+    )

@@ -2038,3 +2038,82 @@ def documents_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.clean_text(F.col("text")).alias("clean_text"),
         F.length("text").alias("n_chars_raw"),
     )
+
+
+@register(
+    "document_lm_scores",
+    # the oracle recomputes the unigram model end-to-end; '/' is double
+    # division in DuckDB so ln(ctf / total) matches Spark's F.log
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY id, term),
+    vocab AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    total AS (SELECT sum(ctf) AS total_tokens FROM vocab),
+    lp AS (
+        SELECT tf.id, tf.tf, tf.tf * ln(ctf / total_tokens) AS lp
+        FROM tf JOIN vocab USING (term) CROSS JOIN total)
+    SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(lp) / sum(tf), 4) AS avg_logprob
+    FROM lp GROUP BY id
+    """,
+)
+def document_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram language-model quality score
+    (operators.terms.unigram_logprob_scores): the corpus trains its own
+    unigram model (term counts keyed by term), each document scores as
+    its mean token log-probability. Low scores flag rare-token noise,
+    high scores flag boilerplate — the standard pretraining-corpus
+    quality gate, here as two map-side-combined shuffles plus a
+    vocabulary equi-join and a broadcast total."""
+    from news_data_pipeline_spark.operators.terms import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "neardup_triangle_counts",
+    # naive 3-way edge join on the oracle side; the Spark operator's
+    # degree-ordered orientation must produce the identical multiset
+    oracle=f"""
+    {_DUCK_NEARDUP_CTES},
+    tri AS (
+        SELECT e1.ia AS a, e1.ib AS b, e2.ib AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.ia = e1.ib
+        JOIN edges e3 ON e3.ia = e1.ia AND e3.ib = e2.ib),
+    corners AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+    SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+    """,
+)
+def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clique-density check on the near-dup graph
+    (operators.graph.triangle_counts over the LSH candidate pairs): a
+    real duplicate cluster is a near-clique, so its members sit on
+    triangles; an LSH chain of borderline collisions does not. The
+    oracle counts triangles with the naive three-way join while the
+    operator runs the degree-ordered O(m^1.5) orientation — same
+    multiset, different plan, which is exactly what the cross-engine
+    hash verifies."""
+    from news_data_pipeline_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    # one materialization of the LSH pair list (same checkpoint_edges
+    # lesson as neardup_components): degree + orientation + closure all
+    # reuse it, and none should re-derive MinHash shingling
+    pairs = pairs.localCheckpoint(eager=True)
+    return triangle_counts(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )

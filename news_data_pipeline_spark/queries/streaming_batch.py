@@ -550,3 +550,46 @@ def user_value_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_data_pipeline_spark.streaming.state import batch_value_highwater
 
     return batch_value_highwater(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_event_islands",
+    # gaps-and-islands: two row_numbers whose difference is constant
+    # within a run of consecutive identical event_types per user
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events WHERE ts IS NOT NULL)
+    SELECT user_id, event_type,
+           min(ts) AS island_start, max(ts) AS island_end,
+           count(*) AS n_events
+    FROM ordered GROUP BY user_id, event_type, grp
+    """,
+)
+def user_event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive identical
+    event_types per user, by the classic two-row_number difference —
+    the value-change twin of time-gap sessionization (user_sessions).
+    Both windows partition by user (plus type), so the shuffle keys by
+    user_id and no partition ever exceeds one user's history; ties
+    break on event_id so replays are deterministic."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    return (
+        events.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("island_start"),
+            F.max("ts").alias("island_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("grp")
+    )

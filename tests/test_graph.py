@@ -203,3 +203,74 @@ def test_pagerank_invalid_args_raise(spark):
         pagerank(df, iters=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(df, iters=1, checkpoint_every=0)
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def ref_triangles(edges):
+    """Driver-side oracle: brute-force triangle enumeration over the
+    canonicalized undirected edge set, per-node participation counts."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in es for x in e})
+    counts = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (a, c) in es and (b, c) in es:
+                    for x in (a, b, c):
+                        counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _tri(spark, edges):
+    from news_data_pipeline_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, "src", "dst").collect()
+    }
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (1, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_chain_has_none(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_triangle_k4_clique(spark):
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    # K4: each vertex sits on C(3,2)=3 triangles
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_dupes_self_loops_reverse_edges(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3), (1, 2)]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_skewed_hub_matches_bruteforce(spark):
+    # hub 0 connected to everyone; spokes chained pairwise — degree
+    # orientation must still count each triangle exactly once
+    edges = [(0, i) for i in range(1, 12)]
+    edges += [(i, i + 1) for i in range(1, 11)]
+    edges += [(2, 4), (5, 9), (7, 10)]
+    assert _tri(spark, edges) == ref_triangles(edges)
+
+
+def test_triangle_random_graphs_match_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [
+            (rng.randrange(12), rng.randrange(12)) for _ in range(30)
+        ]
+        assert _tri(spark, edges) == ref_triangles(edges), edges

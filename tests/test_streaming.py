@@ -438,3 +438,39 @@ def test_ingest_deduplicated_validates(spark, tmp_path):
             checkpoint=str(tmp_path / "k"),
             method="nope",
         )
+
+
+def test_user_event_islands_model(spark):
+    """Gaps-and-islands vs a driver-side model over sf0.001 events."""
+    import pandas as pd
+
+    from news_data_pipeline_spark.queries.streaming_batch import (
+        user_event_islands,
+    )
+    from tests.conftest import SF_DIR
+
+    out = user_event_islands(spark, SF_DIR).collect()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["ts"].notna()].sort_values(["user_id", "ts", "event_id"])
+
+    islands = {}
+    for uid, grp in ev.groupby("user_id"):
+        prev_type, key = object(), None
+        for r in grp.itertuples():
+            if r.event_type != prev_type:
+                key = (uid, r.event_type, r.ts)
+                islands[key] = [r.ts, r.ts, 0]
+                prev_type = r.event_type
+            islands[key][1] = r.ts
+            islands[key][2] += 1
+
+    got = {
+        (r["user_id"], r["event_type"], r["island_start"]): [
+            r["island_start"], r["island_end"], r["n_events"]
+        ]
+        for r in out
+    }
+    assert len(got) == len(out) == len(islands)
+    assert got == {k: v for k, v in islands.items()}
+    # islands partition the events: counts sum to the row count
+    assert sum(v[2] for v in got.values()) == len(ev)

@@ -48,3 +48,44 @@ def test_bm25_prefers_rare_term_and_saturates_tf(spark):
     assert rows[0]["bm25"] == expect
     # tf saturation: doc 2 (tf=4) scores < 4x doc 3 (tf=1) on 'common'
     assert rows[1]["bm25"] < 4 * rows[2]["bm25"]
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from news_data_pipeline_spark.operators.terms import (
+        unigram_logprob_scores,
+    )
+
+    # corpus: 6 tokens total — 'a' x3, 'b' x2, 'c' x1
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], ["doc_id", "body"]
+    )
+    out = unigram_logprob_scores(df, "doc_id", "body")
+    got = {r["id"]: (r["n_tokens"], r["avg_logprob"]) for r in out.collect()}
+    lp = {"a": math.log(3 / 6), "b": math.log(2 / 6), "c": math.log(1 / 6)}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 4)
+    exp2 = round((lp["a"] + lp["b"] + lp["c"]) / 3, 4)
+    assert got == {1: (3, exp1), 2: (3, exp2)}
+
+
+def test_unigram_logprob_rare_tokens_score_lower(spark):
+    from news_data_pipeline_spark.operators.terms import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(i, "the quick brown fox") for i in range(20)]
+    rows.append((99, "zyzzyva qwerty"))
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    out = {
+        r["id"]: r["avg_logprob"]
+        for r in unigram_logprob_scores(df, "doc_id", "body").collect()
+    }
+    assert out[99] < out[0]  # rare-token doc is LM-implausible
+    # whitespace-only / empty docs simply don't appear (no tokens)
+    df2 = spark.createDataFrame([(1, "x"), (2, "   ")], ["doc_id", "body"])
+    ids = {
+        r["id"]
+        for r in unigram_logprob_scores(df2, "doc_id", "body").collect()
+    }
+    assert ids == {1}
