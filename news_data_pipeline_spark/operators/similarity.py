@@ -346,6 +346,91 @@ def kmeans_iterate(
     )
 
 
+def _assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    n_cells: int,
+) -> DataFrame:
+    """Nearest-``n_cells`` centroid assignment shared by IVF probing,
+    k-means training, and semantic dedup: broadcast the (cid, c_vec, c2)
+    centroid frame, rank by 6dp-rounded -2*dot(v,c) + ||c||^2 with
+    centroid-id tie-break — ONE assignment rule, so trained cells,
+    probed cells, and dedup cells can never disagree."""
+    scored = fan_out(
+        df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias("v"))
+    ).join(F.broadcast(centroids), how="cross")
+    w = Window.partitionBy(out_id).orderBy(
+        F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
+        F.asc("cid"),
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= n_cells)
+        .select(out_id, "cid", "v")
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    nlist: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: coarse-quantize
+    the corpus into ``nlist`` k-means cells, then score cosine ONLY
+    within each cell and keep pairs at ``cosine >= threshold``.
+
+    This is the embedding twin of LSH banding, with the partition
+    function learned from the data instead of fixed hyperplanes: a
+    semantic duplicate lands in its twin's cell (they share a nearest
+    centroid long before they share a paraphrase), so the all-pairs
+    product shrinks to sum(cell²) — and cells are capacity-bounded by
+    the centroid count, which an offline k-means job (``kmeans_iterate``)
+    keeps balanced. Feed the pairs to ``graph.connected_components``
+    for cluster labels, then ``dedup.keep_best_per_cluster`` to pick
+    survivors. Default centroids: first ``nlist`` corpus vectors by id
+    (deterministic, oracle-reproducible) — inject a trained frame in
+    production.
+    """
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec")
+            )
+        )
+    centroids = centroids.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    cells = _assign_cells(corpus, centroids, id_col, vec_col, "id", 1)
+    v = cells.withColumn("nrm", l2_norm(F.col("v")))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.cid") == F.col("b.cid"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -401,18 +486,7 @@ def ivf_topk(
     centroids = centroids.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
 
     def assign(df: DataFrame, out_id: str, n_cells: int) -> DataFrame:
-        scored = fan_out(
-            df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias("v"))
-        ).join(F.broadcast(centroids), how="cross")
-        w = Window.partitionBy(out_id).orderBy(
-            F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
-            F.asc("cid"),
-        )
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") <= n_cells)
-            .select(out_id, "cid", "v")
-        )
+        return _assign_cells(df, centroids, id_col, vec_col, out_id, n_cells)
 
     corpus_cells = assign(corpus, "neighbor_id", 1)
     query_cells = assign(queries, "query_id", nprobe).select(

@@ -2117,3 +2117,92 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, "id_a", "id_b").withColumnRenamed(
         "node", "doc_id"
     )
+
+
+# shared assignment + in-cell threshold pairs for the SemDeDup oracle:
+# the same rounded-distance/cid-tie-break rule as the IVF oracles, then
+# pairwise cosine within cells only
+_DUCK_SEMDEDUP_CTES = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 16),
+    asg AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    edges AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / nullif(sqrt(list_dot_product(a.e, a.e))
+                             * sqrt(list_dot_product(b.e, b.e)), 0.0), 6)
+              >= 0.4),
+    sym AS (SELECT ia AS u, ib AS v FROM edges
+            UNION ALL SELECT ib AS u, ia AS v FROM edges),
+    l0 AS (SELECT vec_id AS u, vec_id AS label FROM v),
+    l1 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l0 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l0 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u),
+    l2 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l1 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l1 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u),
+    l3 AS (
+        SELECT l.u, least(l.label, coalesce(m.nm, l.label)) AS label
+        FROM l2 l LEFT JOIN (
+            SELECT s.u, min(p.label) AS nm
+            FROM sym s JOIN l2 p ON p.u = s.v
+            GROUP BY s.u) m ON m.u = l.u)"""
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=f"""
+    {_DUCK_SEMDEDUP_CTES}
+    SELECT u AS vec_id, label AS cluster_id,
+           CASE WHEN u = label THEN TRUE ELSE FALSE END AS is_kept
+    FROM l3
+    """,
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end (operators.similarity.semantic_dedup_pairs +
+    operators.graph.connected_components): embeddings coarse-quantized
+    into 16 cells, in-cell cosine >= 0.4 pairs, min-label propagation to
+    cluster ids; dedup keeps cluster representatives (is_kept). The
+    learned-partition twin of the MinHash pipeline — pair generation is
+    sum(cell^2), never corpus^2, and the pair list is checkpointed once
+    before the propagation hops."""
+    from news_data_pipeline_spark.operators.graph import connected_components
+    from news_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.4, nlist=16
+    ).localCheckpoint(eager=True)
+    labels = connected_components(
+        pairs,
+        "id_a",
+        "id_b",
+        nodes=emb,
+        node_col="vec_id",
+        max_iter=3,
+        checkpoint_edges=False,
+    )
+    return labels.select(
+        "vec_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("vec_id") == F.col("component")).alias("is_kept"),
+    )

@@ -385,3 +385,54 @@ def test_pca_project_validates(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no non-null"):
         pca_project(empty, k=1)
+
+
+def test_semantic_dedup_pairs_finds_in_cell_twins(spark):
+    # centroids = first 2 vectors by id: (1,0,...) and (0,1,...).
+    # 10/11 are near-copies of centroid 1's direction; 20 is near
+    # centroid 2; 30 sits diagonally (assigned somewhere, but nothing
+    # in its cell is close enough).
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (10, [0.9, 0.1, 0.0]),
+        (11, [0.92, 0.08, 0.0]),
+        (20, [0.1, 0.9, 0.0]),
+        (30, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup_pairs(df, threshold=0.95, nlist=2)
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"] for r in out.collect()}
+    assert (10, 11) in pairs and pairs[(10, 11)] > 0.99
+    assert (1, 10) in pairs  # near-copy of its own centroid
+    assert (2, 20) in pairs  # in-cell twin in the other cell
+    # no pair ever crosses cells: {1,10,11} x {2,20} is never scored
+    cell1, cell2 = {1, 10, 11}, {2, 20}
+    assert not any(
+        (a in cell1) != (b in cell1) for a, b in pairs if {a, b} <= cell1 | cell2
+    )
+    assert not any(30 in p for p in pairs)  # nothing close in its cell
+
+
+def test_semantic_dedup_pairs_composes_with_components(spark):
+    from news_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.99, 0.01]),
+        (4, [0.98, 0.02]),
+        (5, [0.01, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.semantic_dedup_pairs(df, threshold=0.9, nlist=2)
+    labels = {
+        r["vec_id"]: r["component"]
+        for r in connected_components(
+            pairs, "id_a", "id_b", nodes=df, node_col="vec_id", max_iter=3
+        ).collect()
+    }
+    assert labels[1] == labels[3] == labels[4] == 1
+    assert labels[2] == labels[5] == 2
