@@ -69,6 +69,9 @@ TAIL_QUERIES = (
     "dedup_incremental_lsh",
     "adaptive_stopword_removal",
     "quality_top_fraction_per_lang",
+    "document_lm_scores",
+    "semantic_dedup_clusters",
+    "neardup_triangle_counts",
 )
 
 

@@ -1,6 +1,7 @@
 from news_data_pipeline_spark.dq.rules import (
     ColumnExists,
     Freshness,
+    FunctionalDependency,
     InRange,
     InSet,
     Matches,
@@ -21,6 +22,7 @@ from news_data_pipeline_spark.dq.engine import (
 __all__ = [
     "ColumnExists",
     "Freshness",
+    "FunctionalDependency",
     "InRange",
     "InSet",
     "Matches",

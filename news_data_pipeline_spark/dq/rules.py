@@ -264,3 +264,41 @@ class Freshness(Rule):
             f"timestamp'{self.as_of}' - interval {self.max_age}"
         )
         return c.isNotNull() & (c < cutoff)
+
+
+@dataclass(frozen=True)
+class FunctionalDependency(Rule):
+    """Determinant -> dependent consistency: violation for EVERY row of
+    a determinant group whose dependent column takes more than one
+    distinct non-null value across the group (a natural key mapping to
+    two names, a doc id crawled under two sources, ...).
+
+    Distinctness is checked as min != max over the group window — no
+    count-distinct (unsupported over windows and a heavier aggregate),
+    and the window shares its shuffle with any other rule keyed on the
+    same determinant. Null dependents are ignored (min/max skip nulls);
+    add NotNull to reject them.
+    """
+
+    determinant: tuple[str, ...]
+    dependent: str = ""
+
+    def __init__(self, *determinant: str, dependent: str):
+        if not determinant:
+            raise ValueError("FunctionalDependency needs determinant columns")
+        if not dependent:
+            raise ValueError("FunctionalDependency needs a dependent column")
+        object.__setattr__(self, "determinant", tuple(determinant))
+        object.__setattr__(self, "dependent", dependent)
+
+    def rule_name(self) -> str:
+        return f"fd({','.join(self.determinant)}->{self.dependent})"
+
+    def violation(self, df: DataFrame) -> Column:
+        w = Window.partitionBy(*[F.col(c) for c in self.determinant])
+        dep = F.col(self.dependent)
+        # all-null group: min == max == null -> comparison is NULL ->
+        # coalesce to no-violation
+        return F.coalesce(
+            F.min(dep).over(w) != F.max(dep).over(w), F.lit(False)
+        )

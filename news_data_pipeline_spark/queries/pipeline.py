@@ -479,3 +479,52 @@ def top_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
     )
+
+
+# FD-violation fixture: three clones of existing doc_ids crawled under a
+# different source — doc_id -> source no longer holds for those groups.
+_FD_ROWS = [
+    (1, "fd clone", "en", "srcX", 8),
+    (2, "fd clone", "en", "srcX", 8),
+    (3, "fd clone", "en", "srcX", 8),
+]
+_FD_SQL = """
+        SELECT * FROM documents
+        UNION ALL SELECT 1, 'fd clone', 'en', 'srcX', 8
+        UNION ALL SELECT 2, 'fd clone', 'en', 'srcX', 8
+        UNION ALL SELECT 3, 'fd clone', 'en', 'srcX', 8
+"""
+
+
+@register(
+    "dq_fd_violations",
+    oracle=f"""
+    WITH base AS ({_FD_SQL}),
+    bad AS (
+        SELECT doc_id FROM base
+        GROUP BY doc_id
+        HAVING min(source) IS DISTINCT FROM max(source))
+    SELECT doc_id, text, lang, source, n_chars,
+           'fd(doc_id->source)' AS reason
+    FROM base WHERE doc_id IN (SELECT doc_id FROM bad)
+    """,
+)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DQ rule (dq.rules.FunctionalDependency):
+    doc_id -> source must be single-valued; every row of a violating
+    group quarantines with the rule name as the reason. The group check
+    is min != max over the determinant window — no count-distinct, and
+    the shuffle is shared with any other rule keyed on doc_id."""
+    from news_data_pipeline_spark.dq import FunctionalDependency
+
+    docs = load_table(spark, sf_dir, "documents")
+    extra = spark.createDataFrame(_FD_ROWS, schema=docs.schema)
+    dirty = docs.unionByName(extra)
+    result = run_dq(
+        dirty,
+        [FunctionalDependency("doc_id", dependent="source")],
+        cache=False,
+    )
+    return result.quarantined.withColumn(
+        "reason", F.array_join("reasons", "; ")
+    ).drop("reasons")

@@ -860,3 +860,59 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share_pct"
         ),
     )
+
+
+@register(
+    "price_winsorized_stats",
+    # exact interpolated percentiles (Spark percentile == DuckDB
+    # quantile_cont: both index by p*(n-1) with linear interpolation),
+    # rounded to 2dp on BOTH sides before clamping so the clip
+    # boundaries are the identical doubles
+    oracle="""
+    WITH pct AS (
+        SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
+               round(quantile_cont(l_extendedprice, 0.99), 2) AS hi
+        FROM lineitem)
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(avg(CASE WHEN l_extendedprice < lo THEN lo
+                          WHEN l_extendedprice > hi THEN hi
+                          ELSE l_extendedprice END), 2) AS avg_winsorized,
+           CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
+    FROM lineitem CROSS JOIN pct
+    GROUP BY l_returnflag
+    """,
+)
+def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) robust statistics: the standard
+    outlier-tamed mean for skewed value columns. The p01/p99 boundaries
+    are ONE exact-percentile aggregate over the fact table riding back
+    in as a broadcast single row — at 100 TB swap `percentile` for
+    `approx_percentile` and the plan shape (aggregate, broadcast,
+    narrow clamp, grouped aggregate) is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = li.agg(
+        F.round(F.percentile("l_extendedprice", 0.01), 2).alias("lo"),
+        F.round(F.percentile("l_extendedprice", 0.99), 2).alias("hi"),
+    )
+    price = F.col("l_extendedprice")
+    clamped = (
+        F.when(price < F.col("lo"), F.col("lo"))
+        .when(price > F.col("hi"), F.col("hi"))
+        .otherwise(price)
+    )
+    return (
+        li.join(F.broadcast(pct))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clamped), 2).alias("avg_winsorized"),
+            F.sum(F.when(price < F.col("lo"), 1).otherwise(0)).alias(
+                "n_clipped_low"
+            ),
+            F.sum(F.when(price > F.col("hi"), 1).otherwise(0)).alias(
+                "n_clipped_high"
+            ),
+        )
+    )

@@ -469,3 +469,58 @@ def test_report_frame_no_rules(spark):
     df = spark.createDataFrame([(1,)], "id bigint")
     res = run_dq(df, [])
     assert res.report_frame().count() == 0
+
+
+def test_fd_flags_every_row_of_violating_group(spark):
+    from news_data_pipeline_spark.dq import FunctionalDependency
+
+    df = spark.createDataFrame(
+        [
+            (1, "srcA"),
+            (1, "srcB"),   # doc 1 maps to two sources -> both rows flagged
+            (2, "srcA"),
+            (2, "srcA"),   # consistent duplicate -> fine
+            (3, None),     # null dependent ignored
+            (3, "srcC"),
+        ],
+        "doc_id long, source string",
+    )
+    res = run_dq(df, [FunctionalDependency("doc_id", dependent="source")])
+    bad = sorted(r["doc_id"] for r in res.quarantined.collect())
+    assert bad == [1, 1]
+    assert res.report["fd(doc_id->source)"] == {
+        "passed": False,
+        "violations": 2,
+    }
+
+
+def test_fd_all_null_group_and_holding_fd_pass(spark):
+    from news_data_pipeline_spark.dq import FunctionalDependency
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, "x")], "k long, v string"
+    )
+    res = run_dq(df, [FunctionalDependency("k", dependent="v")])
+    assert res.quarantined.count() == 0
+    assert res.report["fd(k->v)"]["passed"] is True
+
+
+def test_fd_multi_column_determinant_and_validation(spark):
+    import pytest
+
+    from news_data_pipeline_spark.dq import FunctionalDependency
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x"),
+            ("a", 1, "y"),   # (a,1) -> {x,y}: violated
+            ("a", 2, "x"),   # different composite key: fine
+        ],
+        "g string, k long, v string",
+    )
+    res = run_dq(df, [FunctionalDependency("g", "k", dependent="v")])
+    assert res.quarantined.count() == 2
+    with pytest.raises(ValueError, match="determinant"):
+        FunctionalDependency(dependent="v")
+    with pytest.raises(TypeError):
+        FunctionalDependency("g", "v")  # dependent is keyword-only
