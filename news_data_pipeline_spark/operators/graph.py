@@ -252,7 +252,11 @@ def connected_components(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    checkpoint_edges: bool = False,
 ) -> DataFrame:
     """(node, n_triangles) for every node on at least one triangle of
     the undirected graph — the local clustering signal that separates
@@ -269,6 +273,12 @@ def triangle_counts(
     difference between a skewed hub exploding and not. All three stages
     are keyed equi-joins; no node ever needs its neighborhood in one
     partition.
+
+    ``checkpoint_edges``: the canonical edge list is referenced five
+    times (degree count twice, orientation, wedge probe, closure);
+    eager ``localCheckpoint`` materializes it once so those references
+    replay a cached RDD instead of re-deriving the (possibly expensive)
+    edge lineage — same contract as ``connected_components``.
     """
     e = (
         edges.select(
@@ -279,6 +289,8 @@ def triangle_counts(
         .where(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    if checkpoint_edges:
+        e = e.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("u"))
         .unionAll(e.select(F.col("b").alias("u")))
@@ -296,6 +308,10 @@ def triangle_counts(
         F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
+    if checkpoint_edges:
+        # the orientation (edge + two degree joins) feeds both sides of
+        # the wedge self-join — materialize it once too
+        oriented = oriented.localCheckpoint(eager=True)
     o2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
     wedges = oriented.join(o2, F.col("u") == F.col("u2")).where(
         F.col("v") < F.col("w")

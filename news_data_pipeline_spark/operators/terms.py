@@ -149,3 +149,73 @@ def unigram_logprob_scores(
         F.sum("tf").alias("n_tokens"),
         F.round(F.sum("lp") / F.sum("tf"), round_dp).alias("avg_logprob"),
     )
+
+
+def build_vocab(
+    df: DataFrame, id_col: str, text_col: str, *, min_count: int = 1
+) -> DataFrame:
+    """(term, token_id, count): frequency-ranked vocabulary over the
+    corpus — token ids assigned by descending corpus count with
+    term-lexicographic tie-break, 0-based and dense.
+
+    The ranking is ``functions.ids.global_row_number`` (range-partition
+    + per-partition offsets), NEVER a single-partition window: a 100-TB
+    corpus's vocabulary is tens of millions of terms and the global
+    sort must stay distributed. Terms below ``min_count`` are dropped
+    (they encode as OOV downstream) — the standard vocabulary-truncation
+    knob.
+    """
+    from news_data_pipeline_spark.functions.ids import global_row_number
+
+    tf = term_frequencies(df, id_col, text_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("count"))
+    if min_count > 1:
+        counts = counts.where(F.col("count") >= min_count)
+    # repartitionByRange orders ascending: rank by the negated count
+    ranked = global_row_number(
+        counts.withColumn("__neg", -F.col("count")),
+        ["__neg", "term"],
+        id_col="__rid",
+    )
+    return ranked.select(
+        "term", (F.col("__rid") - 1).alias("token_id"), "count"
+    )
+
+
+def encode_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    *,
+    oov_id: int = -1,
+) -> DataFrame:
+    """(id, pos, token_id): every document as its token-id sequence in
+    scalar rows — the id-encoding step between text cleanup and
+    sequence packing in a pretraining pipeline.
+
+    Tokenization is the shared whitespace rule (same as
+    ``term_frequencies``), positions come from ``posexplode`` so the
+    sequence order survives any shuffle, and the vocabulary attaches by
+    a term-keyed equi-join (vocabulary scales sublinearly with the
+    corpus — Heaps' law — so the join's build side stays far smaller
+    than the data). Unknown terms encode as ``oov_id``. Feed the result
+    to ``pack_sequences`` keyed on (id, pos).
+    """
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.posexplode(F.split(F.trim(F.col("__t")), r"\s+")).alias(
+            "pos", "term"
+        ),
+    ).where(F.length("term") > 0)
+    return words.join(
+        vocab.select("term", "token_id"), on="term", how="left"
+    ).select(
+        "id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("token_id"),
+    )

@@ -2110,13 +2110,12 @@ def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_lsh_dedup_pairs(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
     )
-    # one materialization of the LSH pair list (same checkpoint_edges
-    # lesson as neardup_components): degree + orientation + closure all
-    # reuse it, and none should re-derive MinHash shingling
-    pairs = pairs.localCheckpoint(eager=True)
-    return triangle_counts(pairs, "id_a", "id_b").withColumnRenamed(
-        "node", "doc_id"
-    )
+    # checkpoint INSIDE the operator, after canonicalization: degree +
+    # orientation + closure replay one cached edge list and never
+    # re-derive MinHash shingling (PLANS.md: 67 exchanges -> bounded)
+    return triangle_counts(
+        pairs, "id_a", "id_b", checkpoint_edges=True
+    ).withColumnRenamed("node", "doc_id")
 
 
 # shared assignment + in-cell threshold pairs for the SemDeDup oracle:
@@ -2189,9 +2188,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(
-        emb, threshold=0.4, nlist=16
-    ).localCheckpoint(eager=True)
+    pairs = semantic_dedup_pairs(emb, threshold=0.4, nlist=16)
     labels = connected_components(
         pairs,
         "id_a",
@@ -2199,10 +2196,90 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes=emb,
         node_col="vec_id",
         max_iter=3,
-        checkpoint_edges=False,
+        # one-time materialization of the symmetrized pair list: the 3
+        # hops replay a cached RDD, never the assignment+scoring lineage
+        checkpoint_edges=True,
     )
     return labels.select(
         "vec_id",
         F.col("component").alias("cluster_id"),
         (F.col("vec_id") == F.col("component")).alias("is_kept"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    # the oracle ranks with a plain window; the Spark side must produce
+    # the identical dense 0-based ids from its two-pass range ranking
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    counts AS (
+        SELECT term, count(*) AS count FROM toks
+        WHERE length(term) > 0 GROUP BY term HAVING count(*) >= 2)
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY count DESC, term) - 1 AS BIGINT)
+               AS token_id,
+           count
+    FROM counts
+    ORDER BY token_id LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 entries of the frequency-ranked corpus vocabulary
+    (operators.terms.build_vocab, min_count=2): dense 0-based token ids
+    from the range-partition two-pass ranking — the oracle's
+    single-window rank must agree exactly, which pins the offset
+    arithmetic."""
+    from news_data_pipeline_spark.operators.terms import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "doc_id", "text", min_count=2)
+    return vocab.orderBy("token_id").limit(100)
+
+
+@register(
+    "encoded_documents_sample",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    counts AS (
+        SELECT term, count(*) AS count FROM toks
+        WHERE length(term) > 0 GROUP BY term HAVING count(*) >= 2),
+    vocab AS (
+        SELECT term,
+               CAST(row_number() OVER (ORDER BY count DESC, term) - 1
+                    AS BIGINT) AS token_id
+        FROM counts),
+    pos_toks AS (
+        SELECT d.doc_id AS id, u.i - 1 AS pos, ws[u.i] AS term
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+              FROM documents WHERE doc_id < 20) d,
+             LATERAL unnest(range(1, len(ws) + 1)) AS u(i)
+        WHERE length(ws[u.i]) > 0)
+    SELECT p.id AS doc_id, p.pos, coalesce(v.token_id, -1) AS token_id
+    FROM pos_toks p LEFT JOIN vocab v USING (term)
+    """,
+)
+def encoded_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding of the first 20 documents
+    (operators.terms.encode_documents over build_vocab(min_count=2)):
+    (doc_id, pos, token_id) scalar rows, OOV = -1 for below-threshold
+    terms. The vocabulary trains on the WHOLE corpus; only the encoded
+    output is sliced, so the ids match vocab_top_tokens exactly."""
+    from news_data_pipeline_spark.operators.terms import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "doc_id", "text", min_count=2)
+    sample = docs.where(F.col("doc_id") < 20)
+    return encode_documents(sample, "doc_id", "text", vocab).select(
+        F.col("id").alias("doc_id"), "pos", "token_id"
     )

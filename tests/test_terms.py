@@ -89,3 +89,43 @@ def test_unigram_logprob_rare_tokens_score_lower(spark):
         for r in unigram_logprob_scores(df2, "doc_id", "body").collect()
     }
     assert ids == {1}
+
+
+def test_build_vocab_rank_and_min_count(spark):
+    from news_data_pipeline_spark.operators.terms import build_vocab
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z")], ["doc_id", "body"]
+    )
+    vocab = {
+        r["term"]: (r["token_id"], r["count"])
+        for r in build_vocab(df, "doc_id", "body").collect()
+    }
+    # a: 3, b: 3 (tie -> lexicographic), c: 1, z: 1
+    assert vocab == {"a": (0, 3), "b": (1, 3), "c": (2, 1), "z": (3, 1)}
+    trimmed = {
+        r["term"] for r in
+        build_vocab(df, "doc_id", "body", min_count=2).collect()
+    }
+    assert trimmed == {"a", "b"}
+
+
+def test_encode_documents_positions_and_oov(spark):
+    from news_data_pipeline_spark.operators.terms import (
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z")], ["doc_id", "body"]
+    )
+    vocab = build_vocab(df, "doc_id", "body", min_count=2)
+    enc = encode_documents(df, "doc_id", "body", vocab)
+    got = {
+        (r["id"], r["pos"]): r["token_id"] for r in enc.collect()
+    }
+    # vocab: a=0, b=1; c and z are OOV (-1)
+    assert got == {
+        (1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 0, (1, 4): 0, (1, 5): -1,
+        (2, 0): 0, (2, 1): -1,
+    }
