@@ -235,3 +235,31 @@ def top_k_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: str | list[str], *, top_n: int = 10
+) -> DataFrame:
+    """(key..., n_rows, share): the ``top_n`` heaviest values of a
+    prospective shuffle key and their fraction of the table — the
+    diagnostic a join/groupBy skew decision (salting, AQE skew-join,
+    broadcast) is made from.
+
+    One map-side-combined count per key, total as a broadcast 1-row
+    aggregate, global top-N via orderBy+limit (TakeOrderedAndProject —
+    per-partition partial top-k, never a single-partition sort). Run it
+    on the join key BEFORE the join: a top key holding >1/partitions of
+    the rows is the partition that will straggle.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn(
+            "share", F.round(F.col("n_rows") / F.col("__total"), 6)
+        )
+        .drop("__total")
+        .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+        .limit(top_n)
+    )

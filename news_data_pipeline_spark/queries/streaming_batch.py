@@ -593,3 +593,150 @@ def user_event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+@register(
+    "event_rate_anomalies",
+    # both engines compute the identical trailing-24-row frame over the
+    # same hourly aggregate; z rounds to 4dp BEFORE the threshold so the
+    # flag decision is made on the same double
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT event_type, hour, n_events,
+               round(avg(n_events) OVER w, 4) AS mean_prev,
+               round(stddev_samp(n_events) OVER w, 4) AS std_prev
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour, n_events, mean_prev,
+           round((n_events - mean_prev) / std_prev, 4) AS z
+    FROM scored
+    WHERE std_prev IS NOT NULL AND std_prev > 0
+      AND abs(round((n_events - mean_prev) / std_prev, 4)) >= 2.0
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rate anomaly detection: hours whose event count
+    sits >= 2 sample standard deviations from the previous 24 hourly
+    counts of the same event type. The frame is ROWS-based over the
+    hourly aggregate (tiny: one row per (type, hour)), so the window
+    shuffle is on event_type and the heavy lifting — the hourly count —
+    is one map-side-combined aggregate of the raw events. The streaming
+    twin is a tumbling-window count feeding the same z-rule in
+    foreachBatch."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(F.avg("n_events").over(w), 4).alias("mean_prev"),
+        F.round(F.stddev_samp("n_events").over(w), 4).alias("std_prev"),
+    )
+    z = F.round(
+        (F.col("n_events") - F.col("mean_prev")) / F.col("std_prev"), 4
+    )
+    return (
+        scored.where(F.col("std_prev").isNotNull() & (F.col("std_prev") > 0))
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) >= 2.0)
+        .drop("std_prev")
+        .select("event_type", "hour", "n_events", "mean_prev", "z")
+    )
+
+
+@register(
+    "event_user_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
+    total AS (SELECT sum(n_rows) AS t FROM counts)
+    SELECT user_id, n_rows, round(n_rows / t, 6) AS share
+    FROM counts CROSS JOIN total
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+)
+def event_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic (operators.ranking.skew_report): the 10
+    heaviest user_ids in events with their row share — the number a
+    salting / AQE-skew-join decision is made from, produced as one
+    keyed count + broadcast total + TakeOrderedAndProject."""
+    from news_data_pipeline_spark.operators.ranking import skew_report
+
+    events = load_table(spark, sf_dir, "events")
+    return skew_report(events, "user_id", top_n=10)
+
+
+@register(
+    "user_type_scd2",
+    # islands -> intervals: valid_from = island start, valid_to = next
+    # island's start (lead), open-ended current row; both engines order
+    # islands by (valid_from, event_type) so same-timestamp starts
+    # break ties identically
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM events WHERE ts IS NOT NULL),
+    islands AS (
+        SELECT user_id, event_type, min(ts) AS valid_from
+        FROM ordered GROUP BY user_id, event_type, grp)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_type)
+               AS valid_to,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from, event_type)
+                     IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM islands
+    """,
+)
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: each
+    user's event_type history as half-open validity intervals
+    [valid_from, valid_to), open-ended on the current value — the
+    gaps-and-islands runs (user_event_islands) projected to the
+    warehouse versioning shape with one more user-keyed lead(). All
+    windows key on user_id; no partition ever holds more than one
+    user's history."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    islands = (
+        events.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("valid_from"))
+        .drop("grp")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
+    valid_to = F.lead("valid_from").over(w_seq)
+    return islands.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

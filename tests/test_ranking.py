@@ -221,3 +221,40 @@ def test_top_fraction_never_sorts_full_groups(spark):
     assert "Window" in plan
     before_window = plan.split("Window")[0]
     assert "Sort" not in before_window or "Exchange" in plan
+
+
+def test_skew_report_shares_and_ties(spark):
+    from news_data_pipeline_spark.operators.ranking import skew_report
+
+    rows = [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 3 + [(4,)] * 1 + [(5,)] * 1
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", top_n=3).collect()
+    assert [(r["k"], r["n_rows"], r["share"]) for r in out] == [
+        (1, 6, round(6 / 14, 6)),
+        (2, 3, round(3 / 14, 6)),   # tie with 3 -> lower key first
+        (3, 3, round(3 / 14, 6)),
+    ]
+    # top-k is TakeOrderedAndProject, never a global sort or 1-part window
+    plan = skew_report(df, "k", top_n=3)._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_intervals_partition_history(spark):
+    from tests.conftest import SF_DIR
+    from news_data_pipeline_spark.queries.streaming_batch import (
+        user_type_scd2,
+    )
+
+    out = user_type_scd2(spark, SF_DIR)
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, ivs in by_user.items():
+        ivs.sort(key=lambda r: (r["valid_from"],))
+        # exactly one open-ended current interval, and it is the last
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["valid_to"] is None
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"]
