@@ -855,3 +855,109 @@ def keep_best_per_cluster(
             "n_members",
         )
     )
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Cross-document duplicated-span statistics, per document.
+
+    The span-level complement of whole-document dedup (the reference
+    only drops exact row duplicates, ``02:66``): a span is an n-token
+    gram at a concrete position, and it counts as *duplicated* when the
+    identical gram also occurs in at least one OTHER document. The
+    per-document duplicated-span fraction is the standard "how much of
+    this page is boilerplate shared with the rest of the corpus" signal
+    used to gate training data (ExactSubstr-style dedup recast at token
+    granularity so it stays a pure groupBy/join plan).
+
+    Scale: spans are counted per (doc, gram) FIRST — one map-side
+    combinable aggregate — so the cross-document frequency join runs on
+    the deduplicated (doc, gram) pairs, not the raw token stream. Both
+    shuffles key on the gram text; frequency skew (stop-gram postings)
+    is bounded because a gram contributes one row per *document*, not
+    per occurrence, and AQE splits any residual hot bucket.
+
+    Returns ``(id, n_spans, dup_spans, dup_span_fraction)``.
+    """
+    spans = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    per_doc = spans.groupBy("id", "shingle").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ndocs = per_doc.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__ndocs")
+    )
+    return (
+        per_doc.join(ndocs, "shingle")
+        .groupBy("id")
+        .agg(
+            F.sum("__c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("__ndocs") >= 2, F.col("__c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_span_fraction",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 4),
+        )
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    block_len: int = 8,
+    prefix_len: int = 48,
+    max_distance: int = 24,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández-Stolfo), blocked.
+
+    Classic record-linkage alternative to LSH: sort records by a
+    normalization key and compare only ADJACENT records, turning the
+    quadratic all-pairs problem into a linear scan. A single global
+    sort would funnel everything through one window task, so this
+    blocks first: records sharing a ``block_len``-char prefix form a
+    block, the sorted-neighborhood window runs *within* each block
+    (partitioned window — no single-partition exchange), and each
+    record is compared to its one lexicographic successor by
+    Levenshtein distance over a bounded ``prefix_len``-char prefix.
+
+    Scale: the window partitions by block prefix, whose cardinality
+    grows with the corpus (lengthen ``block_len`` to split further);
+    edit distance runs on O(rows) adjacent pairs, each over a constant
+    ``prefix_len`` slice, never on full documents. Boundary pairs that
+    straddle two blocks are by construction NOT compared — the standard
+    sorted-neighborhood recall trade-off; run a second pass with a
+    different key (e.g. reversed text) to recover them.
+
+    Returns ``(doc_a, doc_b, block, lev)`` for adjacent pairs within
+    ``max_distance`` edits.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.substring(F.col(text_col), 1, block_len).alias("block"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__prefix"),
+    )
+    w = Window.partitionBy("block").orderBy("__prefix", "__id")
+    nb = base.select(
+        "block",
+        "__id",
+        "__prefix",
+        F.lead("__id").over(w).alias("__id_b"),
+        F.lead("__prefix").over(w).alias("__prefix_b"),
+    )
+    return (
+        nb.where(F.col("__id_b").isNotNull())
+        .withColumn("lev", F.levenshtein("__prefix", "__prefix_b"))
+        .where(F.col("lev") <= max_distance)
+        .select(
+            F.col("__id").alias("doc_a"),
+            F.col("__id_b").alias("doc_b"),
+            "block",
+            "lev",
+        )
+    )

@@ -2283,3 +2283,72 @@ def encoded_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_documents(sample, "doc_id", "text", vocab).select(
         F.col("id").alias("doc_id"), "pos", "token_id"
     )
+
+
+# --- round 4: span-level dedup + sorted-neighborhood linkage -------------
+@register(
+    "duplicated_span_fraction",
+    oracle="""
+    WITH sh AS (
+        SELECT id, array_to_string(ws[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id AS id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws,
+                     unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
+              FROM documents) t
+        WHERE array_to_string(ws[i:i+2], ' ') <> ''),
+    per_doc AS (
+        SELECT id, shingle, count(*) AS c FROM sh GROUP BY id, shingle),
+    nd AS (
+        SELECT shingle, count(*) AS ndocs FROM per_doc GROUP BY shingle)
+    SELECT id AS doc_id,
+           sum(c) AS n_spans,
+           sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS dup_spans,
+           round(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END)
+                 / sum(c)::DOUBLE, 4) AS dup_span_fraction
+    FROM per_doc JOIN nd USING (shingle)
+    GROUP BY id
+    """,
+)
+def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token trigram spans shared with at
+    least one OTHER document (operators.dedup.span_dedup_stats) — the
+    ExactSubstr-style "corpus boilerplate" gate the reference's exact
+    row dedup (02:66) cannot express."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_stats(docs, "doc_id", "text", n=3).select(
+        F.col("id").alias("doc_id"),
+        "n_spans",
+        "dup_spans",
+        "dup_span_fraction",
+    )
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS id,
+               substring(text, 1, 8)  AS block,
+               substring(text, 1, 48) AS prefix
+        FROM documents),
+    nb AS (
+        SELECT block, id, prefix,
+               lead(id)     OVER w AS id_b,
+               lead(prefix) OVER w AS prefix_b
+        FROM base
+        WINDOW w AS (PARTITION BY block ORDER BY prefix, id))
+    SELECT id AS doc_a, id_b AS doc_b, block,
+           levenshtein(prefix, prefix_b) AS lev
+    FROM nb
+    WHERE id_b IS NOT NULL AND levenshtein(prefix, prefix_b) <= 24
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate pairs
+    (operators.dedup.sorted_neighborhood_pairs): record-linkage dedup
+    by adjacent-in-sort-order Levenshtein over bounded prefixes —
+    LSH's classic alternative, as a partitioned-window plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", block_len=8, prefix_len=48, max_distance=24
+    )

@@ -916,3 +916,198 @@ def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- round 4: time-range rolling window (RANGE frame) ---------------------
+@register(
+    "rolling_revenue_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS day_idx,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2, 3)
+    SELECT priority, day,
+           round(rev, 2) AS daily_revenue,
+           round(sum(rev) OVER (
+               PARTITION BY priority ORDER BY day_idx
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+               AS rolling_7d_revenue
+    FROM daily
+    """,
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware rolling aggregate: per-priority daily revenue with
+    a 7-day trailing sum via a RANGE window frame over an integer day
+    index — missing days correctly shrink the frame (a ROWS frame would
+    silently span gaps). Scale: the window input is the pre-aggregated
+    (priority × day) frame — bounded at ~5 × date-range rows regardless
+    of order volume, so the low-cardinality partition key is safe; the
+    heavy lifting is the map-side-combinable daily groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("day", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_idx"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "priority",
+        "day",
+        F.round(F.col("rev"), 2).alias("daily_revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("rolling_7d_revenue"),
+    )
+
+
+# --- round 4: grouped linear-regression trend (regr_slope) ----------------
+@register(
+    "nation_revenue_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS day_idx,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name,
+           round(regr_slope(rev, day_idx), 4)     AS slope,
+           round(regr_intercept(rev, day_idx), 4) AS intercept,
+           count(*) AS n_days
+    FROM daily GROUP BY n_name
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: least-squares slope/intercept of daily
+    revenue against a day index, via the built-in regr_* aggregates
+    (single-pass moment sums — no iterative fitting). Scale: one
+    shuffle for the daily rollup keyed (nation, day), then a tiny
+    25-group aggregate; nation is broadcast onto customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("day_idx"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    return daily.groupBy("n_name").agg(
+        F.round(F.regr_slope("rev", "day_idx"), 4).alias("slope"),
+        F.round(F.regr_intercept("rev", "day_idx"), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+# --- round 4: correlation matrix, melted to scalar rows -------------------
+@register(
+    "lineitem_price_correlations",
+    oracle="""
+    WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS c_qe,
+               corr(l_quantity, l_discount)      AS c_qd,
+               corr(l_quantity, l_tax)           AS c_qt,
+               corr(l_extendedprice, l_discount) AS c_ed,
+               corr(l_extendedprice, l_tax)      AS c_et,
+               corr(l_discount, l_tax)           AS c_dt
+        FROM lineitem)
+    SELECT col_a, col_b, round(v, 4) AS corr
+    FROM c, LATERAL (VALUES
+        ('l_quantity',      'l_extendedprice', c_qe),
+        ('l_quantity',      'l_discount',      c_qd),
+        ('l_quantity',      'l_tax',           c_qt),
+        ('l_extendedprice', 'l_discount',      c_ed),
+        ('l_extendedprice', 'l_tax',           c_et),
+        ('l_discount',      'l_tax',           c_dt)) t(col_a, col_b, v)
+    """,
+)
+def lineitem_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns,
+    melted to (col_a, col_b, corr) scalar rows. All six pairs are
+    computed in ONE aggregate pass (shared scan, map-side moment sums);
+    the melt is a constant-size stack over a single row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    one = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"__c{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )
+
+
+# --- round 4: equi-depth binning via partitioned ntile --------------------
+@register(
+    "order_price_deciles",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority AS priority, o_totalprice,
+               ntile(10) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders)
+    SELECT priority, decile,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM t GROUP BY priority, decile
+    """,
+)
+def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price binning: per-priority NTILE(10) deciles with
+    per-bin count/min/max/avg — the feature-discretization primitive.
+    Deterministic tie-break on o_orderkey so both engines assign
+    identical bins. Scale note: ntile needs a full per-partition sort;
+    priority is low-cardinality, so at 100 TB swap the exact ntile for
+    approx_percentile cut-points (see approx_value_percentiles) — this
+    query pins the exact semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("priority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )

@@ -489,3 +489,46 @@ def test_jaccard_for_pairs_exact_values_and_collisions(spark):
     # |{abc}| / |{abc,bcd,xyz}| = 1/3
     assert got[(1, 2)] == round(1 / 3, 6)
     assert got[(1, 3)] == 0.0
+
+
+def test_span_dedup_stats_cross_doc_only(spark):
+    # doc 1 and 2 share "a b c"; doc 3 repeats its own gram but shares
+    # nothing -> within-doc repetition must NOT count as duplicated.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c"), (3, "x y z x y z x y")],
+        ["doc_id", "t"],
+    )
+    out = {
+        r["id"]: (r["n_spans"], r["dup_spans"], r["dup_span_fraction"])
+        for r in dedup.span_dedup_stats(df, "doc_id", "t", n=3).collect()
+    }
+    # doc 1: spans {a b c, b c d} -> 1 of 2 duplicated
+    assert out[1] == (2, 1, 0.5)
+    # doc 2: single span, duplicated
+    assert out[2] == (1, 1, 1.0)
+    # doc 3: 6 spans ("x y z" x2, "y z x" x2, "z x y" x2), none shared
+    # with another document
+    assert out[3] == (6, 0, 0.0)
+
+
+def test_sorted_neighborhood_adjacent_only(spark):
+    # Same 4-char block, three records: sorted order is by prefix, so
+    # only adjacent pairs are compared; the far pair (1,3) never is.
+    df = spark.createDataFrame(
+        [
+            (1, "abcd efgh xxxx"),
+            (2, "abcd efgh yxxx"),
+            (3, "abcd zzzz zzzz"),
+            (9, "qqqq alone here"),  # different block, no partner
+        ],
+        ["doc_id", "t"],
+    )
+    out = dedup.sorted_neighborhood_pairs(
+        df, "doc_id", "t", block_len=4, prefix_len=14, max_distance=6
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["lev"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert (1, 3) not in pairs  # not adjacent in sort order
+    assert all(a != 9 and b != 9 for a, b in pairs)
+    # (2, 3) adjacent but distance > max_distance
+    assert (2, 3) not in pairs
