@@ -2352,3 +2352,133 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.sorted_neighborhood_pairs(
         docs, "doc_id", "text", block_len=8, prefix_len=48, max_distance=24
     )
+
+
+# --- round 4: bounded token co-occurrence ---------------------------------
+@register(
+    "token_cooccurrence_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    toks2 AS (SELECT id, term FROM toks WHERE length(term) > 0),
+    top_terms AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS df FROM toks2 GROUP BY term
+            ORDER BY df DESC, term LIMIT 30) t),
+    filtered AS (
+        SELECT id, term FROM toks2 JOIN top_terms USING (term)),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+        FROM filtered a JOIN filtered b
+          ON a.id = b.id AND a.term < b.term
+        GROUP BY a.term, b.term)
+    SELECT term_a, term_b, n_docs
+    FROM pairs ORDER BY n_docs DESC, term_a, term_b LIMIT 50
+    """,
+)
+def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level co-occurrence counts for the 30 highest-df terms,
+    top-50 pairs. The vocabulary cap is what makes this scale: the
+    self-join runs on a semi-filtered token list (<=30 terms/doc ->
+    <=435 pairs/doc, a bounded explode), with the tiny top-term list
+    broadcast; the unbounded all-terms version would be quadratic in
+    vocabulary. Top-50 output plans as TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        fan_out(docs.select(F.col("doc_id").alias("id"), "text"))
+        .select("id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    top_terms = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(30)
+        .select("term")
+    )
+    filtered = toks.join(F.broadcast(top_terms), "term")
+    a = filtered.select(F.col("id"), F.col("term").alias("term_a"))
+    b = filtered.select(F.col("id"), F.col("term").alias("term_b"))
+    return (
+        a.join(b, ["id"])
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term_a"), F.asc("term_b"))
+        .limit(50)
+    )
+
+
+# --- round 4: fixed-width histogram ---------------------------------------
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin_lo,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram (50-char bins): the
+    distribution primitive behind length-based quality gates. Integer
+    bin arithmetic — exact on both engines — and one map-side
+    combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("bigint").alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- round 4: numerically-pinned per-group z-scores -----------------------
+@register(
+    "doc_length_zscores",
+    oracle="""
+    WITH stats AS (
+        SELECT source,
+               count(*) AS n,
+               sum(n_chars) AS sx,
+               sum(n_chars * n_chars) AS sxx
+        FROM documents GROUP BY source),
+    z AS (
+        SELECT d.doc_id, d.source, d.n_chars,
+               (d.n_chars - s.sx / s.n)
+               / sqrt(s.sxx / s.n - (s.sx / s.n) * (s.sx / s.n)) AS zval
+        FROM documents d JOIN stats s USING (source))
+    SELECT doc_id, source, n_chars,
+           round(zval, 4) AS z,
+           abs(zval) >= 2.0 AS is_outlier
+    FROM z
+    """,
+)
+def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source z-score of document length with a 2-sigma outlier
+    flag. The moments are computed as explicit integer sums (sum x,
+    sum x^2) rather than the engines' stddev aggregates, so both sides
+    evaluate the SAME double expression bit-for-bit — no Welford-vs-
+    textbook drift at the rounding boundary. The per-source stats frame
+    is tiny and broadcast back onto the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sxx") / F.col("n") - mean * mean)
+    z = (F.col("n_chars") - mean) / std
+    return docs.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= 2.0).alias("is_outlier"),
+    )

@@ -740,3 +740,54 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# --- round 4: ordered first-touch funnel ----------------------------------
+@register(
+    "user_funnel_stages",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'   THEN ts END) AS s,
+               min(CASE WHEN event_type = 'view'     THEN ts END) AS v,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events GROUP BY user_id),
+    staged AS (
+        SELECT user_id,
+               CASE WHEN s IS NULL THEN 'no_signup'
+                    WHEN v IS NULL OR v < s THEN 'signup_only'
+                    WHEN p IS NULL OR p < v THEN 'viewed'
+                    ELSE 'purchased' END AS funnel_stage
+        FROM per_user)
+    SELECT funnel_stage, count(*) AS n_users
+    FROM staged GROUP BY funnel_stage
+    """,
+)
+def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered first-touch funnel signup -> view -> purchase:
+    a user advances a stage only if that stage's FIRST event falls at or
+    after the previous stage's first event (a pre-signup view does not
+    count). One conditional-min aggregate per user, then a constant-size
+    stage rollup — two map-side-combinable shuffles, no joins, no
+    windows: the plan shape that survives any event volume."""
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("signup").alias("s"),
+        first_ts("view").alias("v"),
+        first_ts("purchase").alias("p"),
+    )
+    stage = (
+        F.when(F.col("s").isNull(), F.lit("no_signup"))
+        .when(F.col("v").isNull() | (F.col("v") < F.col("s")), F.lit("signup_only"))
+        .when(F.col("p").isNull() | (F.col("p") < F.col("v")), F.lit("viewed"))
+        .otherwise(F.lit("purchased"))
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
