@@ -72,6 +72,9 @@ TAIL_QUERIES = (
     "document_lm_scores",
     "semantic_dedup_clusters",
     "neardup_triangle_counts",
+    "duplicated_span_fraction",
+    "token_cooccurrence_topk",
+    "sorted_neighborhood_pairs",
 )
 
 

@@ -7,7 +7,7 @@ BASELINE.json); all but SimHash have exact ANSI-SQL oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from news_data_pipeline_spark.functions import text as T
 from news_data_pipeline_spark.operators import dedup, similarity
@@ -2481,4 +2481,51 @@ def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(z, 4).alias("z"),
         (F.abs(z) >= 2.0).alias("is_outlier"),
+    )
+
+
+# --- round 4: per-source token-budget selection ---------------------------
+@register(
+    "token_budget_selection",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               w -> length(w) > 0)) AS n_words
+        FROM documents),
+    cum AS (
+        SELECT doc_id, source, n_words,
+               sum(n_words) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM toks)
+    SELECT doc_id, source, n_words, cum_tokens
+    FROM cum WHERE cum_tokens <= 500
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source document selection under a 500-token budget:
+    docs are taken in id order until their running token count exceeds
+    the source's budget — how a mixture recipe caps each domain's
+    contribution in tokens rather than documents (cap_documents_per_
+    source counts rows). Integer running sum over a partitioned window;
+    token counts stay exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim("text"), r"\s+"), lambda w: F.length(w) > 0
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id", "source", n_words.cast("bigint").alias("n_words")
+        )
+        .withColumn("cum_tokens", F.sum("n_words").over(w))
+        .where(F.col("cum_tokens") <= 500)
     )

@@ -791,3 +791,89 @@ def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- round 4: exponentially time-decayed engagement -----------------------
+@register(
+    "user_decayed_value",
+    oracle="""
+    WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+    aged AS (
+        SELECT e.user_id, e.value,
+               datediff('second', e.ts, r.ref_ts) / 86400.0 AS age_days
+        FROM events e CROSS JOIN ref r
+        WHERE e.value IS NOT NULL)
+    SELECT user_id,
+           round(sum(value * exp(-age_days / 30.0)), 4) AS decayed_value,
+           count(*) AS n_events
+    FROM aged GROUP BY user_id
+    """,
+)
+def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (30-day
+    half-life-style weighting): the standard recency-weighted feature
+    for ranking/mixing. The corpus max-timestamp anchor is a 1-row
+    broadcast; ages are exact integer second deltas on both engines, so
+    the only float work is the shared exp/sum expression. One shuffle
+    (the per-user aggregate), no windows."""
+    events = load_table(spark, sf_dir, "events")
+    ref = events.agg(F.max("ts").alias("__ref_ts"))
+    age_days = (
+        F.col("__ref_ts").cast("timestamp").cast("long")
+        - F.col("ts").cast("timestamp").cast("long")
+    ) / F.lit(86400.0)
+    return (
+        events.where(F.col("value").isNotNull())
+        .join(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.exp(-age_days / F.lit(30.0))), 4
+            ).alias("decayed_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- round 4: robust dispersion (median absolute deviation) ---------------
+@register(
+    "event_value_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           round(any_value(m.med), 4) AS median_value,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad,
+           count(*) AS n_events
+    FROM events e JOIN med m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event values per type — the robust
+    dispersion behind outlier gates that variance-based z-scores get
+    wrong on heavy tails. Two exact-percentile aggregates: the per-type
+    medians ride back in as a broadcast (group count is bounded), then
+    one more aggregate over the absolute deviations. Spark `percentile`
+    and DuckDB `quantile_cont` share interpolation semantics (pinned by
+    quantity_median)."""
+    events = load_table(spark, sf_dir, "events")
+    vals = events.where(F.col("value").isNotNull()).select(
+        "event_type", "value"
+    )
+    med = vals.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("__med")
+    )
+    return (
+        vals.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("__med"), 4).alias("median_value"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("__med")), 0.5), 4
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

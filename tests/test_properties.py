@@ -213,3 +213,46 @@ def test_keep_best_per_cluster_matches_argmax_model(spark, rows):
         q, doc = max((r[2], r[1]) for r in members)
         want[c] = (doc, q, len(members))
     assert got == want
+
+
+_doc_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=20), min_size=1, max_size=8
+)
+
+
+@given(_doc_strategy)
+@SETTINGS
+def test_span_dedup_stats_matches_naive_model(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, t string")
+    got = {
+        r["id"]: (r["n_spans"], r["dup_spans"])
+        for r in __import__(
+            "news_data_pipeline_spark.operators.dedup", fromlist=["dedup"]
+        )
+        .span_dedup_stats(df, "doc_id", "t", n=2)
+        .collect()
+    }
+
+    # naive model mirroring word_shingles: n-grams over whitespace-split
+    # words, shorter docs collapse to one gram of the available words,
+    # empty grams dropped
+    def grams(t):
+        ws = [w for w in t.strip().split() if w]
+        if not ws:
+            return []
+        if len(ws) < 2:
+            return [" ".join(ws)]
+        return [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    per_doc = {i: grams(t) for i, t in rows}
+    docs_with = {}
+    for i, gs in per_doc.items():
+        for g in set(gs):
+            docs_with.setdefault(g, set()).add(i)
+    for i, gs in per_doc.items():
+        if not gs:
+            assert i not in got
+            continue
+        dup = sum(1 for g in gs if len(docs_with[g]) >= 2)
+        assert got[i] == (len(gs), dup), (i, per_doc)
