@@ -2529,3 +2529,37 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_tokens", F.sum("n_words").over(w))
         .where(F.col("cum_tokens") <= 500)
     )
+
+
+# --- round 4: deterministic training-order shuffle ------------------------
+@register(
+    "shuffled_export_order",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random training-export order: documents are
+    sharded by an md5 prefix and ranked by the full digest — a
+    reproducible global shuffle (same ids -> same order on any cluster,
+    any partitioning) without a single-partition sort: the rank window
+    partitions on the 256-way shard key, and the exporter interleaves
+    shards round-robin. The cure for parquet files that arrive
+    source-clustered — adjacent training batches would otherwise see
+    correlated documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(F.substring(digest, 1, 2)).orderBy(
+        digest, F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        F.substring(digest, 1, 2).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )

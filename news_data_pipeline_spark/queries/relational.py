@@ -1111,3 +1111,87 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+# --- round 4: distribution-position window functions ----------------------
+@register(
+    "supplier_balance_percentiles",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           round(s_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-nation balance position via percent_rank / cume_dist —
+    the normalized-rank features behind per-group score calibration.
+    Both are exact integer-count ratios ((rank-1)/(n-1), n_le/n), so
+    the engines agree bit-for-bit; the tie-break on s_suppkey makes
+    rank assignment deterministic. Partitioned window — nationkey
+    cardinality scales with the dimension, never a global sort."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
+# --- round 4: per-group fit via Arrow group-map, SQL-verified -------------
+@register(
+    "nation_revenue_trend_pandas",
+    oracle="""
+    WITH daily AS (
+        SELECT n.n_name,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o.o_orderdate AS DATE)) AS day_idx,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2)
+    SELECT n_name,
+           round(regr_slope(rev, day_idx), 4)     AS slope,
+           round(regr_intercept(rev, day_idx), 4) AS intercept,
+           count(*) AS n_days
+    FROM daily GROUP BY n_name
+    """,
+)
+def nation_revenue_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandas twin of nation_revenue_trend: the same OLS fit
+    executed per-group in an Arrow Python worker
+    (operators.fitting.grouped_ols) and verified against the identical
+    regr_slope SQL oracle — pinning the group-map escape hatch users
+    need when their per-group fit has no built-in aggregate. The fit
+    consumes the pre-aggregated daily rollup, so each shipped group is
+    bounded at the date-range row count."""
+    from news_data_pipeline_spark.operators.fitting import grouped_ols
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            ).alias("day_idx"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    fitted = grouped_ols(daily, ["n_name"], y_col="rev", x_col="day_idx")
+    return fitted.select(
+        "n_name",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.col("n").alias("n_days"),
+    )

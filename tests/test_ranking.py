@@ -258,3 +258,27 @@ def test_scd2_intervals_partition_history(spark):
         # intervals chain: each valid_to equals the next valid_from
         for a, b in zip(ivs, ivs[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+def test_grouped_ols_degenerate_groups(spark):
+    from news_data_pipeline_spark.operators.fitting import grouped_ols
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0.0, 1.0),
+            ("a", 1.0, 3.0),
+            ("a", 2.0, 5.0),
+            ("b", 4.0, 9.9),        # single point -> null fit
+            ("c", 2.0, 1.0),
+            ("c", 2.0, 7.0),        # zero x-variance -> null fit
+        ],
+        ["g", "x", "y"],
+    )
+    out = {
+        r["g"]: (r["slope"], r["intercept"], r["n"])
+        for r in grouped_ols(df, ["g"], y_col="y", x_col="x").collect()
+    }
+    assert out["a"][0] == pytest.approx(2.0) and out["a"][1] == pytest.approx(1.0)
+    assert out["a"][2] == 3
+    assert out["b"] == (None, None, 1)
+    assert out["c"] == (None, None, 2)
