@@ -2563,3 +2563,97 @@ def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(digest, 1, 2).alias("shard"),
         F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
     )
+
+
+# --- round 4: sketch-accuracy measurement ---------------------------------
+@register(
+    "minhash_jaccard_estimates",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )}),
+    cand AS (
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               ({" + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(16))}) / 16.0 AS est_raw
+        FROM cand c
+        JOIN sig a ON a.id = c.id_a
+        JOIN sig b ON b.id = c.id_b),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS shared
+        FROM cand c
+        JOIN shingles sa ON sa.id = c.id_a
+        JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b),
+    sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
+    exact AS (
+        SELECT c.id_a, c.id_b,
+               round(coalesce(i.shared, 0)
+                     / CAST(na.n + nb.n - coalesce(i.shared, 0) AS DOUBLE), 6)
+                   AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes na ON na.id = c.id_a
+        JOIN sizes nb ON nb.id = c.id_b)
+    SELECT e.id_a, e.id_b,
+           round(e.est_raw, 6) AS est_jaccard,
+           x.jaccard,
+           round(abs(e.est_raw - x.jaccard), 6) AS est_error
+    FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+)
+def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    similarity ESTIMATE (fraction of agreeing signature components —
+    the unbiased Jaccard estimator) next to the exact shingle Jaccard
+    and the absolute estimation error. This is how you size num_hashes
+    before trusting the sketch at 100 TB: the estimate costs a
+    16-column signature join per candidate; the exact score costs the
+    candidates' full shingle mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(docs, "doc_id", "text", n=3, distinct=False),
+        num_hashes=16,
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)],
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(16.0)).alias("__est_raw"))
+    )
+    exact = dedup.jaccard_for_pairs(pairs, sh)
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("__est_raw", 6).alias("est_jaccard"),
+        "jaccard",
+        F.round(F.abs(F.col("__est_raw") - F.col("jaccard")), 6).alias(
+            "est_error"
+        ),
+    )

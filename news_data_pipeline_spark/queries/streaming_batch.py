@@ -877,3 +877,80 @@ def event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- round 4: point-in-time (SCD2) attribution join -----------------------
+@register(
+    "purchase_state_attribution",
+    oracle="""
+    WITH nonp AS (
+        SELECT * FROM events
+        WHERE ts IS NOT NULL AND event_type <> 'purchase'),
+    ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+        FROM nonp),
+    islands AS (
+        SELECT user_id, event_type, min(ts) AS valid_from
+        FROM ordered GROUP BY user_id, event_type, grp),
+    scd AS (
+        SELECT user_id, event_type AS state_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_type)
+                   AS valid_to
+        FROM islands)
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           s.state_type, s.valid_from AS state_since
+    FROM events p
+    LEFT JOIN scd s
+      ON s.user_id = p.user_id
+     AND s.valid_from <= p.ts
+     AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    WHERE p.event_type = 'purchase' AND p.ts IS NOT NULL
+    """,
+)
+def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase attributed to the SCD2 state
+    interval (built from the user's NON-purchase activity) that was
+    active at purchase time — the as-of-correct dimension lookup that
+    naive latest-value joins get wrong. Half-open intervals partition
+    each user's timeline, so every purchase matches at most one state;
+    purchases before any activity survive via the left join. The join
+    is user-keyed equi + interval predicate: hash-partitionable, never
+    a cross product."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    nonp = events.where(F.col("event_type") != "purchase")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    islands = (
+        nonp.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("valid_from"))
+        .drop("grp")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
+    scd = islands.select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase")
+    cond = (
+        (purchases.user_id == scd.s_user_id)
+        & (scd.valid_from <= purchases.ts)
+        & (scd.valid_to.isNull() | (purchases.ts < scd.valid_to))
+    )
+    return purchases.join(scd, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "state_type",
+        F.col("valid_from").alias("state_since"),
+    )

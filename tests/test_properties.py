@@ -256,3 +256,48 @@ def test_span_dedup_stats_matches_naive_model(spark, texts):
             continue
         dup = sum(1 for g in gs if len(docs_with[g]) >= 2)
         assert got[i] == (len(gs), dup), (i, per_doc)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abAB ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SETTINGS
+def test_sorted_neighborhood_matches_naive_model(spark, texts):
+    from news_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, t string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["lev"]
+        for r in sorted_neighborhood_pairs(
+            df, "doc_id", "t", block_len=2, prefix_len=6, max_distance=3
+        ).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    blocks = {}
+    for i, t in rows:
+        blocks.setdefault(t[:2], []).append((t[:6], i))
+    want = {}
+    for members in blocks.values():
+        members.sort()
+        for (pa, ia), (pb, ib) in zip(members, members[1:]):
+            d = lev(pa, pb)
+            if d <= 3:
+                want[(ia, ib)] = d
+    assert got == want, (texts, got, want)
