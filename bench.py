@@ -75,6 +75,8 @@ TAIL_QUERIES = (
     "duplicated_span_fraction",
     "token_cooccurrence_topk",
     "sorted_neighborhood_pairs",
+    "purchase_state_attribution",
+    "minhash_jaccard_estimates",
 )
 
 
