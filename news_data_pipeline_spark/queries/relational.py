@@ -1195,3 +1195,127 @@ def nation_revenue_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 4).alias("intercept"),
         F.col("n").alias("n_days"),
     )
+
+
+# --- round 4: year-over-year growth via month-of-year lag -----------------
+@register(
+    "monthly_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) AS INT)  AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2)
+    SELECT yr, mo, revenue,
+           lag(revenue) OVER w AS prev_year_revenue,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 4) AS yoy_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY mo ORDER BY yr)
+    """,
+)
+def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: lag(1) over a window
+    partitioned by month-of-year and ordered by year — the seasonal
+    comparison every reporting layer needs, planned with 12-way
+    partition parallelism instead of a global-sort lag(12). The ratio
+    divides already-rounded revenues, so both engines divide identical
+    numerators."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        prev.alias("prev_year_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
+    )
+
+
+# --- round 4: RFM segmentation via broadcast quantile boundaries ----------
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_d FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               datediff('day', max(CAST(o_orderdate AS DATE)),
+                        any_value(r.ref_d)) AS recency_days,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders CROSS JOIN ref r
+        GROUP BY o_custkey),
+    bounds AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r25,
+               quantile_cont(recency_days, 0.50) AS r50,
+               quantile_cont(recency_days, 0.75) AS r75,
+               quantile_cont(frequency, 0.25)    AS f25,
+               quantile_cont(frequency, 0.50)    AS f50,
+               quantile_cont(frequency, 0.75)    AS f75,
+               quantile_cont(monetary, 0.25)     AS m25,
+               quantile_cont(monetary, 0.50)     AS m50,
+               quantile_cont(monetary, 0.75)     AS m75
+        FROM rfm)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           1 + (recency_days > r25)::INT + (recency_days > r50)::INT
+             + (recency_days > r75)::INT AS r_score,
+           1 + (frequency > f25)::INT + (frequency > f50)::INT
+             + (frequency > f75)::INT AS f_score,
+           1 + (monetary > m25)::INT + (monetary > m50)::INT
+             + (monetary > m75)::INT AS m_score
+    FROM rfm CROSS JOIN bounds
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation with
+    quartile scores assigned by comparing against a broadcast 1-row
+    boundary aggregate — not a global ntile, so no single-partition
+    sort and an approx_percentile drop-in at 100 TB. Monetary rounds to
+    cents BEFORE the quantile so boundary comparisons run on identical
+    values in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__ref_d")
+    )
+    rfm = (
+        orders.join(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.any_value("__ref_d"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    bounds = rfm.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+
+    def score(col: str, p: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.col(f"{p}25")).cast("int")
+            + (F.col(col) > F.col(f"{p}50")).cast("int")
+            + (F.col(col) > F.col(f"{p}75")).cast("int")
+        )
+
+    return rfm.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        score("recency_days", "r").alias("r_score"),
+        score("frequency", "f").alias("f_score"),
+        score("monetary", "m").alias("m_score"),
+    )
