@@ -11,7 +11,10 @@ from news_data_pipeline_spark.streaming.sinks import (
     run_available_now,
     split_to_silver_and_quarantine,
 )
-from news_data_pipeline_spark.streaming.state import running_user_totals
+from news_data_pipeline_spark.streaming.state import (
+    running_user_totals,
+    user_funnel_state,
+)
 
 __all__ = [
     "ingest_deduplicated",
@@ -23,5 +26,6 @@ __all__ = [
     "sliding_window_counts",
     "split_to_silver_and_quarantine",
     "tumbling_window_counts",
+    "user_funnel_state",
     "watermarked_dedup",
 ]

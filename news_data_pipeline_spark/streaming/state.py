@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -197,3 +198,113 @@ def batch_value_highwater(events: DataFrame) -> DataFrame:
         .where(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
         .select("user_id", "ts", "value")
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("s_ts", TimestampType()),
+        StructField("v_ts", TimestampType()),
+        StructField("p_ts", TimestampType()),
+    ]
+)
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("funnel_stage", StringType()),
+    ]
+)
+
+
+def _funnel_stage(s, v, p) -> str:
+    """Stage rule shared by the stream and batch twins: a user advances
+    only if the stage's FIRST event is at or after the previous stage's
+    first event (queries/streaming_batch.py::user_funnel_stages)."""
+    if s is None:
+        return "no_signup"
+    if v is None or v < s:
+        return "signup_only"
+    if p is None or p < v:
+        return "viewed"
+    return "purchased"
+
+
+def _update_funnel(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Transition: fold per-type minimum first-touch timestamps.
+
+    Minimums are arrival-order-insensitive, so late or reordered
+    micro-batches converge to the same state as the batch query — the
+    stage emitted after the last batch touching a user is exact, with
+    three nullable timestamps as the entire per-key state.
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    s, v, p = state.get if state.exists else (None, None, None)
+
+    def fold(cur, batch_min):
+        if batch_min is pd.NaT or batch_min is None:
+            return cur
+        return batch_min if cur is None or batch_min < cur else cur
+
+    for pdf in pdfs:
+        clean = pdf.dropna(subset=["ts"])
+        for tname, cur in (("signup", "s"), ("view", "v"), ("purchase", "p")):
+            sel = clean.loc[clean["event_type"] == tname, "ts"]
+            if len(sel):
+                m = sel.min()
+                if tname == "signup":
+                    s = fold(s, m)
+                elif tname == "view":
+                    v = fold(v, m)
+                else:
+                    p = fold(p, m)
+    state.update((s, v, p))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "funnel_stage": [_funnel_stage(s, v, p)]}
+    )
+
+
+def user_funnel_state(events: DataFrame) -> DataFrame:
+    """Streaming funnel position per user as an update stream — the
+    stateful twin of the oracled batch query ``user_funnel_stages``
+    (same stage rule, same first-touch ordering semantics). State is
+    three timestamps per user; because the fold is a min, replay order
+    cannot change the converged answer."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def batch_funnel_stages(events: DataFrame) -> DataFrame:
+    """Batch twin: per-user stage via conditional mins (the same
+    expression the oracled reporting query aggregates over)."""
+    import pyspark.sql.functions as F
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("signup").alias("s"),
+        first_ts("view").alias("v"),
+        first_ts("purchase").alias("p"),
+    )
+    stage = (
+        F.when(F.col("s").isNull(), F.lit("no_signup"))
+        .when(
+            F.col("v").isNull() | (F.col("v") < F.col("s")),
+            F.lit("signup_only"),
+        )
+        .when(
+            F.col("p").isNull() | (F.col("p") < F.col("v")), F.lit("viewed")
+        )
+        .otherwise(F.lit("purchased"))
+    )
+    return per_user.select("user_id", stage.alias("funnel_stage"))

@@ -474,3 +474,45 @@ def test_user_event_islands_model(spark):
     assert got == {k: v for k, v in islands.items()}
     # islands partition the events: counts sum to the row count
     assert sum(v[2] for v in got.values()) == len(ev)
+
+
+def test_stateful_funnel_stream_matches_batch(spark, tmp_path):
+    # Purpose-built fixture with every stage represented, including the
+    # ordering rule (user 23's view precedes signup -> signup_only).
+    rows = [
+        (101, ts(1), 20, "signup", 1.0, None),
+        (102, ts(2), 20, "view", 1.0, None),
+        (103, ts(3), 20, "purchase", 1.0, None),   # full funnel
+        (104, ts(1), 21, "signup", 1.0, None),
+        (105, ts(4), 21, "view", 1.0, None),       # viewed, no purchase
+        (106, ts(2), 22, "view", 1.0, None),       # no signup at all
+        (107, ts(5), 23, "signup", 1.0, None),
+        (108, ts(2), 23, "view", 1.0, None),       # view BEFORE signup
+        (109, ts(9), 24, "signup", 1.0, None),
+        (110, ts(3), 24, "purchase", 1.0, None),   # purchase, never viewed
+    ]
+    path = str(tmp_path / "funnel_landing")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stream = stx.read_event_stream(spark, path)
+    got = drain_to_memory(
+        spark, stx.user_funnel_state(stream), "t_funnel", "update"
+    )
+    from news_data_pipeline_spark.streaming.state import batch_funnel_stages
+
+    want = {
+        r["user_id"]: r["funnel_stage"]
+        for r in batch_funnel_stages(
+            spark.createDataFrame(rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    got_map = {r["user_id"]: r["funnel_stage"] for r in got.collect()}
+    assert got_map == want
+    assert want[20] == "purchased"
+    assert want[21] == "viewed"
+    assert want[22] == "no_signup"
+    assert want[23] == "signup_only"
+    # no view event at all: the view gate fails before purchase is
+    # even considered
+    assert want[24] == "signup_only"
