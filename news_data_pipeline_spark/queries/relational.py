@@ -1319,3 +1319,51 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("frequency", "f").alias("f_score"),
         score("monetary", "m").alias("m_score"),
     )
+
+
+# --- round 4: ROLLUP hierarchy (completes cube/grouping-sets/rollup) ------
+@register(
+    "shipdate_rollup_revenue",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT)    AS yr,
+           CAST(quarter(l_shipdate) AS INT) AS qtr,
+           CAST(grouping(year(l_shipdate)) AS INT)    AS g_yr,
+           CAST(grouping(quarter(l_shipdate)) AS INT) AS g_qtr,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (year(l_shipdate), quarter(l_shipdate))
+    """,
+)
+def shipdate_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals year -> quarter -> grand total via ROLLUP,
+    with GROUPING() markers distinguishing a real null level from a
+    subtotal row. One pass, map-side partial aggregation for every
+    level — the warehouse drill-down companion to the CUBE and
+    GROUPING SETS queries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.year("l_shipdate").alias("yr"),
+        F.quarter("l_shipdate").alias("qtr"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    return (
+        base.rollup("yr", "qtr")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("qtr").cast("int").alias("g_qtr"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.col("yr").cast("int").alias("yr"),
+            F.col("qtr").cast("int").alias("qtr"),
+            "g_yr",
+            "g_qtr",
+            "revenue",
+            "n_items",
+        )
+    )

@@ -954,3 +954,40 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_type",
         F.col("valid_from").alias("state_since"),
     )
+
+
+# --- round 4: last-observation-carried-forward imputation -----------------
+@register(
+    "events_value_locf",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled
+    FROM events
+    WHERE ts IS NOT NULL
+    """,
+)
+def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling by last observation carried forward: null event
+    values inherit the user's most recent non-null reading
+    (last_value IGNORE NULLS over a running frame) — the standard
+    sensor/telemetry imputation. Leading nulls stay null (nothing to
+    carry). User-partitioned window; deterministic (ts, event_id)
+    order."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.last("value", ignorenulls=True).over(w).alias("value_filled"),
+    )
