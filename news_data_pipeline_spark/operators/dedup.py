@@ -872,11 +872,14 @@ def span_dedup_stats(
     granularity so it stays a pure groupBy/join plan).
 
     Scale: spans are counted per (doc, gram) FIRST — one map-side
-    combinable aggregate — so the cross-document frequency join runs on
-    the deduplicated (doc, gram) pairs, not the raw token stream. Both
-    shuffles key on the gram text; frequency skew (stop-gram postings)
-    is bounded because a gram contributes one row per *document*, not
-    per occurrence, and AQE splits any residual hot bucket.
+    combinable aggregate — so cross-document frequency work runs on the
+    deduplicated (doc, gram) pairs, not the raw token stream. The
+    document frequency attaches via a count window PARTITIONED BY the
+    gram, not a self-join: one derivation of the shingle pipeline (one
+    source scan), three keyed shuffles total. Frequency skew (stop-gram
+    postings) is bounded because a gram contributes one row per
+    *document*, not per occurrence, and the downstream is a per-doc
+    SUM — a hot gram costs bandwidth, never output rows.
 
     Returns ``(id, n_spans, dup_spans, dup_span_fraction)``.
     """
@@ -884,11 +887,9 @@ def span_dedup_stats(
     per_doc = spans.groupBy("id", "shingle").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    ndocs = per_doc.groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("__ndocs")
-    )
+    ndocs_w = Window.partitionBy("shingle")
     return (
-        per_doc.join(ndocs, "shingle")
+        per_doc.withColumn("__ndocs", F.count(F.lit(1)).over(ndocs_w))
         .groupBy("id")
         .agg(
             F.sum("__c").alias("n_spans"),

