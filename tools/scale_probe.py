@@ -59,6 +59,11 @@ def main() -> None:
         print(f"{name}: {time.perf_counter() - t0:.1f}s, {n} rows")
 
     timed("winnow_fingerprints", dedup.winnow_fingerprints(docs, "doc_id", "text"))
+    timed("span_dedup_stats", dedup.span_dedup_stats(docs, "doc_id", "text"))
+    timed(
+        "sorted_neighborhood_pairs",
+        dedup.sorted_neighborhood_pairs(docs, "doc_id", "text"),
+    )
     timed("simhash", dedup.simhash(docs, "doc_id", "text"))
     timed(
         "lsh_dedup_representatives",
