@@ -516,3 +516,27 @@ def test_stateful_funnel_stream_matches_batch(spark, tmp_path):
     # no view event at all: the view gate fails before purchase is
     # even considered
     assert want[24] == "signup_only"
+
+
+def test_stateful_funnel_converges_on_late_signup(spark, tmp_path):
+    """The funnel fold is a min, so a LATE-arriving earlier signup must
+    retroactively advance the stage: view-before-any-signup reads as
+    no_signup, then the late signup (earlier event time) lands and the
+    stage converges to viewed — identical to the batch answer over the
+    union."""
+    landing4 = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [(1, ts(20), 10, "view", 1.0, None)], EVENT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(landing4)
+    spark.createDataFrame(
+        [(2, ts(5), 10, "signup", 1.0, None)], EVENT_SCHEMA  # LATE, earlier
+    ).coalesce(1).write.mode("append").parquet(landing4)
+
+    stream = stx.read_event_stream(spark, landing4, max_files_per_trigger=1)
+    got = drain_to_memory(
+        spark, stx.user_funnel_state(stream), "t_funnel_late", "update"
+    )
+    stages = [r["funnel_stage"] for r in got.collect()]
+    # one update per micro-batch; the final state is the converged one
+    assert stages[-1] == "viewed"
+    assert "no_signup" in stages[:-1] or len(stages) == 1
