@@ -532,3 +532,18 @@ def test_sorted_neighborhood_adjacent_only(spark):
     assert all(a != 9 and b != 9 for a, b in pairs)
     # (2, 3) adjacent but distance > max_distance
     assert (2, 3) not in pairs
+
+
+def test_span_and_neighborhood_empty_and_null_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id bigint, t string")
+    assert dedup.span_dedup_stats(empty, "doc_id", "t").count() == 0
+    assert (
+        dedup.sorted_neighborhood_pairs(empty, "doc_id", "t").count() == 0
+    )
+    # null text rows must not crash either operator
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, None)], "doc_id bigint, t string"
+    )
+    stats = dedup.span_dedup_stats(nulls, "doc_id", "t")
+    assert [r["id"] for r in stats.collect()] == [2]
+    assert dedup.sorted_neighborhood_pairs(nulls, "doc_id", "t").count() == 0
