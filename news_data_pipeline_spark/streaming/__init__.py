@@ -13,6 +13,7 @@ from news_data_pipeline_spark.streaming.sinks import (
 )
 from news_data_pipeline_spark.streaming.state import (
     running_user_totals,
+    streaming_rate_anomalies,
     user_funnel_state,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "session_window_counts",
     "sliding_window_counts",
     "split_to_silver_and_quarantine",
+    "streaming_rate_anomalies",
     "tumbling_window_counts",
     "user_funnel_state",
     "watermarked_dedup",

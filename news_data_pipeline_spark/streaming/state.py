@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -308,3 +309,109 @@ def batch_funnel_stages(events: DataFrame) -> DataFrame:
         .otherwise(F.lit("purchased"))
     )
     return per_user.select("user_id", stage.alias("funnel_stage"))
+
+
+RATE_STATE_SCHEMA = StructType(
+    [
+        StructField("hours", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+RATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("hour", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("mean_prev", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark's round(): HALF_UP on the double's exact binary value
+    (java.math.BigDecimal.valueOf semantics via decimal.Decimal)."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-digits)
+    return float(
+        decimal.Decimal(x).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _score_rate_anomalies(hours: list, counts: list):
+    """Shared scoring rule (stream + batch twin): z of each observed
+    hour vs the trailing <=24 OBSERVED hours (rows, not calendar), with
+    the batch query's exact rounding discipline — mean/std rounded to
+    4dp BEFORE the z division, |z| >= 2 after its own 4dp round."""
+    import statistics
+
+    out = []
+    for i in range(len(hours)):
+        prev = counts[max(0, i - 24) : i]
+        if len(prev) < 2:
+            continue
+        mean_prev = _round_half_up(statistics.fmean(prev), 4)
+        std_prev = _round_half_up(statistics.stdev(prev), 4)
+        if std_prev <= 0:
+            continue
+        z = _round_half_up((counts[i] - mean_prev) / std_prev, 4)
+        if abs(z) >= 2.0:
+            out.append((hours[i], counts[i], mean_prev, z))
+    return out
+
+
+def _update_rate(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold hourly counts into per-type state; emit the key's complete
+    current anomaly list each batch (update semantics: the last
+    emission is the converged answer). Counts are a sum-fold, so late
+    or reordered batches converge like the funnel's min-fold."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    hours_arr, counts_arr = state.get if state.exists else ([], [])
+    acc = dict(zip(hours_arr, counts_arr))
+    for pdf in pdfs:
+        clean = pdf.dropna(subset=["ts"])
+        if not len(clean):
+            continue
+        floored = clean["ts"].dt.floor("h")
+        for hour, cnt in floored.value_counts().items():
+            epoch = int(hour.value // 1_000_000_000)
+            acc[epoch] = acc.get(epoch, 0) + int(cnt)
+    hours = sorted(acc)
+    counts = [acc[h] for h in hours]
+    state.update((hours, counts))
+    scored = _score_rate_anomalies(hours, counts)
+    if scored:
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(scored),
+                "hour": [pd.Timestamp(h, unit="s") for h, _, _, _ in scored],
+                "n_events": [n for _, n, _, _ in scored],
+                "mean_prev": [m for _, _, m, _ in scored],
+                "z": [z for _, _, _, z in scored],
+            }
+        )
+
+
+def streaming_rate_anomalies(events: DataFrame) -> DataFrame:
+    """Streaming twin of the oracled batch query
+    ``event_rate_anomalies``: per-type hourly counts live in state
+    (two parallel arrays), each micro-batch re-emits the key's full
+    anomaly list, and the rounding discipline is byte-identical to the
+    batch side (HALF_UP at 4dp on mean/std before the z division).
+    Production note: on an unbounded stream, cap state by dropping
+    hours older than the watermark minus 25 hours — on bounded
+    replays the whole per-type history is a few hundred ints."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_rate,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
