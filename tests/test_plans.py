@@ -78,3 +78,35 @@ def test_global_window_detector_catches_the_antipattern(spark):
         "rn", F.row_number().over(Window.orderBy("id"))
     )
     assert GLOBAL_WINDOW.search(plan_of(spark, bad)) is not None
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Big-big joins at 100 TB lean on runtime row-level filtering: a
+    selective build side injects a bloom filter that prunes the fact
+    scan BEFORE the shuffle (might_contain over xxhash64 in the scan
+    filter). Thresholds are lowered because test data is tiny; the
+    optimizer rule and plan shape are exactly what a cluster run uses."""
+    import pyspark.sql.functions as F
+
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        sel = orders.where(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = plan_of(spark, j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
