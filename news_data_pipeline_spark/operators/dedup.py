@@ -191,7 +191,7 @@ def minhash_lsh_dedup_pairs(
 
 
 def exact_dedup_against_corpus(
-    new_df: DataFrame, corpus: DataFrame, text_col: str, id_col: str
+    new_df: DataFrame, corpus: DataFrame, text_col: str
 ) -> DataFrame:
     """Incremental exact dedup: drop new-batch rows whose normalization
     fingerprint already exists in a reference corpus.
@@ -208,6 +208,11 @@ def exact_dedup_against_corpus(
     documents. Batch-internal duplicates are kept (dedup them first
     with ``fingerprint_dedup`` — separable policies).
     """
+    if "__fp" in new_df.columns:
+        raise ValueError(
+            "exact_dedup_against_corpus reserves column name '__fp'; "
+            "rename it before calling"
+        )
     new_fp = fan_out(new_df).withColumn("__fp", fingerprint(F.col(text_col)))
     corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("__fp"))
     return new_fp.join(corpus_fp, on="__fp", how="left_anti").drop("__fp")
@@ -412,17 +417,35 @@ def jaccard_for_pairs(
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
     sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
+    # LEFT joins + coalesce throughout: a candidate id with NO shingles
+    # (empty/whitespace-only text) still comes back, scored 0.0 — the
+    # contract is every pair in, one row out. A both-empty pair has
+    # union 0; it is defined as 0.0 (not similar), never a null or a
+    # dropped row.
+    shared = F.coalesce(F.col("__shared"), F.lit(0))
+    union = (
+        F.coalesce(F.col("__na"), F.lit(0))
+        + F.coalesce(F.col("__nb"), F.lit(0))
+        - shared
+    )
     return (
         pairs.join(inter, on=["id_a", "id_b"], how="left")
-        .join(sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")), on="id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")), on="id_b")
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("__n").alias("__na")),
+            on="id_a",
+            how="left",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb")),
+            on="id_b",
+            how="left",
+        )
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.coalesce(F.col("__shared"), F.lit(0))
-                / (F.col("__na") + F.col("__nb") - F.coalesce(F.col("__shared"), F.lit(0))).cast(
-                    "double"
+                F.when(union > 0, shared / union.cast("double")).otherwise(
+                    F.lit(0.0)
                 ),
                 6,
             ).alias("jaccard"),

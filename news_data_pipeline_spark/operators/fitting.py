@@ -41,11 +41,25 @@ def grouped_ols(
     variance) return null slope/intercept, matching ``regr_*`` on the
     same input.
     """
-    import pandas as pd  # noqa: F401 — worker-side dependency
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType
 
     group_cols = list(group_cols)
-    out_fields = ", ".join(f"{c} string" for c in group_cols)
-    schema = f"{out_fields}, slope double, intercept double, n bigint"
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [c for c in group_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"grouped_ols: unknown group columns {missing}")
+    schema = StructType(
+        [
+            StructField(c, by_name[c].dataType, by_name[c].nullable)
+            for c in group_cols
+        ]
+        + [
+            StructField("slope", DoubleType()),
+            StructField("intercept", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
 
     def fit(pdf):
         import pandas as pd

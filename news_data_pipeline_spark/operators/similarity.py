@@ -519,6 +519,26 @@ def ivf_topk(
     )
 
 
+def _cov_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """Shared (i, j, __exy, __ex, __ey) moment aggregate over the
+    double-exploded components — embedding_covariance projects it to
+    cov; pca_project reuses the SAME single pass for both the
+    covariance and the per-dimension means (no second corpus scan)."""
+    v = fan_out(
+        df.select(_as_double(vec_col).alias("v")).where(
+            F.col("v").isNotNull()
+        )
+    )
+    pairs = v.select(
+        F.posexplode("v").alias("i", "xi"), F.col("v")
+    ).select("i", "xi", F.posexplode("v").alias("j", "xj"))
+    return pairs.groupBy("i", "j").agg(
+        F.avg(F.col("xi") * F.col("xj")).alias("__exy"),
+        F.avg("xi").alias("__ex"),
+        F.avg("xj").alias("__ey"),
+    )
+
+
 def embedding_covariance(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -541,31 +561,15 @@ def embedding_covariance(
     an Arrow ``mapInPandas`` partial X^T X (the ``cosine_topk_arrow``
     pattern) and merge partials with the same aggregate.
     """
-    v = fan_out(
-        df.select(_as_double(vec_col).alias("v")).where(
-            F.col("v").isNotNull()
-        )
-    )
-    pairs = v.select(
-        F.posexplode("v").alias("i", "xi"), F.col("v")
-    ).select("i", "xi", F.posexplode("v").alias("j", "xj"))
-    return (
-        pairs.groupBy("i", "j")
-        .agg(
-            F.avg(F.col("xi") * F.col("xj")).alias("__exy"),
-            F.avg("xi").alias("__ex"),
-            F.avg("xj").alias("__ey"),
-        )
-        .select(
-            "i",
-            "j",
-            # + 0.0 folds IEEE -0.0 to +0.0: repr-sorting canonicalizers
-            # order the two zeros differently and misalign row streams
-            (
-                F.round(F.col("__exy") - F.col("__ex") * F.col("__ey"), 6)
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
+    return _cov_moments(df, vec_col).select(
+        "i",
+        "j",
+        # + 0.0 folds IEEE -0.0 to +0.0: repr-sorting canonicalizers
+        # order the two zeros differently and misalign row streams
+        (
+            F.round(F.col("__exy") - F.col("__ex") * F.col("__ey"), 6)
+            + F.lit(0.0)
+        ).alias("cov"),
     )
 
 
@@ -579,9 +583,10 @@ def pca_project(
     """Project embeddings onto their top-``k`` principal components:
     ``(id, pc)`` with ``pc`` an ``array<double>`` of length ``k``.
 
-    Scale shape: the ONLY distributed work is the covariance aggregate
-    (see ``embedding_covariance`` — d^2 scalar rows, corpus-size
-    independent); the eigendecomposition runs driver-side on the tiny
+    Scale shape: the ONLY distributed work is ONE covariance-moment
+    aggregate (see ``_cov_moments`` — d^2 scalar rows, corpus-size
+    independent, and it carries the centering means so no second
+    corpus scan is needed); the eigendecomposition runs driver-side on the tiny
     d x d matrix (64x64 here — microseconds, and the classic split for
     PCA at corpus scale: data-sized work distributed, model-sized work
     local), and the d x k projection matrix returns as a broadcast
@@ -597,26 +602,20 @@ def pca_project(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cov_rows = embedding_covariance(df, vec_col).collect()
+    # ONE distributed pass: the shared moment aggregate carries both
+    # the covariance entries and the per-dimension means (round-6 cov
+    # to match embedding_covariance's published values exactly)
+    cov_rows = _cov_moments(df, vec_col).collect()
     if not cov_rows:
         raise ValueError("pca_project: no non-null vectors to fit on")
     d = max(r["i"] for r in cov_rows) + 1
     if k > d:
         raise ValueError(f"k={k} exceeds dimensionality d={d}")
     C = np.zeros((d, d))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = r["cov"]
-    mean_row = (
-        df.select(_as_double(vec_col).alias("v"))
-        .where(F.col("v").isNotNull())
-        .select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg("x").alias("m"))
-        .collect()
-    )
     mu = np.zeros(d)
-    for r in mean_row:
-        mu[r["i"]] = r["m"]
+    for r in cov_rows:
+        C[r["i"], r["j"]] = round(r["__exy"] - r["__ex"] * r["__ey"], 6)
+        mu[r["i"]] = r["__ex"]
     vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
     order = np.argsort(vals)[::-1][:k]
     W = vecs[:, order]  # (d, k)

@@ -195,13 +195,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.id_a, c.id_b),
     sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id)
     SELECT c.id_a, c.id_b,
-           round(coalesce(i.shared, 0)
-                 / CAST(na.n + nb.n - coalesce(i.shared, 0) AS DOUBLE), 6)
-               AS jaccard
+           round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                           - coalesce(i.shared, 0) > 0
+                      THEN coalesce(i.shared, 0)
+                           / CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                  - coalesce(i.shared, 0) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS jaccard
     FROM cand c
     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes na ON na.id = c.id_a
-    JOIN sizes nb ON nb.id = c.id_b
+    LEFT JOIN sizes na ON na.id = c.id_a
+    LEFT JOIN sizes nb ON nb.id = c.id_b
     """,
 )
 def lsh_candidates_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,9 +250,9 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 4 == 0)
     batch = docs.where(F.col("doc_id") % 4 != 0)
-    return dedup.exact_dedup_against_corpus(
-        batch, corpus, "text", "doc_id"
-    ).select("doc_id", "source", "lang")
+    return dedup.exact_dedup_against_corpus(batch, corpus, "text").select(
+        "doc_id", "source", "lang"
+    )
 
 
 @register(
@@ -2603,13 +2606,16 @@ def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
     exact AS (
         SELECT c.id_a, c.id_b,
-               round(coalesce(i.shared, 0)
-                     / CAST(na.n + nb.n - coalesce(i.shared, 0) AS DOUBLE), 6)
-                   AS jaccard
+               round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+                               - coalesce(i.shared, 0) > 0
+                          THEN coalesce(i.shared, 0)
+                               / CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
+                                      - coalesce(i.shared, 0) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS jaccard
         FROM cand c
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        JOIN sizes na ON na.id = c.id_a
-        JOIN sizes nb ON nb.id = c.id_b)
+        LEFT JOIN sizes na ON na.id = c.id_a
+        LEFT JOIN sizes nb ON nb.id = c.id_b)
     SELECT e.id_a, e.id_b,
            round(e.est_raw, 6) AS est_jaccard,
            x.jaccard,

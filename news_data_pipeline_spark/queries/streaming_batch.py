@@ -769,25 +769,16 @@ def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the previous stage's first event (a pre-signup view does not
     count). One conditional-min aggregate per user, then a constant-size
     stage rollup — two map-side-combinable shuffles, no joins, no
-    windows: the plan shape that survives any event volume."""
+    windows. The per-user stage expression is streaming/state.py::
+    batch_funnel_stages — the ONE Spark-side definition of the rule the
+    stateful streaming twin must match."""
+    from news_data_pipeline_spark.streaming.state import (
+        batch_funnel_stages,
+    )
+
     events = load_table(spark, sf_dir, "events")
-
-    def first_ts(t: str):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    per_user = events.groupBy("user_id").agg(
-        first_ts("signup").alias("s"),
-        first_ts("view").alias("v"),
-        first_ts("purchase").alias("p"),
-    )
-    stage = (
-        F.when(F.col("s").isNull(), F.lit("no_signup"))
-        .when(F.col("v").isNull() | (F.col("v") < F.col("s")), F.lit("signup_only"))
-        .when(F.col("p").isNull() | (F.col("p") < F.col("v")), F.lit("viewed"))
-        .otherwise(F.lit("purchased"))
-    )
     return (
-        per_user.select(stage.alias("funnel_stage"))
+        batch_funnel_stages(events)
         .groupBy("funnel_stage")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

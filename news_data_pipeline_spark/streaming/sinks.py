@@ -211,7 +211,7 @@ def ingest_deduplicated(
         if have_corpus:
             if method == "exact":
                 deduped = exact_dedup_against_corpus(
-                    deduped, corpus, text_col, id_col
+                    deduped, corpus, text_col
                 )
             else:
                 deduped = lsh_dedup_against_corpus(

@@ -342,7 +342,7 @@ def test_exact_dedup_against_corpus(spark):
     kept = {
         r["doc_id"]
         for r in exact_dedup_against_corpus(
-            batch, corpus, "text", "doc_id"
+            batch, corpus, "text"
         ).collect()
     }
     assert kept == {11, 12}
@@ -547,3 +547,22 @@ def test_span_and_neighborhood_empty_and_null_inputs(spark):
     stats = dedup.span_dedup_stats(nulls, "doc_id", "t")
     assert [r["id"] for r in stats.collect()] == [2]
     assert dedup.sorted_neighborhood_pairs(nulls, "doc_id", "t").count() == 0
+
+
+def test_jaccard_for_pairs_keeps_shingleless_candidates(spark):
+    # contract: every pair in -> one row out, even when one or both ids
+    # have no shingles at all (empty text)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    sh = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], ["id", "shingle"]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_for_pairs(pairs, sh).collect()
+    }
+    assert got[(1, 2)] == 1.0  # identical single-shingle sets
+    assert got[(1, 3)] == 0.0  # id 3 has no shingles
+    assert got[(3, 4)] == 0.0  # neither side has shingles
+    assert len(got) == 3

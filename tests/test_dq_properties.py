@@ -235,7 +235,7 @@ def test_exact_against_corpus_matches_model(spark, corpus_texts, batch_texts):
     got = {
         r["doc_id"]
         for r in exact_dedup_against_corpus(
-            batch, corpus, "text", "doc_id"
+            batch, corpus, "text"
         ).collect()
     }
     assert got == expected

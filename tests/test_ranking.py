@@ -282,3 +282,16 @@ def test_grouped_ols_degenerate_groups(spark):
     assert out["a"][2] == 3
     assert out["b"] == (None, None, 1)
     assert out["c"] == (None, None, 2)
+
+
+def test_grouped_ols_non_string_group_columns(spark):
+    from news_data_pipeline_spark.operators.fitting import grouped_ols
+
+    df = spark.createDataFrame(
+        [(7, 0.0, 1.0), (7, 1.0, 2.0), (7, 2.0, 3.0)],
+        "g bigint, x double, y double",
+    )
+    out = grouped_ols(df, ["g"], y_col="y", x_col="x").collect()
+    assert out[0]["g"] == 7 and out[0]["slope"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="unknown group columns"):
+        grouped_ols(df, ["nope"], y_col="y", x_col="x")
