@@ -41,14 +41,25 @@ def exact_dedup(
 
 def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-dup: dedup on the normalization fingerprint
-    (case/punct/whitespace-insensitive), keeping the lowest id."""
-    return exact_dedup(
-        # fan_out: the normalization regexp + md5 over full text is the
-        # cost here and would otherwise pipeline onto a one-task scan
-        fan_out(df).withColumn("__fp", fingerprint(F.col(text_col))),
+    (case/punct/whitespace-insensitive), keeping the lowest id.
+
+    Rows whose fingerprint is NULL (null text) all survive: null is
+    "unknown", not a shared key — the same contract the against-corpus
+    anti-join keeps (a null key never matches), so batch-internal and
+    cross-batch dedup agree on null-text documents. They bypass the
+    window entirely, which also keeps a null-heavy corpus from
+    funneling into one window partition.
+    """
+    # fan_out: the normalization regexp + md5 over full text is the
+    # cost here and would otherwise pipeline onto a one-task scan
+    with_fp = fan_out(df).withColumn("__fp", fingerprint(F.col(text_col)))
+    nulls = with_fp.where(F.col("__fp").isNull()).drop("__fp")
+    kept = exact_dedup(
+        with_fp.where(F.col("__fp").isNotNull()),
         keys=["__fp"],
         tie_break=[id_col],
     ).drop("__fp")
+    return kept.unionByName(nulls)
 
 
 def word_shingles(

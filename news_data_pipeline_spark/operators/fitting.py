@@ -39,7 +39,8 @@ def grouped_ols(
     and an ANSI-SQL oracle can verify the Python boundary exactly
     (within float rounding). Degenerate groups (n < 2 or zero x
     variance) return null slope/intercept, matching ``regr_*`` on the
-    same input.
+    same input; pairs with a null x or y are skipped and ``n`` counts
+    the surviving pairs (``regr_count`` semantics).
     """
     from pyspark.sql.types import StructField, StructType
     from pyspark.sql.types import DoubleType, LongType
@@ -64,9 +65,12 @@ def grouped_ols(
     def fit(pdf):
         import pandas as pd
 
-        x = pdf[x_col].astype("float64")
-        y = pdf[y_col].astype("float64")
-        n = float(len(pdf))
+        # regr_* aggregates skip pairs where EITHER side is null; NaN
+        # would otherwise poison every moment sum
+        clean = pdf.dropna(subset=[x_col, y_col])
+        x = clean[x_col].astype("float64")
+        y = clean[y_col].astype("float64")
+        n = float(len(clean))
         sx, sy = x.sum(), y.sum()
         sxx, sxy = (x * x).sum(), (x * y).sum()
         denom = n * sxx - sx * sx

@@ -252,6 +252,13 @@ def skew_report(
     the rows is the partition that will straggle.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    reserved = {"n_rows", "share", "__total"}
+    clash = reserved & set(keys)
+    if clash:
+        raise ValueError(
+            f"skew_report reserves column names {sorted(reserved)}; "
+            f"key columns use {sorted(clash)} — rename them first"
+        )
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__total"))
     return (

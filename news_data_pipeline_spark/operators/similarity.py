@@ -317,15 +317,10 @@ def kmeans_iterate(
     for _ in range(iters):
         cents = spark.createDataFrame(rows, cent_schema)
         c2 = cents.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
-        scored = vecs.join(F.broadcast(c2), how="cross")
-        w = Window.partitionBy("id").orderBy(
-            F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
-            F.asc("cid"),
-        )
-        assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .where(F.col("__r") == 1)
-            .select("cid", "v")
+        # the SHARED assignment rule (_assign_cells) — training must
+        # use the same rounded-distance + cid tie-break as probing
+        assigned = _assign_cells(vecs, c2, "id", "v", "id", 1).select(
+            "cid", "v"
         )
         by_pos = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
@@ -536,6 +531,7 @@ def _cov_moments(df: DataFrame, vec_col: str) -> DataFrame:
         F.avg(F.col("xi") * F.col("xj")).alias("__exy"),
         F.avg("xi").alias("__ex"),
         F.avg("xj").alias("__ey"),
+        F.count(F.lit(1)).alias("__n"),
     )
 
 
@@ -551,9 +547,11 @@ def embedding_covariance(
     driver-side, no d x d matrix object until a consumer collects the
     d^2 scalar rows (64-dim => 4096 rows; trivially collectable at any
     corpus size because the output depends on d, not rows). Null
-    vectors are skipped; rows must share one dimensionality (ragged
-    inputs produce nulls that propagate visibly rather than silently
-    truncating).
+    vectors are skipped; rows must share one dimensionality — a ragged
+    corpus averages each (i, j) entry over only the rows long enough to
+    have both components, so entries come from inconsistent subsets
+    (``pca_project`` detects this via the per-pair counts and raises;
+    validate dimensionality first if consuming this frame directly).
 
     The double explode is O(rows * d^2) expansion — the right plan up
     to a few hundred dimensions, where d^2 stays ~10^4-10^5 per row and
@@ -608,6 +606,15 @@ def pca_project(
     cov_rows = _cov_moments(df, vec_col).collect()
     if not cov_rows:
         raise ValueError("pca_project: no non-null vectors to fit on")
+    # ragged corpora make the per-(i, j) averages run over mutually
+    # inconsistent row subsets — refuse loudly instead of fitting a
+    # silently wrong covariance
+    if len({r["__n"] for r in cov_rows}) > 1:
+        raise ValueError(
+            "pca_project: vectors have inconsistent dimensionality "
+            "(per-dimension-pair counts differ); filter to one "
+            "dimension first"
+        )
     d = max(r["i"] for r in cov_rows) + 1
     if k > d:
         raise ValueError(f"k={k} exceeds dimensionality d={d}")

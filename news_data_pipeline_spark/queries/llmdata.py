@@ -127,11 +127,12 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, source, lang FROM (
         SELECT doc_id, source, lang,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
                row_number() OVER (
                    PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                    ORDER BY doc_id) AS rn
         FROM documents) t
-    WHERE rn = 1
+    WHERE rn = 1 OR fp IS NULL
     """,
 )
 def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1919,7 +1920,7 @@ def cap_documents_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, max(quality) AS t
         FROM cum WHERE cum >= ceil(0.25 * n) GROUP BY lang)
     SELECT q.doc_id, q.lang, q.quality
-    FROM q JOIN thr ON q.lang = thr.lang
+    FROM q JOIN thr ON q.lang IS NOT DISTINCT FROM thr.lang
     WHERE q.quality >= thr.t
     """,
 )

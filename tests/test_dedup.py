@@ -566,3 +566,17 @@ def test_jaccard_for_pairs_keeps_shingleless_candidates(spark):
     assert got[(1, 3)] == 0.0  # id 3 has no shingles
     assert got[(3, 4)] == 0.0  # neither side has shingles
     assert len(got) == 3
+
+
+def test_fingerprint_dedup_preserves_null_text_rows(spark):
+    # null text -> null fingerprint -> "unknown", never a shared dedup
+    # key: both null-text rows survive while the real dup pair collapses
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, None), (4, None)],
+        ["doc_id", "body"],
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.fingerprint_dedup(df, "body", "doc_id").collect()
+    )
+    assert kept == [1, 3, 4]

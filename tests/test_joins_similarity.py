@@ -436,3 +436,24 @@ def test_semantic_dedup_pairs_composes_with_components(spark):
     }
     assert labels[1] == labels[3] == labels[4] == 1
     assert labels[2] == labels[5] == 2
+
+
+def test_pca_project_rejects_ragged_vectors(spark):
+    import pytest
+    from news_data_pipeline_spark.operators.similarity import pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0]), (3, [7.0, 8.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="inconsistent dimensionality"):
+        pca_project(df, k=1)
+
+
+def test_skew_report_rejects_reserved_key_names(spark):
+    import pytest
+    from news_data_pipeline_spark.operators.ranking import skew_report
+
+    df = spark.createDataFrame([(1, 2)], ["n_rows", "ok"])
+    with pytest.raises(ValueError, match="reserves column names"):
+        skew_report(df, "n_rows")

@@ -295,3 +295,21 @@ def test_grouped_ols_non_string_group_columns(spark):
     assert out[0]["g"] == 7 and out[0]["slope"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="unknown group columns"):
         grouped_ols(df, ["nope"], y_col="y", x_col="x")
+
+
+def test_grouped_ols_skips_null_pairs_like_regr(spark):
+    from news_data_pipeline_spark.operators.fitting import grouped_ols
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 2.0, None), ("a", 3.0, 4.0)],
+        "g string, x double, y double",
+    )
+    got = grouped_ols(df, ["g"], y_col="y", x_col="x").collect()[0]
+    want = df.groupBy("g").agg(
+        F.regr_slope("y", "x").alias("s"),
+        F.regr_intercept("y", "x").alias("i"),
+        F.regr_count("y", "x").alias("n"),
+    ).collect()[0]
+    assert got["slope"] == pytest.approx(want["s"])
+    assert got["intercept"] == pytest.approx(want["i"])
+    assert got["n"] == want["n"] == 2
