@@ -301,3 +301,50 @@ def test_sorted_neighborhood_matches_naive_model(spark, texts):
             if d <= 3:
                 want[(ia, ib)] = d
     assert got == want, (texts, got, want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=10),
+        min_size=2,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_jaccard_for_pairs_matches_naive_model(spark, texts):
+    """All-pairs candidate list over random docs (including empty /
+    whitespace-only ones) vs a naive set model — pins the every-pair-
+    in-one-row-out contract and the 0.0-for-empty rule."""
+    from news_data_pipeline_spark.operators.dedup import (
+        jaccard_for_pairs,
+        word_shingles,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, schema="doc_id bigint, t string")
+    pair_list = [
+        (a, b) for a in range(len(texts)) for b in range(a + 1, len(texts))
+    ]
+    pairs = spark.createDataFrame(pair_list, ["id_a", "id_b"])
+    sh = word_shingles(df, "doc_id", "t", n=2)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(pairs, sh).collect()
+    }
+
+    def grams(t):
+        ws = [w for w in t.strip().split() if w]
+        if not ws:
+            return set()
+        if len(ws) < 2:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)}
+
+    gsets = {i: grams(t) for i, t in rows}
+    assert set(got) == set(pair_list)  # every pair came back
+    for a, b in pair_list:
+        union = gsets[a] | gsets[b]
+        want = (
+            round(len(gsets[a] & gsets[b]) / len(union), 6) if union else 0.0
+        )
+        assert got[(a, b)] == want, (a, b, texts)
