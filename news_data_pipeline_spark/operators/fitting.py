@@ -85,3 +85,64 @@ def grouped_ols(
         )
 
     return df.groupBy(*group_cols).applyInPandas(fit, schema=schema)
+
+
+def logreg_train(
+    df: DataFrame,
+    *,
+    y_col: str,
+    vec_col: str,
+    dims: int,
+    iters: int = 2,
+    lr: float = 0.5,
+) -> DataFrame:
+    """In-engine logistic-regression training: full-batch gradient
+    descent on a binary target over the first ``dims`` embedding
+    components, returning ``(pos, weight)`` scalar rows.
+
+    The training-loop pattern is ``kmeans_iterate``'s (similarity.py):
+    each iteration is ONE distributed aggregate — grad_j =
+    avg((sigmoid(w.x) - y) * x_j), a posexplode + per-position average,
+    map-side combined — and only the ``dims`` gradient values come back
+    to the driver, re-planted as literals for the next pass. Plans stay
+    constant-size at any iteration count; nothing quadratic, nothing
+    cached. Deterministic: fixed zero init, fixed lr, full-batch (no
+    sampling), so the whole trajectory is a pure function of the data —
+    which is what lets an ANSI-SQL oracle unroll the iterations and
+    verify the training loop EXACTLY (see ``logreg_label_weights``).
+
+    No bias term and no regularization — this pins the distributed
+    gradient machinery, not a production classifier; both are one more
+    term in the same aggregate.
+    """
+    import pyspark.sql.functions as F
+
+    if dims < 1 or iters < 1:
+        raise ValueError(f"dims and iters must be >= 1, got {dims}, {iters}")
+    base = df.select(
+        F.col(y_col).cast("double").alias("y"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("x"),
+    ).where(F.col("x").isNotNull() & (F.size("x") == dims) & F.col("y").isNotNull())
+    w = [0.0] * dims
+    for _ in range(iters):
+        w_lit = F.array(*[F.lit(wi) for wi in w])
+        z = F.aggregate(
+            F.zip_with(F.col("x"), w_lit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")).alias(
+            "r"
+        )
+        grads = (
+            base.select(resid, F.posexplode("x").alias("pos", "xj"))
+            .groupBy("pos")
+            .agg(F.avg(F.col("r") * F.col("xj")).alias("g"))
+            .collect()
+        )
+        g = {r["pos"]: r["g"] for r in grads}
+        w = [w[j] - lr * g[j] for j in range(dims)]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(j, round(wj, 6)) for j, wj in enumerate(w)], "pos int, weight double"
+    )

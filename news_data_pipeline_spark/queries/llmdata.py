@@ -2668,3 +2668,51 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_error"
         ),
     )
+
+
+# --- round 4: in-engine logistic-regression training step -----------------
+_LOGREG_GRAD = lambda p: ", ".join(
+    f"avg(({p} - y) * x{j}) AS g{j}" for j in range(4)
+)
+
+
+@register(
+    "logreg_label_weights",
+    # two full-batch GD iterations unrolled: w0 = 0 makes iteration 1's
+    # sigmoid a constant 0.5; iteration 2 evaluates the sigmoid at the
+    # w1 literal. lr = 0.5, dims = 4, y = (label == 0).
+    oracle=f"""
+    WITH x AS (
+        SELECT CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+               e[1] AS x0, e[2] AS x1, e[3] AS x2, e[4] AS x3
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 4)),
+    g0 AS (SELECT {_LOGREG_GRAD("0.5")} FROM x),
+    w1 AS (SELECT -0.5 * g0 AS w0, -0.5 * g1 AS w1,
+                  -0.5 * g2 AS w2, -0.5 * g3 AS w3 FROM g0),
+    g1 AS (
+        SELECT {_LOGREG_GRAD("1.0 / (1.0 + exp(-(w.w0 * x.x0 + w.w1 * x.x1 + w.w2 * x.x2 + w.w3 * x.x3)))")}
+        FROM x CROSS JOIN w1 w),
+    w2 AS (SELECT w1.w0 - 0.5 * g1.g0 AS w0, w1.w1 - 0.5 * g1.g1 AS w1,
+                  w1.w2 - 0.5 * g1.g2 AS w2, w1.w3 - 0.5 * g1.g3 AS w3
+           FROM w1 CROSS JOIN g1)
+    SELECT pos, round(w, 6) AS weight
+    FROM w2, LATERAL (VALUES (0, w0), (1, w1), (2, w2), (3, w3)) t(pos, w)
+    """,
+)
+def logreg_label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training
+    (operators.fitting.logreg_train): two full-batch GD steps on
+    y = (label == 0) over the first 4 embedding components, the whole
+    trajectory unrolled in the oracle — the in-engine "train a quality
+    classifier where the data lives" primitive, verified exactly like
+    the k-means two-iteration query."""
+    from news_data_pipeline_spark.operators.fitting import logreg_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        (F.col("label") == 0).cast("double").alias("y"), "embedding"
+    )
+    return logreg_train(
+        labeled, y_col="y", vec_col="embedding", dims=4, iters=2, lr=0.5
+    ).select(F.col("pos").cast("int").alias("pos"), "weight")

@@ -313,3 +313,33 @@ def test_grouped_ols_skips_null_pairs_like_regr(spark):
     assert got["slope"] == pytest.approx(want["s"])
     assert got["intercept"] == pytest.approx(want["i"])
     assert got["n"] == want["n"] == 2
+
+
+def test_logreg_train_matches_numpy_gd(spark):
+    import numpy as np
+    from news_data_pipeline_spark.operators.fitting import logreg_train
+
+    rows = [
+        (1.0, [0.5, -1.0, 2.0]),
+        (0.0, [-0.5, 1.5, 0.0]),
+        (1.0, [1.0, 0.0, -1.0]),
+        (0.0, [0.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "y double, v array<double>")
+    got = {
+        r["pos"]: r["weight"]
+        for r in logreg_train(
+            df, y_col="y", vec_col="v", dims=3, iters=3, lr=0.1
+        ).collect()
+    }
+    X = np.array([r[1] for r in rows])
+    y = np.array([r[0] for r in rows])
+    w = np.zeros(3)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-X @ w))
+        w = w - 0.1 * ((p - y)[:, None] * X).mean(axis=0)
+    assert got == {
+        j: pytest.approx(round(float(w[j]), 6), abs=1e-6) for j in range(3)
+    }
+    with pytest.raises(ValueError, match="must be >= 1"):
+        logreg_train(df, y_col="y", vec_col="v", dims=0)
