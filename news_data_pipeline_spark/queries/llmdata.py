@@ -2716,3 +2716,70 @@ def logreg_label_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_train(
         labeled, y_col="y", vec_col="embedding", dims=4, iters=2, lr=0.5
     ).select(F.col("pos").cast("int").alias("pos"), "weight")
+
+
+@register(
+    "logreg_label_scores",
+    # the trained w2 (rounded to 6dp, same as the Spark output) scores
+    # every vector; round-6 scores make the top-10 cutoff engine-stable
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id,
+               CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y,
+               e[1] AS x0, e[2] AS x1, e[3] AS x2, e[4] AS x3
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= 4)),
+    g0 AS (SELECT {_LOGREG_GRAD("0.5")} FROM x),
+    w1 AS (SELECT -0.5 * g0 AS w0, -0.5 * g1 AS w1,
+                  -0.5 * g2 AS w2, -0.5 * g3 AS w3 FROM g0),
+    g1 AS (
+        SELECT {_LOGREG_GRAD("1.0 / (1.0 + exp(-(w.w0 * x.x0 + w.w1 * x.x1 + w.w2 * x.x2 + w.w3 * x.x3)))")}
+        FROM x CROSS JOIN w1 w),
+    w2 AS (SELECT round(w1.w0 - 0.5 * g1.g0, 6) AS w0,
+                  round(w1.w1 - 0.5 * g1.g1, 6) AS w1,
+                  round(w1.w2 - 0.5 * g1.g2, 6) AS w2,
+                  round(w1.w3 - 0.5 * g1.g3, 6) AS w3
+           FROM w1 CROSS JOIN g1)
+    SELECT x.vec_id, x.y AS label_is_zero,
+           round(1.0 / (1.0 + exp(-(w.w0 * x.x0 + w.w1 * x.x1
+                                    + w.w2 * x.x2 + w.w3 * x.x3))), 6)
+               AS score
+    FROM x CROSS JOIN w2 w
+    ORDER BY score DESC, x.vec_id LIMIT 10
+    """,
+)
+def logreg_label_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference for the trained classifier: every vector scored with
+    the 6dp-rounded trained weights (identical literals on both
+    engines, so the scoring expression is the same arithmetic), top-10
+    by score. Train once, score anywhere — the weights ride along as a
+    broadcast-sized literal; the scoring pass is a narrow map over the
+    corpus, planned as TakeOrderedAndProject for the cutoff."""
+    from news_data_pipeline_spark.operators.fitting import logreg_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        "vec_id",
+        (F.col("label") == 0).cast("double").alias("y"),
+        "embedding",
+    )
+    w_rows = logreg_train(
+        labeled, y_col="y", vec_col="embedding", dims=4, iters=2, lr=0.5
+    ).collect()
+    w = [r["weight"] for r in sorted(w_rows, key=lambda r: r["pos"])]
+    x = F.slice(F.col("embedding").cast("array<double>"), 1, 4)
+    z = F.aggregate(
+        F.zip_with(x, F.array(*[F.lit(wi) for wi in w]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        labeled.where(x.isNotNull() & (F.size(x) == 4))
+        .select(
+            "vec_id",
+            F.col("y").alias("label_is_zero"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
