@@ -77,6 +77,7 @@ TAIL_QUERIES = (
     "sorted_neighborhood_pairs",
     "purchase_state_attribution",
     "minhash_jaccard_estimates",
+    "logreg_label_weights",
 )
 
 

@@ -51,15 +51,24 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     funneling into one window partition.
     """
     # fan_out: the normalization regexp + md5 over full text is the
-    # cost here and would otherwise pipeline onto a one-task scan
+    # cost here and would otherwise pipeline onto a one-task scan.
+    # Null fingerprints get a per-row surrogate key ("null:<id>" — md5
+    # is 32 hex chars and never contains ':', so no collision): each
+    # null-text row is alone in its window partition and survives, in
+    # ONE pass (a filter+union formulation would fingerprint the corpus
+    # twice; a shared null partition would funnel null-heavy corpora
+    # into one task).
     with_fp = fan_out(df).withColumn("__fp", fingerprint(F.col(text_col)))
-    nulls = with_fp.where(F.col("__fp").isNull()).drop("__fp")
-    kept = exact_dedup(
-        with_fp.where(F.col("__fp").isNotNull()),
-        keys=["__fp"],
-        tie_break=[id_col],
-    ).drop("__fp")
-    return kept.unionByName(nulls)
+    key = F.coalesce(
+        F.col("__fp"),
+        F.concat(F.lit("null:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(key).orderBy(id_col)
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
 
 
 def word_shingles(
