@@ -1367,3 +1367,126 @@ def shipdate_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+# --- round 4: TPC-H Q21-shaped sole-late-supplier analysis ----------------
+@register(
+    "sole_late_suppliers",
+    # "late" = shipped more than 90 days after the order date (the
+    # fixture has no commit/receipt dates); Q21's EXISTS/NOT EXISTS
+    # pair is recast as per-order distinct-supplier counts
+    oracle="""
+    WITH li AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                    AS INT) AS is_late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END)
+                   AS n_late_supp,
+               min(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        FROM li GROUP BY l_orderkey),
+    blamed AS (
+        SELECT late_supp AS l_suppkey, count(*) AS n_orders
+        FROM per_order
+        WHERE n_supp > 1 AND n_late_supp = 1
+        GROUP BY late_supp)
+    SELECT s.s_name, b.n_orders
+    FROM blamed b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    ORDER BY b.n_orders DESC, s.s_name LIMIT 10
+    """,
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — the classic EXISTS / NOT EXISTS pair recast
+    as one per-order aggregate (distinct suppliers, distinct late
+    suppliers, min late supplier), which shuffles each order's lines
+    once instead of probing two correlated subqueries. Supplier names
+    attach by broadcast; top-10 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    is_late = (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    ).cast("int")
+    lines = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", is_late.alias("is_late"))
+    late_supp = F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.min(late_supp).alias("late_supp"),
+    )
+    blamed = (
+        per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier), blamed.late_supp == supplier.s_suppkey
+        )
+        .select("s_name", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# --- round 4: argmin-per-group with attribute re-join ---------------------
+@register(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               l_extendedprice / l_quantity AS unit_price
+        FROM lineitem WHERE l_quantity > 0),
+    best AS (
+        SELECT l_partkey,
+               min(struct_pack(p := unit_price, s := l_suppkey)) AS b
+        FROM unit GROUP BY l_partkey)
+    SELECT p.p_name, s.s_name,
+           floor(b.b.p * 10000) / 10000 AS unit_price
+    FROM best b
+    JOIN part p ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.b.s = s.s_suppkey
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group with dimension re-join (TPC-H Q2's correlated
+    MIN shape): the cheapest observed unit price per part and the
+    supplier who offered it, via a min-struct aggregate — one shuffle
+    keyed on part, no window, no correlated subquery re-scan; both
+    dimension attachments broadcast. Ties break to the lowest supplier
+    key through the struct ordering, identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    # the ranking price stays UNROUNDED (both engines evaluate the
+    # identical double division); the display value truncates via
+    # floor(x * 1e4) — floor of the same double is engine-stable where
+    # decimal rounding of a .xxxx5-boundary quotient is not
+    unit = li.where(F.col("l_quantity") > 0).select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    best = unit.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                F.col("unit_price").alias("p"), F.col("l_suppkey").alias("s")
+            )
+        ).alias("b")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), F.col("b.s") == supplier.s_suppkey)
+        .select(
+            "p_name",
+            "s_name",
+            (F.floor(F.col("b.p") * 10000) / 10000).alias("unit_price"),
+        )
+    )
