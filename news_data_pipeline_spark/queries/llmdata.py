@@ -2783,3 +2783,65 @@ def logreg_label_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# --- round 4: int8 embedding quantization error audit ---------------------
+@register(
+    "embedding_quantization_error",
+    # q = floor(u + 0.5) instead of round(): floor of the identical
+    # double is engine-stable where decimal rounding of .5-boundary
+    # quotients is not
+    oracle="""
+    WITH comp AS (
+        SELECT u.i - 1 AS pos, e[u.i] AS x
+        FROM (SELECT CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE embedding IS NOT NULL) t,
+             LATERAL unnest(range(1, len(e) + 1)) AS u(i)),
+    stats AS (
+        SELECT pos, min(x) AS lo, max(x) AS hi,
+               (max(x) - min(x)) / 255.0 AS scale
+        FROM comp GROUP BY pos),
+    dq AS (
+        SELECT c.pos,
+               abs(c.x - (s.lo + floor((c.x - s.lo) / nullif(s.scale, 0.0)
+                                       + 0.5) * s.scale)) AS err
+        FROM comp c JOIN stats s USING (pos)
+        WHERE s.scale > 0)
+    SELECT CAST(pos AS INT) AS pos,
+           round(any_value(scale), 8) AS scale,
+           round(avg(err), 8) AS avg_abs_err,
+           round(max(err), 8) AS max_abs_err
+    FROM dq JOIN stats USING (pos) GROUP BY pos
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (256-level) affine quantization audit per embedding
+    dimension: per-dim min/max calibration, symmetric-free affine
+    dequantize, and the resulting absolute reconstruction error — the
+    measurement that decides whether a vector index can run quantized.
+    One explode + two aggregates keyed on the 64-value dimension id;
+    calibration stats ride back as a broadcast join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = fan_out(
+        emb.where(F.col("embedding").isNotNull()).select(
+            F.col("embedding").cast("array<double>").alias("e")
+        )
+    ).select(F.posexplode("e").alias("pos", "x"))
+    stats = comp.groupBy("pos").agg(
+        F.min("x").alias("lo"),
+        ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale"),
+    )
+    u = (F.col("x") - F.col("lo")) / F.nullif(F.col("scale"), F.lit(0.0))
+    dq = F.col("lo") + F.floor(u + F.lit(0.5)) * F.col("scale")
+    err = F.abs(F.col("x") - dq)
+    return (
+        comp.join(F.broadcast(stats), "pos")
+        .where(F.col("scale") > 0)
+        .groupBy("pos")
+        .agg(
+            F.round(F.any_value("scale"), 8).alias("scale"),
+            F.round(F.avg(err), 8).alias("avg_abs_err"),
+            F.round(F.max(err), 8).alias("max_abs_err"),
+        )
+        .select(F.col("pos").cast("int").alias("pos"), "scale", "avg_abs_err", "max_abs_err")
+    )

@@ -982,3 +982,102 @@ def events_value_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.last("value", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+# --- round 4: cohort retention triangle -----------------------------------
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(date_trunc('week', ts)) AS cohort_week
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               datediff('week', f.cohort_week,
+                        date_trunc('week', e.ts)) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.ts IS NOT NULL)
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(week_offset AS INT) AS week_offset,
+           count(*) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted once per (cohort, weeks-since-start) cell — the standard
+    retention matrix. Two user-keyed shuffles (first-touch min, then
+    the distinct cell membership); the cohort dimension rides back on
+    the user-keyed join, never a cross product. Weeks are date_trunc
+    boundaries so both engines bucket identically."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active_users"))
+
+
+# --- round 4: inter-arrival gap statistics --------------------------------
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               datediff('second',
+                        lag(ts) OVER (PARTITION BY event_type, user_id
+                                      ORDER BY ts, event_id),
+                        ts) AS gap_s
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           round(avg(gap_s), 2) AS avg_gap_s,
+           round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival time distribution (same-user consecutive
+    events): the burstiness signal behind rate limits and session-gap
+    tuning. Gaps are exact integer second deltas from a user-keyed lag
+    window; the rollup is one aggregate with an exact median."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gap = (
+        F.col("ts").cast("timestamp").cast("long")
+        - F.lag("ts").over(w).cast("timestamp").cast("long")
+    )
+    gaps = events.select("event_type", gap.alias("gap_s"))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.round(F.percentile("gap_s", 0.5), 2).alias("median_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
