@@ -91,3 +91,65 @@ def global_row_number(
         .withColumn(id_col, (F.col("__rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def global_running_sum(
+    df,
+    order_by,
+    value_col: str,
+    *,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+):
+    """Global cumulative sum by sort order — the same two-pass shape as
+    ``global_row_number``, accumulating a value instead of a count.
+
+    Pass 1: ``repartitionByRange`` on the sort key, running sum WITHIN
+    each range partition (partitioned window, never a single-partition
+    funnel), pinned with an eager ``localCheckpoint`` so the counts
+    pass and the caller's action see the SAME range boundaries (they
+    come from per-job sampling). Pass 2: per-partition value totals
+    collect to the driver (one row per partition — bounded), turn into
+    prefix offsets, and ride back as a broadcast join. Ties in
+    ``order_by`` are frozen by the checkpoint; pass a total order for
+    cross-run determinism.
+
+    This is the Pareto/ABC primitive: cumulative revenue share, running
+    token budgets, percentile-by-position — anything the textbook
+    writes as ``SUM(x) OVER (ORDER BY ...)`` and Spark would otherwise
+    plan through one task.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    summed = ranged.withColumn(
+        "__ps", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=True)
+    totals = (
+        summed.groupBy("__pid").agg(F.sum(value_col).alias("__tot")).collect()
+    )
+    offsets: list[tuple[int, float]] = []
+    acc = 0.0
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["__tot"] or 0.0
+    if not offsets:  # empty input
+        return summed.withColumn(out_col, F.col("__ps")).drop(
+            "__pid", "__ps"
+        )
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset double")
+    return (
+        summed.join(F.broadcast(offset_df), on="__pid")
+        .withColumn(out_col, F.col("__ps") + F.col("__offset"))
+        .drop("__pid", "__ps", "__offset")
+    )

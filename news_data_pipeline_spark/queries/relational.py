@@ -1490,3 +1490,64 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("b.p") * 10000) / 10000).alias("unit_price"),
         )
     )
+
+
+# --- round 4: Pareto / ABC classification via two-pass global cumsum ------
+@register(
+    "customer_abc_classes",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT o_custkey, revenue,
+               sum(revenue) OVER (
+                   ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run,
+               sum(revenue) OVER () AS total
+        FROM rev),
+    classed AS (
+        SELECT CASE WHEN run / total <= 0.80 THEN 'A'
+                    WHEN run / total <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               revenue
+        FROM ranked)
+    SELECT abc_class,
+           count(*) AS n_customers,
+           round(sum(revenue), 2) AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue classification: customers sorted by revenue,
+    cumulative share cut at 80%/95%. The textbook SUM() OVER (ORDER BY)
+    would funnel the whole table through one window task; this runs the
+    two-pass range-partitioned running sum (functions.ids.
+    global_running_sum — per-partition cumsum + broadcast prefix
+    offsets), so the plan scales like a sort, not a funnel. The grand
+    total is a broadcast 1-row aggregate."""
+    from news_data_pipeline_spark.functions.ids import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    run = global_running_sum(
+        rev.withColumn("__neg", -F.col("revenue")),
+        ["__neg", "o_custkey"],
+        "revenue",
+        out_col="run",
+    ).drop("__neg")
+    total = rev.agg(F.sum("revenue").alias("__total"))
+    classed = run.join(F.broadcast(total)).select(
+        "revenue",
+        F.when(F.col("run") / F.col("__total") <= 0.80, F.lit("A"))
+        .when(F.col("run") / F.col("__total") <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+    )

@@ -145,3 +145,27 @@ def test_clean_text_strips_controls_and_collapses_whitespace(spark):
     )
     got = [r["c"] for r in df.select(clean_text(F.col("t")).alias("c")).collect()]
     assert got == ["a b c", "lots of space", "vertical tab", ""]
+
+
+def test_global_running_sum_matches_single_window(spark):
+    from pyspark.sql import Window
+    from news_data_pipeline_spark.functions.ids import global_running_sum
+
+    df = spark.range(100).select(
+        F.col("id"), ((F.col("id") * 37) % 11).cast("double").alias("v")
+    )
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(
+            df, "id", "v", num_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    # empty input
+    empty = spark.createDataFrame([], "id long, v double")
+    assert global_running_sum(empty, "id", "v").count() == 0
