@@ -2845,3 +2845,87 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("pos").cast("int").alias("pos"), "scale", "avg_abs_err", "max_abs_err")
     )
+
+
+# --- round 4: near-dup graph degree distribution --------------------------
+@register(
+    "neardup_degree_histogram",
+    oracle=f"""
+    WITH shingles AS ({_DUCK_SHINGLES}),
+    sig AS (
+        SELECT id,
+               {", ".join(f"min(substring(md5('seed{i // 4}:' || shingle), {8 * (i % 4) + 1}, 8)) AS mh_{i}" for i in range(16))}
+        FROM shingles GROUP BY id),
+    banded AS (
+        {" UNION ALL ".join(
+            "SELECT id, %d AS band, md5(mh_%d || '|' || mh_%d || '|' || mh_%d || '|' || mh_%d) AS bucket FROM sig"
+            % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3)
+            for b in range(4)
+        )}),
+    cand AS (
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT id_a AS id FROM cand
+            UNION ALL SELECT id_b AS id FROM cand) t
+        GROUP BY id)
+    SELECT degree, count(*) AS n_docs
+    FROM deg GROUP BY degree
+    """,
+)
+def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the LSH near-dup graph: how many
+    candidate partners each document has — the triage metric that
+    separates a healthy corpus (degrees ~0-2) from a boilerplate
+    swamp (hub nodes) BEFORE running component propagation. Pair list
+    -> symmetric explode -> two bounded aggregates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
+    )
+    ends = pairs.select(F.col("id_a").alias("id")).unionAll(
+        pairs.select(F.col("id_b").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- round 4: distribution-balancing sampling weights ---------------------
+@register(
+    "document_balance_weights",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    total AS (SELECT sum(n_docs) AS n, count(*) AS n_langs FROM counts)
+    SELECT c.lang, c.n_docs,
+           round(c.n_docs / t.n::DOUBLE, 6) AS actual_share,
+           round(1.0 / t.n_langs, 6) AS target_share,
+           round((1.0 / t.n_langs) / (c.n_docs / t.n::DOUBLE), 6)
+               AS sample_weight
+    FROM counts c CROSS JOIN total t
+    """,
+)
+def document_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching sampling weights per language: the
+    importance weight that reshapes the corpus toward a uniform
+    language mixture (weight = target_share / actual_share — the
+    DoReMi-style reweighting primitive with a uniform target). One
+    tiny aggregate joined to a broadcast 1-row total; at sampling time
+    the weights drive hash-threshold selection exactly like
+    mixture_sampled_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(
+        F.sum("n_docs").alias("__n"), F.count(F.lit(1)).alias("__n_langs")
+    )
+    actual = F.col("n_docs") / F.col("__n").cast("double")
+    target = F.lit(1.0) / F.col("__n_langs")
+    return counts.join(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / actual, 6).alias("sample_weight"),
+    )
