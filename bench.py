@@ -78,6 +78,7 @@ TAIL_QUERIES = (
     "purchase_state_attribution",
     "minhash_jaccard_estimates",
     "logreg_label_weights",
+    "customer_abc_classes",
 )
 
 
