@@ -348,3 +348,35 @@ def test_jaccard_for_pairs_matches_naive_model(spark, texts):
             round(len(gsets[a] & gsets[b]) / len(union), 6) if union else 0.0
         )
         assert got[(a, b)] == want, (a, b, texts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_global_running_sum_matches_python_cumsum(spark, rows):
+    from news_data_pipeline_spark.functions.ids import global_running_sum
+
+    df = spark.createDataFrame(
+        [(i, k, float(v)) for i, (k, v) in enumerate(rows)],
+        "rid long, k long, v double",
+    )
+    out = {
+        r["rid"]: r["running_sum"]
+        for r in global_running_sum(
+            df, ["k", "rid"], "v", num_partitions=4
+        ).collect()
+    }
+    acc, want = 0.0, {}
+    for i, (k, v) in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0])):
+        acc += float(v)
+        want[i] = acc
+    # integer-valued doubles -> sums exact regardless of association
+    assert out == want, (rows, out, want)
