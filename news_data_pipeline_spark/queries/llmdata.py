@@ -2929,3 +2929,56 @@ def document_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 6).alias("target_share"),
         F.round(target / actual, 6).alias("sample_weight"),
     )
+
+
+# --- round 4: corpus drift statistics -------------------------------------
+@register(
+    "source_lang_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT source, lang, count(*) AS observed
+        FROM documents GROUP BY source, lang),
+    rows_ AS (SELECT source, sum(observed) AS row_n FROM obs GROUP BY source),
+    cols AS (SELECT lang, sum(observed) AS col_n FROM obs GROUP BY lang),
+    tot AS (SELECT sum(observed) AS n FROM obs)
+    SELECT o.source, o.lang, o.observed,
+           round(r.row_n * c.col_n / t.n::DOUBLE, 4) AS expected,
+           round((o.observed - r.row_n * c.col_n / t.n::DOUBLE)
+                 / sqrt(r.row_n * c.col_n / t.n::DOUBLE), 4) AS residual
+    FROM obs o
+    JOIN rows_ r USING (source)
+    JOIN cols c USING (lang)
+    CROSS JOIN tot t
+    """,
+)
+def source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x language contingency analysis: observed cell counts vs
+    the independence expectation (row_total x col_total / N) and the
+    Pearson residual — the drift detector that flags a crawl source
+    suddenly skewing toward one language. Three tiny keyed aggregates
+    over the cell frame; margins and the 1-row total ride back as
+    broadcasts; expectations are exact integer products in doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    rows = obs.groupBy("source").agg(F.sum("observed").alias("__row_n"))
+    cols = obs.groupBy("lang").agg(F.sum("observed").alias("__col_n"))
+    tot = obs.agg(F.sum("observed").alias("__n"))
+    expected = (
+        F.col("__row_n") * F.col("__col_n") / F.col("__n").cast("double")
+    )
+    return (
+        obs.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("observed") - expected) / F.sqrt(expected), 4
+            ).alias("residual"),
+        )
+    )

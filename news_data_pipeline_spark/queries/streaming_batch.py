@@ -1081,3 +1081,42 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", 0.5), 2).alias("median_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+# --- round 4: distribution entropy over time ------------------------------
+@register(
+    "event_type_entropy_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, count(*) AS cnt
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT day, sum(cnt) AS n FROM daily GROUP BY day)
+    SELECT d.day,
+           CAST(t.n AS BIGINT) AS n_events,
+           round(-sum((d.cnt / t.n::DOUBLE)
+                      * log2(d.cnt / t.n::DOUBLE)), 6) AS entropy_bits
+    FROM daily d JOIN tot t USING (day)
+    GROUP BY d.day, t.n
+    """,
+)
+def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix: the one-number
+    drift signal that collapses when traffic degenerates to a single
+    type (bot storms, pipeline stalls) and peaks at uniform mix. Two
+    keyed aggregates; per-day totals attach by broadcast; identical
+    log2 arithmetic on both engines."""
+    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = daily.groupBy("day").agg(F.sum("cnt").alias("__n"))
+    p = F.col("cnt") / F.col("__n").cast("double")
+    return (
+        daily.join(F.broadcast(tot), "day")
+        .groupBy("day", F.col("__n").cast("bigint").alias("n_events"))
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+    )
