@@ -724,7 +724,13 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ns.n_name AS supp_nation,
            nc.n_name AS cust_nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS order_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           -- exact integer-unit money sum: the per-row double expression is
+           -- bit-identical on both engines, floor(x*10000+0.5) freezes it to
+           -- an exact BIGINT, SUM over BIGINTs is order-independent, and the
+           -- half-up to cents happens in integer arithmetic — no
+           -- round(sum(double)) half-cent boundary anywhere
+           ((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS volume
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
@@ -762,6 +768,13 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate", "cust_nation"
     )
     joined = sells.join(buys, sells.l_orderkey == buys.o_orderkey)
+    # Exact integer-unit money summation (see oracle comment): freeze each
+    # row's revenue to BIGINT 1e-4 units (the double product is bit-identical
+    # cross-engine), SUM exactly, then half-up to cents with integer div so
+    # no IEEE summation-order residue can flip a half-cent boundary.
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return (
         joined.where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -769,10 +782,12 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("o_orderdate").alias("order_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume")
+        .agg(F.sum(units).alias("u"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "order_year",
+            (F.expr("(u + 50) div 100") / 100.0).alias("volume"),
         )
     )
 

@@ -75,15 +75,33 @@ def frame_to_multiset(df) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-def float_close(a, b) -> bool:
+def cell_exact(a, b) -> bool:
+    """Exact match, allowing int/float tag crossover ONLY when the values
+    are bit-equal — DuckDB HUGEINT arrives in pandas as float64 while
+    Spark sums of ints stay long, which is a type difference, not a value
+    difference. Anything that needs a tolerance is NOT exact."""
     if a == b:
         return True
     if (
         isinstance(a, tuple) and isinstance(b, tuple)
         and len(a) == 2 and len(b) == 2
     ):
-        # numeric tags compare across 'f'/'i' — DuckDB HUGEINT arrives
-        # in pandas as float64 while Spark sums of ints stay long
+        if a[0] in ("f", "i") and b[0] in ("f", "i"):
+            return float(a[1]) == float(b[1])
+        if a[0] == b[0] == "l":
+            return len(a[1]) == len(b[1]) and all(
+                cell_exact(x, y) for x, y in zip(a[1], b[1])
+            )
+    return False
+
+
+def float_close(a, b) -> bool:
+    if cell_exact(a, b):
+        return True
+    if (
+        isinstance(a, tuple) and isinstance(b, tuple)
+        and len(a) == 2 and len(b) == 2
+    ):
         if a[0] in ("f", "i") and b[0] in ("f", "i"):
             return math.isclose(float(a[1]), float(b[1]), rel_tol=1e-6, abs_tol=1e-6)
         if a[0] == b[0] == "l":
@@ -93,16 +111,49 @@ def float_close(a, b) -> bool:
     return False
 
 
-def rows_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str]:
+def rows_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str, int]:
+    """Compare sorted row multisets. Returns (ok, why, rescued_cells).
+
+    The driver's gate hashes values EXACTLY, so a cell that matches only
+    within a float tolerance here WILL eventually red-flag a driver row
+    (r3: ndarray canon, r4: nation_pair_trade half-cent flips). We count
+    such tolerance-rescued cells and the caller fails the query — the
+    query must be rewritten to the exact integer-unit / integer-moment
+    pattern, not waved through.
+    """
     if len(a) != len(b):
-        return False, f"row count {len(a)} vs {len(b)}"
+        return False, f"row count {len(a)} vs {len(b)}", 0
+    rescued = 0
+    first_rescue = None
     for i, (ra, rb) in enumerate(zip(a, b)):
         if ra == rb:
             continue
-        if len(ra) == len(rb) and all(float_close(x, y) for x, y in zip(ra, rb)):
-            continue
-        return False, f"first diff at sorted row {i}:\n  spark={ra}\n  duck ={rb}"
-    return True, ""
+        if len(ra) != len(rb):
+            return False, f"arity diff at sorted row {i}", rescued
+        row_rescued = 0
+        for x, y in zip(ra, rb):
+            if cell_exact(x, y):
+                continue
+            if float_close(x, y):
+                row_rescued += 1
+                if first_rescue is None:
+                    first_rescue = f"row {i}: spark={x} duck={y}"
+            else:
+                return (
+                    False,
+                    f"first diff at sorted row {i}:\n  spark={ra}\n  duck ={rb}",
+                    rescued,
+                )
+        rescued += row_rescued
+    if rescued:
+        return (
+            False,
+            f"{rescued} tolerance-rescued cell(s) — values differ within "
+            f"1e-6 but the driver hashes exactly; first: {first_rescue}. "
+            "Rewrite with the integer-unit/integer-moment pattern.",
+            rescued,
+        )
+    return True, "", 0
 
 
 def main() -> int:
@@ -118,6 +169,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failures = []
+    tolerance_rescued = []
     executed = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -158,13 +210,19 @@ def main() -> int:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures.append(name)
             continue
-        ok, why = rows_equal(srows, drows)
+        ok, why, rescued = rows_equal(srows, drows)
         if not ok:
             print(f"FAIL {name}: {why}")
             failures.append(name)
+            if rescued:
+                tolerance_rescued.append((name, rescued))
         else:
             print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
 
+    if tolerance_rescued:
+        print("\nTOLERANCE-RESCUED (exact-failing) queries:")
+        for name, n in tolerance_rescued:
+            print(f"  {name}: {n} cell(s)")
     print(f"\n{executed - len(failures)}/{executed} queries ok")
     return 1 if failures else 0
 
