@@ -12,24 +12,38 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from news_data_pipeline_spark.functions.exact import (
+    exact_avg,
+    exact_sum,
+    exact_window_sum,
+    settled_round,
+    settled_units,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_settled_round,
+    sql_units,
+)
 from news_data_pipeline_spark.operators.joins import anti_join, dim_join, semi_join
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
 
 # --- aggregation: TPC-H Q1-style pricing summary (A1/A2/A5 family) -------
+# Money/ratio aggregates use the exact integer-unit pattern (functions/
+# exact.py): Q1's groups are the largest in the suite (~n/4 rows each),
+# which makes round(sum(double)) the most boundary-flip-prone plan here.
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
+           {sql_exact_sum('l_quantity')}                                        AS sum_qty,
+           {sql_exact_sum('l_extendedprice')}                                   AS sum_base_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {sql_exact_avg('l_quantity')}                                        AS avg_qty,
+           {sql_exact_avg('l_extendedprice')}                                   AS avg_price,
+           {sql_exact_avg('l_discount')}                                        AS avg_disc,
+           count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -42,13 +56,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -57,17 +71,19 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- top-k: orderBy+limit => TakeOrderedAndProject (O1) -------------------
 @register(
     "top_customers",
-    oracle="""
-    SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+    oracle=f"""
+    SELECT o_custkey, {sql_exact_sum('o_totalprice')} AS revenue
     FROM orders GROUP BY o_custkey
     ORDER BY revenue DESC, o_custkey LIMIT 10
     """,
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact_sum matters doubly here: the rounded value is also the SORT
+    # key, so a half-cent flip would reorder the top-k across engines
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(exact_sum(F.col("o_totalprice")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_custkey"))
         .limit(10)
     )
@@ -76,10 +92,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multi-join with broadcast dims (J1) ----------------------------------
 @register(
     "revenue_per_nation",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(o_totalprice), 2) AS revenue,
-           count(*)                    AS n_orders
+           {sql_exact_sum('o_totalprice')} AS revenue,
+           count(*)                        AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -95,7 +111,7 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = dim_join(joined, nation, on=[joined.c_nationkey == nation.n_nationkey])
     return joined.groupBy("n_name").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
@@ -103,22 +119,25 @@ def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- group-by with multiple aggregate kinds (A2 + min/max/avg) ------------
 @register(
     "segment_stats",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment,
-           count(*)                 AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_balance,
-           round(sum(c_acctbal), 2) AS total_balance,
-           round(min(c_acctbal), 2) AS min_balance,
-           round(max(c_acctbal), 2) AS max_balance
+           count(*)                         AS n_customers,
+           {sql_exact_avg('c_acctbal')}     AS avg_balance,
+           {sql_exact_sum('c_acctbal')}     AS total_balance,
+           round(min(c_acctbal), 2)         AS min_balance,
+           round(max(c_acctbal), 2)         AS max_balance
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # c_acctbal can be negative — exact_sum/avg are sign-safe (floor-based
+    # half-up, see functions/exact.py). min/max need no conversion: they
+    # select a single stored double, no summation order involved.
     customer = load_table(spark, sf_dir, "customer")
     return customer.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        exact_avg(F.col("c_acctbal")).alias("avg_balance"),
+        exact_sum(F.col("c_acctbal")).alias("total_balance"),
         F.round(F.min("c_acctbal"), 2).alias("min_balance"),
         F.round(F.max("c_acctbal"), 2).alias("max_balance"),
     )
@@ -195,15 +214,20 @@ def supplier_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "customer_running_spend",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (
+           sum({sql_units('o_totalprice')}) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+               AS running_spend
     FROM orders
     """,
 )
 def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # settled-units window sum: engines evaluate window frames with
+    # different internal accumulation (segment trees vs streaming), so
+    # even an ordered prefix sum of doubles is not order-stable — the
+    # integer units are
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -213,7 +237,7 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        exact_window_sum(F.col("o_totalprice"), w).alias("running_spend"),
     )
 
 
@@ -418,9 +442,9 @@ def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- date functions (F5 + date_trunc) ---------------------------------------
 @register(
     "monthly_revenue",
-    oracle="""
+    oracle=f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
-           round(sum(o_totalprice), 2) AS revenue,
+           {sql_exact_sum('o_totalprice')} AS revenue,
            count(*) AS n_orders
     FROM orders GROUP BY 1
     """,
@@ -434,7 +458,7 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("order_month")
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            exact_sum(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -460,32 +484,34 @@ def event_json_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rollup / cube (beyond-reference agg surface) ---------------------------
 @register(
     "order_status_rollup",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n_orders, {sql_exact_sum('o_totalprice')} AS revenue
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def order_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the grand-total rollup row sums the whole table — the largest
+    # possible group, so exact integer units are mandatory here
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        exact_sum(F.col("o_totalprice")).alias("revenue"),
     )
 
 
 @register(
     "lineitem_flag_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           {sql_exact_sum('l_quantity')} AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
 def lineitem_flag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -835,15 +861,16 @@ def ship_lag_priority_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "part_type_revenue_share",
     # TPC-H Q14 shape: each part type's share of total lineitem revenue;
     # the total rides a window over the small aggregate, not a re-scan
-    oracle="""
+    oracle=f"""
     WITH per_type AS (
         SELECT p.p_type,
-               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+               sum({sql_units('l.l_extendedprice * (1 - l.l_discount)')}) AS rev_u
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_type)
     SELECT p_type,
-           round(rev, 2) AS revenue,
-           round(100.0 * rev / sum(rev) OVER (), 4) AS revenue_share_pct
+           rev_u / 100.0 AS revenue,
+           {sql_settled_round('100.0 * rev_u / sum(rev_u) OVER ()')}
+               AS revenue_share_pct
     FROM per_type
     """,
 )
@@ -862,16 +889,18 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_type")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev"
-            )
+            F.sum(
+                settled_units(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+            ).alias("rev_u")
         )
     )
     w = Window.partitionBy()
     return per_type.select(
         "p_type",
-        F.round("rev", 2).alias("revenue"),
-        F.round(100.0 * F.col("rev") / F.sum("rev").over(w), 4).alias(
+        (F.col("rev_u") / 100.0).alias("revenue"),
+        settled_round(100.0 * F.col("rev_u") / F.sum("rev_u").over(w)).alias(
             "revenue_share_pct"
         ),
     )
@@ -883,16 +912,14 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_cont: both index by p*(n-1) with linear interpolation),
     # rounded to 2dp on BOTH sides before clamping so the clip
     # boundaries are the identical doubles
-    oracle="""
+    oracle=f"""
     WITH pct AS (
         SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
                round(quantile_cont(l_extendedprice, 0.99), 2) AS hi
         FROM lineitem)
     SELECT l_returnflag,
            count(*) AS n,
-           round(avg(CASE WHEN l_extendedprice < lo THEN lo
-                          WHEN l_extendedprice > hi THEN hi
-                          ELSE l_extendedprice END), 2) AS avg_winsorized,
+           {sql_exact_avg('CASE WHEN l_extendedprice < lo THEN lo WHEN l_extendedprice > hi THEN hi ELSE l_extendedprice END', 2)} AS avg_winsorized,
            CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
            CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high
     FROM lineitem CROSS JOIN pct
@@ -922,7 +949,7 @@ def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(clamped), 2).alias("avg_winsorized"),
+            exact_avg(clamped, 2).alias("avg_winsorized"),
             F.sum(F.when(price < F.col("lo"), 1).otherwise(0)).alias(
                 "n_clipped_low"
             ),
@@ -936,19 +963,19 @@ def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: time-range rolling window (RANGE frame) ---------------------
 @register(
     "rolling_revenue_7d",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
         SELECT o_orderpriority AS priority,
                strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
                datediff('day', DATE '1992-01-01',
                         CAST(o_orderdate AS DATE)) AS day_idx,
-               sum(o_totalprice) AS rev
+               sum({sql_units('o_totalprice')}) AS rev_u
         FROM orders GROUP BY 1, 2, 3)
     SELECT priority, day,
-           round(rev, 2) AS daily_revenue,
-           round(sum(rev) OVER (
+           rev_u / 100.0 AS daily_revenue,
+           sum(rev_u) OVER (
                PARTITION BY priority ORDER BY day_idx
-               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0
                AS rolling_7d_revenue
     FROM daily
     """,
@@ -970,7 +997,7 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
         ).alias("day_idx"),
-    ).agg(F.sum("o_totalprice").alias("rev"))
+    ).agg(F.sum(settled_units(F.col("o_totalprice"))).alias("rev_u"))
     w = (
         Window.partitionBy("priority")
         .orderBy("day_idx")
@@ -979,8 +1006,8 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "priority",
         "day",
-        F.round(F.col("rev"), 2).alias("daily_revenue"),
-        F.round(F.sum("rev").over(w), 2).alias("rolling_7d_revenue"),
+        (F.col("rev_u") / 100.0).alias("daily_revenue"),
+        (F.sum("rev_u").over(w) / 100.0).alias("rolling_7d_revenue"),
     )
 
 
@@ -1215,16 +1242,16 @@ def nation_revenue_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: year-over-year growth via month-of-year lag -----------------
 @register(
     "monthly_yoy_growth",
-    oracle="""
+    oracle=f"""
     WITH monthly AS (
         SELECT CAST(year(o_orderdate) AS INT)  AS yr,
                CAST(month(o_orderdate) AS INT) AS mo,
-               round(sum(o_totalprice), 2) AS revenue
+               sum({sql_units('o_totalprice')}) AS rev_u
         FROM orders GROUP BY 1, 2)
-    SELECT yr, mo, revenue,
-           lag(revenue) OVER w AS prev_year_revenue,
-           round((revenue - lag(revenue) OVER w)
-                 / lag(revenue) OVER w, 4) AS yoy_growth
+    SELECT yr, mo, rev_u / 100.0 AS revenue,
+           lag(rev_u) OVER w / 100.0 AS prev_year_revenue,
+           {sql_settled_round('(rev_u - lag(rev_u) OVER w)'
+                              ' / (1.0 * lag(rev_u) OVER w)')} AS yoy_growth
     FROM monthly
     WINDOW w AS (PARTITION BY mo ORDER BY yr)
     """,
@@ -1240,15 +1267,17 @@ def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = orders.groupBy(
         F.year("o_orderdate").cast("int").alias("yr"),
         F.month("o_orderdate").cast("int").alias("mo"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(F.sum(settled_units(F.col("o_totalprice"))).alias("rev_u"))
     w = Window.partitionBy("mo").orderBy("yr")
-    prev = F.lag("revenue").over(w)
+    prev = F.lag("rev_u").over(w)
     return monthly.select(
         "yr",
         "mo",
-        "revenue",
-        prev.alias("prev_year_revenue"),
-        F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
+        (F.col("rev_u") / 100.0).alias("revenue"),
+        (prev / 100.0).alias("prev_year_revenue"),
+        settled_round((F.col("rev_u") - prev) / (1.0 * prev)).alias(
+            "yoy_growth"
+        ),
     )
 
 
@@ -1339,12 +1368,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: ROLLUP hierarchy (completes cube/grouping-sets/rollup) ------
 @register(
     "shipdate_rollup_revenue",
-    oracle="""
+    oracle=f"""
     SELECT CAST(year(l_shipdate) AS INT)    AS yr,
            CAST(quarter(l_shipdate) AS INT) AS qtr,
            CAST(grouping(year(l_shipdate)) AS INT)    AS g_yr,
            CAST(grouping(quarter(l_shipdate)) AS INT) AS g_qtr,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
            count(*) AS n_items
     FROM lineitem
     GROUP BY ROLLUP (year(l_shipdate), quarter(l_shipdate))
@@ -1368,8 +1397,8 @@ def shipdate_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("yr").cast("int").alias("g_yr"),
             F.grouping("qtr").cast("int").alias("g_qtr"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -1510,27 +1539,27 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: Pareto / ABC classification via two-pass global cumsum ------
 @register(
     "customer_abc_classes",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
-        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        SELECT o_custkey, sum({sql_units('o_totalprice')}) AS rev_u
         FROM orders GROUP BY o_custkey),
     ranked AS (
-        SELECT o_custkey, revenue,
-               sum(revenue) OVER (
-                   ORDER BY revenue DESC, o_custkey
+        SELECT o_custkey, rev_u,
+               sum(rev_u) OVER (
+                   ORDER BY rev_u DESC, o_custkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS run,
-               sum(revenue) OVER () AS total
+               sum(rev_u) OVER () AS total
         FROM rev),
     classed AS (
         SELECT CASE WHEN run / total <= 0.80 THEN 'A'
                     WHEN run / total <= 0.95 THEN 'B'
                     ELSE 'C' END AS abc_class,
-               revenue
+               rev_u
         FROM ranked)
     SELECT abc_class,
            count(*) AS n_customers,
-           round(sum(revenue), 2) AS class_revenue
+           sum(rev_u) / 100.0 AS class_revenue
     FROM classed GROUP BY abc_class
     """,
 )
@@ -1545,18 +1574,22 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from news_data_pipeline_spark.functions.ids import global_running_sum
 
     orders = load_table(spark, sf_dir, "orders")
+    # revenue carried as exact settled cents end-to-end: the per-customer
+    # sum, the running sum, the grand total, and the class totals are all
+    # BIGINT arithmetic — run/total divides identical integers on both
+    # engines, so the 80/95% class boundaries cannot flip
     rev = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(settled_units(F.col("o_totalprice"))).alias("rev_u")
     )
     run = global_running_sum(
-        rev.withColumn("__neg", -F.col("revenue")),
+        rev.withColumn("__neg", -F.col("rev_u")),
         ["__neg", "o_custkey"],
-        "revenue",
+        "rev_u",
         out_col="run",
     ).drop("__neg")
-    total = rev.agg(F.sum("revenue").alias("__total"))
+    total = rev.agg(F.sum("rev_u").alias("__total"))
     classed = run.join(F.broadcast(total)).select(
-        "revenue",
+        "rev_u",
         F.when(F.col("run") / F.col("__total") <= 0.80, F.lit("A"))
         .when(F.col("run") / F.col("__total") <= 0.95, F.lit("B"))
         .otherwise(F.lit("C"))
@@ -1564,5 +1597,5 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        (F.sum("rev_u") / 100.0).alias("class_revenue"),
     )

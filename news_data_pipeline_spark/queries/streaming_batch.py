@@ -16,27 +16,37 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from news_data_pipeline_spark.functions.exact import (
+    exact_sum,
+    settled_units,
+    sql_exact_sum,
+    sql_units,
+)
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
 
 @register(
     "tumbling_hourly_counts",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
-           count(*)               AS n_events,
-           round(sum(value), 2)   AS total_value
+           count(*)                 AS n_events,
+           {sql_exact_sum('value')} AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def tumbling_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value sums are exact settled-cents (functions/exact.py) — hourly
+    # groups grow with data volume, so round(sum(double)) would
+    # eventually flip a half-cent between engines; the streaming twin
+    # (streaming/ops.py::tumbling_window_counts) uses the identical units
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -135,11 +145,11 @@ def earliest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_lifetime_totals",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           count(*)                           AS n_events,
-           round(sum(coalesce(value, 0)), 2)  AS total_value,
-           max(ts)                            AS last_ts
+           count(*)                               AS n_events,
+           {sql_exact_sum('coalesce(value, 0)')}  AS total_value,
+           max(ts)                                AS last_ts
     FROM events GROUP BY user_id
     """,
 )
@@ -328,12 +338,13 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_bands_rangejoin",
-    oracle="""
+    oracle=f"""
     WITH bands AS (
         SELECT i * 25.0 AS lo, (i + 1) * 25.0 AS hi,
                'band_' || CAST(i AS VARCHAR) AS band
         FROM (SELECT unnest(range(0, 10)) AS i))
-    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    SELECT b.band, count(*) AS n_events,
+           {sql_exact_sum('e.value')} AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
     """,
@@ -355,7 +366,7 @@ def event_value_bands_rangejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value")).alias("total_value"),
     )
 
 
@@ -411,12 +422,13 @@ def events_asof_tiebreak_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_value_bands_left_rangejoin",
-    oracle="""
+    oracle=f"""
     WITH bands AS (
         SELECT i * 50.0 AS lo, i * 50.0 + 25.0 AS hi,
                'band_' || CAST(i AS VARCHAR) AS band
         FROM (SELECT unnest(range(0, 5)) AS i))
-    SELECT b.band, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+    SELECT b.band, count(*) AS n_events,
+           {sql_exact_sum('e.value')} AS total_value
     FROM events e LEFT JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
     """,
@@ -442,7 +454,7 @@ def event_value_bands_left_rangejoin(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value")).alias("total_value"),
     )
 
 
@@ -495,12 +507,12 @@ def view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_time_rollup",
-    oracle="""
+    oracle=f"""
     SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month,
            CASE WHEN GROUPING(CAST(ts AS DATE)) = 0
                 THEN CAST(CAST(ts AS DATE) AS VARCHAR) END AS day,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           {sql_exact_sum('value')} AS total_value
     FROM events
     GROUP BY ROLLUP (CAST(date_trunc('month', ts) AS DATE), CAST(ts AS DATE))
     HAVING GROUPING(CAST(date_trunc('month', ts) AS DATE)) = 0
@@ -521,7 +533,7 @@ def event_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("month", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value")).alias("total_value"),
             # grouping indicator, not value-nullness: a genuinely-null
             # month is DATA (grouping=0) and must survive; only the
             # rollup grand-total row (grouping=1) is dropped
@@ -787,7 +799,7 @@ def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: exponentially time-decayed engagement -----------------------
 @register(
     "user_decayed_value",
-    oracle="""
+    oracle=f"""
     WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
     aged AS (
         SELECT e.user_id, e.value,
@@ -795,7 +807,7 @@ def user_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e CROSS JOIN ref r
         WHERE e.value IS NOT NULL)
     SELECT user_id,
-           round(sum(value * exp(-age_days / 30.0)), 4) AS decayed_value,
+           {sql_exact_sum('value * exp(-age_days / 30.0)', 4)} AS decayed_value,
            count(*) AS n_events
     FROM aged GROUP BY user_id
     """,
@@ -818,8 +830,12 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ref))
         .groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.col("value") * F.exp(-age_days / F.lit(30.0))), 4
+            # per-row decayed contribution settled to 1e-4 units before
+            # the sum: value, age and the exp argument are identical
+            # doubles on both engines, so the settled BIGINT is too —
+            # and the integer sum cannot drift by accumulation order
+            exact_sum(
+                F.col("value") * F.exp(-age_days / F.lit(30.0)), 4
             ).alias("decayed_value"),
             F.count(F.lit(1)).alias("n_events"),
         )

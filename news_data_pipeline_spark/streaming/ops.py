@@ -77,12 +77,17 @@ def tumbling_window_counts(
     Identical result shape to the oracle-checked batch twin
     (``queries/streaming_batch.py::tumbling_hourly_counts``).
     """
+    from news_data_pipeline_spark.functions.exact import exact_sum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            # settled-cents sum — byte-identical to the batch twin at any
+            # micro-batch split, because integer partial sums are
+            # order-independent where double partial sums are not
+            exact_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -40,7 +41,11 @@ from pyspark.sql.types import (
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        # exact settled-cents accumulator (functions/exact.py convention):
+        # integer folds are order-independent, so any micro-batch split or
+        # replay converges to the batch twin's sum bit-for-bit — a double
+        # accumulator would drift by summation order
+        StructField("total_units", LongType()),
         # lifetime max event time — kept IN STATE so a late-arriving
         # batch can't move the emitted last_ts backwards
         StructField("last_ts", TimestampType()),
@@ -67,23 +72,26 @@ def _make_update_fn(idle_timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+        n, units, last_ts = state.get if state.exists else (0, 0, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].fillna(0.0).sum())
+            # per-row settle to exact integer cents — floor(x*100 + 0.5)
+            # on float64 is the same IEEE expression the batch twin's
+            # settled_units column runs JVM-side, so the integer fold
+            # matches it exactly regardless of batch boundaries
+            vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+            units += int(np.floor(vals * 100.0 + 0.5).astype("int64").sum())
             batch_max = pdf["ts"].max()
             if batch_max is not pd.NaT and (last_ts is None or batch_max > last_ts):
                 last_ts = batch_max
-        # state keeps the UNROUNDED sum — rounding per batch would
-        # compound drift vs the batch twin, which rounds exactly once
-        state.update((n, total, last_ts))
+        state.update((n, units, last_ts))
         if idle_timeout_ms:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [units / 100.0],
                 "last_ts": [last_ts],
             }
         )
@@ -121,9 +129,11 @@ def batch_user_totals(events: DataFrame) -> DataFrame:
     by the oracle to validate the aggregation the stateful op maintains."""
     import pyspark.sql.functions as F
 
+    from news_data_pipeline_spark.functions.exact import exact_sum
+
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("total_value"),
+        exact_sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
 
