@@ -380,3 +380,125 @@ def test_global_running_sum_matches_python_cumsum(spark, rows):
         want[i] = acc
     # integer-valued doubles -> sums exact regardless of association
     assert out == want, (rows, out, want)
+
+
+# --- the exact integer-unit money convention (functions/exact.py) ---------
+#
+# The whole oracle surface leans on one numeric convention: settle each
+# row to output granularity with floor(x*scale + 0.5) (pure IEEE ops —
+# identical in numpy, DuckDB, and Spark), then aggregate the resulting
+# BIGINTs exactly. These tests pin both halves against adversarial
+# doubles parked within ulps of the .xx5 half-cent boundaries where
+# round(sum(double)) flips between engines (round-4 verdict:
+# nation_pair_trade, 11/4179 groups wrong by a cent).
+
+boundary_cents = st.integers(min_value=-400_000, max_value=400_000)
+ulp_nudge = st.integers(min_value=-3, max_value=3)
+
+
+@st.composite
+def adversarial_money(draw):
+    """A double engineered to sit on/next to a half-cent boundary."""
+    import math
+
+    cents = draw(boundary_cents)
+    # exact-thirds, representable halves, and ulp-perturbed halves all
+    # stress a different corner of the settle expression
+    kind = draw(st.integers(min_value=0, max_value=2))
+    if kind == 0:
+        x = (cents * 10 + 5) / 1000.0  # e.g. 2.675 — the classic flip
+    elif kind == 1:
+        x = cents / 300.0  # non-terminating binary fraction
+    else:
+        x = (cents * 10 + 5) / 1000.0
+        for _ in range(abs(draw(ulp_nudge))):
+            x = math.nextafter(x, math.copysign(math.inf, draw(ulp_nudge) or 1))
+    return x
+
+
+@given(st.lists(adversarial_money(), min_size=1, max_size=40))
+@SETTINGS
+def test_settled_units_engine_identical_and_order_free(values):
+    """floor(x*100+0.5) matches DuckDB bit-for-bit per row, and the unit
+    sum is identical under any permutation/partitioning — checked
+    against exact decimal/int arithmetic, which float sums cannot
+    guarantee."""
+    import decimal
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype="float64")
+    np_units = np.floor(arr * 100.0 + 0.5).astype("int64")
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": arr}))
+    duck_units = con.execute(
+        "SELECT CAST(floor(v * 100 + 0.5) AS BIGINT) AS u FROM t"
+    ).df()["u"]
+    assert list(np_units) == [int(u) for u in duck_units]
+
+    # exact reference: arbitrary-precision integer accumulation
+    exact_total = sum(int(decimal.Decimal(int(u))) for u in np_units)
+    rng = random.Random(0)
+    for _ in range(5):
+        perm = list(np_units)
+        rng.shuffle(perm)
+        cut = rng.randrange(len(perm) + 1)
+        partial = int(np.sum(perm[:cut], dtype="int64")) + int(
+            np.sum(perm[cut:], dtype="int64")
+        )
+        assert partial == exact_total
+
+    duck_total = con.execute(
+        "SELECT sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS s FROM t"
+    ).fetchone()[0]
+    assert int(duck_total) == exact_total
+    con.close()
+
+
+def test_exact_sum_avg_spark_duckdb_decimal_agree(spark):
+    """End-to-end: Spark exact_sum/exact_avg == DuckDB oracle mirror ==
+    exact decimal arithmetic, on a fixed adversarial half-cent corpus —
+    value-identical, not tolerance-close."""
+    import decimal
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from news_data_pipeline_spark.functions.exact import (
+        exact_avg,
+        exact_sum,
+        sql_exact_avg,
+        sql_exact_sum,
+    )
+
+    values = [(c * 10 + 5) / 1000.0 for c in range(-200, 200)]
+    values += [c / 300.0 for c in range(-150, 150)]
+    values += [math.nextafter(2.675, d) for d in (0.0, 4.0)] * 50
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    row = df.agg(
+        exact_sum(F.col("v")).alias("s"), exact_avg(F.col("v")).alias("a")
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": values}))
+    ds, da = con.execute(
+        f"SELECT {sql_exact_sum('v')} AS s, {sql_exact_avg('v')} AS a FROM t"
+    ).fetchone()
+    con.close()
+
+    units = [math.floor(v * 100 + 0.5) for v in values]
+    exact_s = float(decimal.Decimal(sum(units)) / 100)
+    assert row["s"] == ds == exact_s
+    # avg reference: floor((2u+n)/(2n)) in exact integer arithmetic is
+    # only guaranteed to match the engines' double-division form while
+    # |2u+n| < 2^53 — which holds here and at every bench scale
+    u4 = [math.floor(v * 10000 + 0.5) for v in values]
+    n = len(values)
+    exact_a = float(decimal.Decimal((2 * sum(u4) + n) // (2 * n)) / 10000)
+    assert row["a"] == da == exact_a
