@@ -210,6 +210,47 @@ def minhash_lsh_dedup_pairs(
     return lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
 
 
+def two_stage_lsh_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(shingles, signatures, candidate_pairs), each materialized ONCE.
+
+    The generate-then-verify consumers (exact-Jaccard scoring, sketch
+    audits) reference the shingle table and the candidate list from
+    several branches; left lazy, every branch re-derives the
+    shingle->MinHash->band lineage from the source scan (measured: 8-12
+    static scans per plan), and at corpus scale re-shingling is the
+    dominant cost. Eager ``localCheckpoint`` truncates the lineage the
+    same way ``connected_components(checkpoint_edges=True)`` does
+    (operators/graph.py — the round-4 fix that took the component
+    queries from 36 scans to 0), so downstream plans replay three cached
+    frames and never touch the source again.
+
+    Signatures are built from the DISTINCT shingle table: MinHash is
+    duplicate-insensitive (min over a multiset == min over its set), so
+    sharing the distinct frame with the Jaccard side loses nothing and
+    saves a second explode. Storage note: the checkpointed blocks live
+    until the RDDs are garbage-collected — callers that need the
+    no-persisted-state contract should keep using the lazy operators.
+    """
+    sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
+        eager=True
+    )
+    sigs = minhash_signatures(
+        sh, num_hashes=bands * rows_per_band
+    ).localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=bands, rows_per_band=rows_per_band
+    ).localCheckpoint(eager=True)
+    return sh, sigs, pairs
+
+
 def exact_dedup_against_corpus(
     new_df: DataFrame, corpus: DataFrame, text_col: str
 ) -> DataFrame:
@@ -791,6 +832,7 @@ def lsh_dedup_representatives(
     bands: int = 4,
     rows_per_band: int = 4,
     max_iter: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Map every document to its near-dup cluster representative —
     WITHOUT enumerating pairs.
@@ -807,6 +849,15 @@ def lsh_dedup_representatives(
     ``max_iter`` bounds transitive-chain depth (clusters chained through
     k distinct buckets need k iterations; duplicate clusters sharing all
     buckets converge in one).
+
+    ``materialize``: eagerly ``localCheckpoint`` the (id, bucket)
+    membership once so each propagation hop replays a cached frame
+    instead of re-deriving the shingle->MinHash lineage per static plan
+    branch (the ``two_stage_lsh_frames`` tradeoff — blocks live until
+    RDD GC). Default False preserves the lazy no-persisted-state
+    contract this operator is test-pinned to: AQE exchange reuse
+    already executes the signature shuffle once even though the static
+    plan repeats the scan.
 
     Returns (id, rep) — keep rows where ``id == rep`` for the deduped
     corpus, or join back for cluster audits.
@@ -832,6 +883,8 @@ def lsh_dedup_representatives(
         .withColumn("bucket", F.concat_ws("#", F.col("band").cast("string"), "bucket"))
         .select("id", "bucket")
     )
+    if materialize:
+        member = member.localCheckpoint(eager=True)
     labels = member.select("id").distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
         bucket_min = (

@@ -217,10 +217,12 @@ def lsh_candidates_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting join. Bucket-collision false positives surface with score
     0.0 for the caller's threshold to drop."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup_pairs(
+    # shingles + candidates materialized once (two_stage_lsh_frames):
+    # the scoring join references both from several branches, and
+    # re-shingling is the dominant cost this side of 100 TB
+    sh, _, pairs = dedup.two_stage_lsh_frames(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
     )
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
     return dedup.jaccard_for_pairs(pairs, sh)
 
 
@@ -1175,7 +1177,7 @@ def lsh_dedup_reps_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     is quadratic per cluster."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.lsh_dedup_representatives(
-        docs, "doc_id", "text", bands=4, rows_per_band=4
+        docs, "doc_id", "text", bands=4, rows_per_band=4, materialize=True
     )
 
 
@@ -2633,13 +2635,11 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-column signature join per candidate; the exact score costs the
     candidates' full shingle mass."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup_pairs(
+    # one materialization feeds all three consumers (estimate branch,
+    # exact branch, candidate list) — previously each re-derived the
+    # shingle->signature lineage, leaving 12 static source scans
+    sh, sig, pairs = dedup.two_stage_lsh_frames(
         docs, "doc_id", "text", shingle_n=3, bands=4, rows_per_band=4
-    )
-    sh = dedup.word_shingles(docs, "doc_id", "text", n=3)
-    sig = dedup.minhash_signatures(
-        dedup.word_shingles(docs, "doc_id", "text", n=3, distinct=False),
-        num_hashes=16,
     )
     a = sig.select(
         F.col("id").alias("id_a"),
