@@ -606,3 +606,48 @@ def test_streaming_rate_anomalies_match_batch_query(spark, tmp_path):
         for r in rs:
             got[(etype, r["hour"])] = (r["n_events"], r["mean_prev"], r["z"])
     assert got == want
+
+
+def test_stateful_totals_exact_across_micro_batches(spark, tmp_path):
+    # The integer-cent state (streaming/state.py) makes the stateful
+    # fold order-independent: any micro-batch split must reproduce the
+    # batch twin EXACTLY (==, not approx), even on values parked on
+    # half-cent boundaries where a double accumulator drifts by
+    # summation order. Three files + maxFilesPerTrigger=1 force three
+    # micro-batches through the state transition.
+    import math
+
+    adversarial = [2.675, 0.005, 1.115, 3.335, 0.045, 9.995, 5.555]
+    rows_per_file = [
+        [
+            (100 + f * 10 + i, ts(f * 3 + i % 3, i), 77 + (i % 2), "view",
+             math.nextafter(v, 4.0 * (i % 2)), None)
+            for i, v in enumerate(adversarial)
+        ]
+        for f in range(3)
+    ]
+    path = str(tmp_path / "adversarial_landing")
+    for f, rows in enumerate(rows_per_file):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = stx.read_event_stream(spark, path, max_files_per_trigger=1)
+    got_df = drain_to_memory(
+        spark, stx.running_user_totals(stream), "t_state_exact", "update"
+    )
+    # update mode appends one row per (user, batch); the LAST row per
+    # user is the converged answer
+    latest = {}
+    for i, r in enumerate(got_df.collect()):
+        latest[r["user_id"]] = (i, r["n_events"], r["total_value"], r["last_ts"])
+    got = {u: v[1:] for u, v in latest.items()}
+
+    all_rows = [r for rows in rows_per_file for r in rows]
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in batch_user_totals(
+            spark.createDataFrame(all_rows, EVENT_SCHEMA)
+        ).collect()
+    }
+    assert got == want
