@@ -1112,7 +1112,7 @@ def lineitem_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round 4: equi-depth binning via partitioned ntile --------------------
 @register(
     "order_price_deciles",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT o_orderpriority AS priority, o_totalprice,
                ntile(10) OVER (
@@ -1123,7 +1123,7 @@ def lineitem_price_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            round(min(o_totalprice), 2) AS lo,
            round(max(o_totalprice), 2) AS hi,
-           round(avg(o_totalprice), 4) AS avg_price
+           {sql_exact_avg('o_totalprice')} AS avg_price
     FROM t GROUP BY priority, decile
     """,
 )
@@ -1150,7 +1150,7 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.min("o_totalprice"), 2).alias("lo"),
             F.round(F.max("o_totalprice"), 2).alias("hi"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            exact_avg(F.col("o_totalprice")).alias("avg_price"),
         )
     )
 
