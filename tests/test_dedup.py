@@ -580,3 +580,42 @@ def test_fingerprint_dedup_preserves_null_text_rows(spark):
         for r in dedup.fingerprint_dedup(df, "body", "doc_id").collect()
     )
     assert kept == [1, 3, 4]
+
+
+def test_two_stage_frames_match_lazy_derivations(spark):
+    # The materialized (shingles, signatures, pairs) triple must be
+    # value-identical to the lazy operators it fronts — the
+    # localCheckpoint is a physical-plan change only.
+    d = docs(spark)
+    sh_m, sig_m, pairs_m = dedup.two_stage_lsh_frames(d, "doc_id", "body")
+    sh = dedup.word_shingles(d, "doc_id", "body", n=3)
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(d, "doc_id", "body", n=3, distinct=False),
+        num_hashes=16,
+    )
+    pairs = dedup.minhash_lsh_dedup_pairs(d, "doc_id", "body")
+    assert sorted(map(tuple, sh_m.collect())) == sorted(map(tuple, sh.collect()))
+    assert sorted(map(tuple, sig_m.collect())) == sorted(map(tuple, sig.collect()))
+    assert sorted(map(tuple, pairs_m.collect())) == sorted(
+        map(tuple, pairs.collect())
+    )
+    # scoring off the materialized frames == scoring off the lazy ones
+    got = sorted(map(tuple, dedup.jaccard_for_pairs(pairs_m, sh_m).collect()))
+    want = sorted(map(tuple, dedup.jaccard_for_pairs(pairs, sh).collect()))
+    assert got == want
+
+
+def test_representatives_materialize_flag_is_plan_only(spark):
+    d = docs(spark)
+    lazy = dict(
+        map(tuple, dedup.lsh_dedup_representatives(d, "doc_id", "body").collect())
+    )
+    mat = dict(
+        map(
+            tuple,
+            dedup.lsh_dedup_representatives(
+                d, "doc_id", "body", materialize=True
+            ).collect(),
+        )
+    )
+    assert lazy == mat
