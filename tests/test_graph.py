@@ -274,3 +274,36 @@ def test_triangle_random_graphs_match_bruteforce(spark):
             (rng.randrange(12), rng.randrange(12)) for _ in range(30)
         ]
         assert _tri(spark, edges) == ref_triangles(edges), edges
+
+
+def test_cc_random_graphs_match_union_find(spark):
+    # Random-graph model check: min-label propagation with enough hops
+    # must agree with a driver-side union-find on every node, including
+    # the min-id-as-label convention. Deterministic seeds, several
+    # shapes (sparse, dense-ish, with self-loops and duplicates).
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        want = {x: find(x) for x in range(n)}
+        # nodes= supplies isolated vertices too; max_iter >= diameter
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        got = _cc(spark, edges, nodes=nodes, max_iter=n)
+        assert got == want, (seed, edges, got, want)
