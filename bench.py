@@ -156,40 +156,54 @@ def main() -> None:
         for name in TAIL_QUERIES
     }
 
+    detail, compact = format_output(
+        timings, minmax, tail_timings, tail_minmax, sf
+    )
+    # Full-detail line first (for humans / BENCH_*_local.json), compact
+    # summary LAST — the driver's stdout-tail capture must always
+    # contain the last line whole (r4's single 2.8 KB detail line was
+    # truncated to "parsed": null).
+    print(detail)
+    sys.stdout.flush()
+    print(compact)
+    spark.stop()
+
+
+def format_output(
+    timings: dict,
+    minmax: dict,
+    tail_timings: dict,
+    tail_minmax: dict,
+    sf,
+) -> tuple[str, str]:
+    """(detail_line, compact_line) — compact MUST stay small and carry
+    the driver-contract fields; pinned by tests/test_functions.py."""
     total = round(sum(timings.values()), 3)
     tail_total = round(sum(tail_timings.values()), 3)
-    # Full-detail line first (for humans / BENCH_*_local.json) ...
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_detail",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_minmax": minmax,
-                "tail_value": tail_total,
-                "tail_queries": tail_timings,
-                "tail_queries_minmax": tail_minmax,
-                "sf": sf,
-            }
-        )
+    detail = json.dumps(
+        {
+            "metric": "headline_query_wall_clock_detail",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_minmax": minmax,
+            "tail_value": tail_total,
+            "tail_queries": tail_timings,
+            "tail_queries_minmax": tail_minmax,
+            "sf": sf,
+        }
     )
-    sys.stdout.flush()
-    # ... compact summary line LAST — this is the one the driver's
-    # stdout-tail capture must always contain whole.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "tail_value": tail_total,
-                "sf": sf,
-            }
-        )
+    compact = json.dumps(
+        {
+            "metric": "headline_query_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "tail_value": tail_total,
+            "sf": sf,
+        }
     )
-    spark.stop()
+    return detail, compact
 
 
 if __name__ == "__main__":

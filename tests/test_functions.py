@@ -169,3 +169,30 @@ def test_global_running_sum_matches_single_window(spark):
     # empty input
     empty = spark.createDataFrame([], "id long, v double")
     assert global_running_sum(empty, "id", "v").count() == 0
+
+
+def test_bench_compact_line_stays_driver_parseable():
+    # The round driver captures only a tail of bench.py's stdout; the
+    # LAST line must be complete, self-sufficient JSON and stay well
+    # under any plausible capture window even with every suite query
+    # timed (r4 regression: one 2.8 KB detail line -> "parsed": null).
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    timings = {name: 1.234 for name in bench.HEADLINE_QUERIES}
+    minmax = {name: [1.1, 1.4] for name in bench.HEADLINE_QUERIES}
+    tail = {name: 2.345 for name in bench.TAIL_QUERIES}
+    tail_mm = {name: [2.1, 2.6] for name in bench.TAIL_QUERIES}
+    detail, compact = bench.format_output(timings, minmax, tail, tail_mm, 0.1)
+    parsed = _json.loads(compact)
+    assert parsed["metric"] == "headline_query_wall_clock"
+    assert {"value", "unit", "queries", "tail_value", "sf"} <= set(parsed)
+    assert parsed["value"] == round(1.234 * len(bench.HEADLINE_QUERIES), 3)
+    assert len(compact) < 1024  # stays inside a conservative tail window
+    assert "\n" not in compact and "\n" not in detail  # one line each
