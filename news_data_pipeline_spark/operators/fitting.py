@@ -141,7 +141,10 @@ def logreg_train(
             .collect()
         )
         g = {r["pos"]: r["g"] for r in grads}
-        w = [w[j] - lr * g[j] for j in range(dims)]
+        # empty training set (or all rows filtered) -> zero gradient:
+        # GD over no data leaves the weights at their init, mirrored in
+        # the SQL oracle by coalesce(avg(...), 0.0)
+        w = [w[j] - lr * g.get(j, 0.0) for j in range(dims)]
     spark = df.sparkSession
     return spark.createDataFrame(
         [(j, round(wj, 6)) for j, wj in enumerate(w)], "pos int, weight double"

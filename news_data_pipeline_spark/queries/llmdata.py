@@ -2671,8 +2671,10 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- round 4: in-engine logistic-regression training step -----------------
+# coalesce(avg, 0): an empty/filtered-out training set yields a ZERO
+# gradient (weights stay at init), matching logreg_train's g.get(j, 0.0)
 _LOGREG_GRAD = lambda p: ", ".join(
-    f"avg(({p} - y) * x{j}) AS g{j}" for j in range(4)
+    f"coalesce(avg(({p} - y) * x{j}), 0.0) AS g{j}" for j in range(4)
 )
 
 
