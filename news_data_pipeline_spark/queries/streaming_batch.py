@@ -16,12 +16,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from news_data_pipeline_spark.functions.exact import (
-    exact_sum,
-    settled_units,
-    sql_exact_sum,
-    sql_units,
-)
+from news_data_pipeline_spark.functions.exact import exact_sum, sql_exact_sum
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
