@@ -619,3 +619,19 @@ def test_representatives_materialize_flag_is_plan_only(spark):
         )
     )
     assert lazy == mat
+
+
+def test_lazy_two_stage_composition_plan_is_clean(spark):
+    # The registered two-stage queries materialize their LSH frames with
+    # localCheckpoint, which TRUNCATES lineage — the registry-wide plan
+    # audit can no longer see inside those stages. Audit the lazy
+    # composition here instead, so a Python UDF or cartesian product
+    # sneaking into the shingle->signature->pairs->jaccard chain cannot
+    # hide behind the checkpoint.
+    d = docs(spark)
+    pairs = dedup.minhash_lsh_dedup_pairs(d, "doc_id", "body")
+    sh = dedup.word_shingles(d, "doc_id", "body", n=3)
+    scored = dedup.jaccard_for_pairs(pairs, sh)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
