@@ -39,8 +39,10 @@ sys.path.insert(0, ROOT)
 # One-time bootstrap invalidations: queries whose oracle/implementation
 # was edited AFTER their last green driver row, so the signature stamped
 # from today's source would not be the verified one. Forced stale until
-# a fresh green row replaces the entry.
-BOOTSTRAP_STALE = {"training_corpus"}
+# a fresh green row replaces the entry. (training_corpus was retired
+# from this set in round 5: its round-4 driver row re-greened the edited
+# code, which is exactly the fresh row the mechanism waits for.)
+BOOTSTRAP_STALE: set[str] = set()
 
 
 def green_names(path: str) -> set[str]:
