@@ -343,3 +343,31 @@ def test_logreg_train_matches_numpy_gd(spark):
     }
     with pytest.raises(ValueError, match="must be >= 1"):
         logreg_train(df, y_col="y", vec_col="v", dims=0)
+
+
+def test_logreg_train_empty_input_keeps_init_weights(spark):
+    # No training rows (empty frame, or every row filtered by the
+    # dims/null guard) -> zero gradient -> weights stay at the zero
+    # init. Regression for the r5 empty-input sweep (KeyError on the
+    # collected gradient of an empty aggregate).
+    from news_data_pipeline_spark.operators.fitting import logreg_train
+
+    empty = spark.createDataFrame([], "y double, v array<double>")
+    got = {
+        r["pos"]: r["weight"]
+        for r in logreg_train(
+            empty, y_col="y", vec_col="v", dims=3, iters=2
+        ).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}
+
+    too_short = spark.createDataFrame(
+        [(1.0, [0.5])], "y double, v array<double>"
+    )
+    got2 = {
+        r["pos"]: r["weight"]
+        for r in logreg_train(
+            too_short, y_col="y", vec_col="v", dims=3, iters=2
+        ).collect()
+    }
+    assert got2 == {0: 0.0, 1: 0.0, 2: 0.0}
