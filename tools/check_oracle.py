@@ -156,74 +156,107 @@ def rows_equal(a: list[tuple], b: list[tuple]) -> tuple[bool, str, int]:
     return True, "", 0
 
 
+def check_one(spark, duck_local, sf_dir, name, fn, oracle):
+    """(line, failed, rescued_count) for one query — thread-safe: Spark
+    actions are concurrency-safe on one session; DuckDB connections are
+    NOT, so each worker thread opens its own via ``duck_local``."""
+    t0 = time.time()
+    try:
+        frame = fn(spark, sf_dir)
+        bad = collection_columns(frame)
+        if bad:
+            # the driver's canonicalizer (pandas sort_values over
+            # every column) crashes on ndarray/dict cells — fail the
+            # same class locally instead of tuple-izing it away
+            return (
+                f"FAIL {name}: top-level collection column(s) {bad} "
+                "— driver canonicalizer cannot hash these; explode "
+                "to rows or array_join to a string",
+                True,
+                0,
+            )
+        sdf = frame.toPandas()
+    except Exception:
+        return (f"FAIL {name}: spark raised\n{traceback.format_exc()}", True, 0)
+    if oracle is None:
+        return (
+            f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)",
+            False,
+            0,
+        )
+    try:
+        if not hasattr(duck_local, "con"):
+            duck_local.con = duck_connection(sf_dir)
+        ddf = duck_local.con.execute(oracle).df()
+    except Exception:
+        return (f"FAIL {name}: duckdb raised\n{traceback.format_exc()}", True, 0)
+    scols, srows = frame_to_multiset(sdf)
+    dcols, drows = frame_to_multiset(ddf)
+    if scols != dcols:
+        return (f"FAIL {name}: columns {scols} vs {dcols}", True, 0)
+    ok, why, rescued = rows_equal(srows, drows)
+    if not ok:
+        return (f"FAIL {name}: {why}", True, rescued)
+    return (
+        f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)",
+        False,
+        0,
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import argparse
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="subset of query names")
+    ap.add_argument(
+        "--jobs",
+        type=int,
+        default=4,
+        help="concurrent query checks (Spark scheduler interleaves the "
+        "jobs; each worker thread gets its own DuckDB connection)",
+    )
+    args = ap.parse_args()
+    sf_dir, only = args.sf_dir, set(args.names)
 
     import __spark_entry__ as entrymod
     from news_data_pipeline_spark.session import get_spark
 
     spark = get_spark("oracle-check")
-    con = duck_connection(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    duck_local = threading.local()
 
+    todo = [
+        (name, fn) for name, fn in qs.items() if not only or name in only
+    ]
     failures = []
     tolerance_rescued = []
-    executed = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        executed += 1
-        t0 = time.time()
-        try:
-            frame = fn(spark, sf_dir)
-            bad = collection_columns(frame)
-            if bad:
-                # the driver's canonicalizer (pandas sort_values over
-                # every column) crashes on ndarray/dict cells — fail the
-                # same class locally instead of tuple-izing it away
-                print(
-                    f"FAIL {name}: top-level collection column(s) {bad} "
-                    "— driver canonicalizer cannot hash these; explode "
-                    "to rows or array_join to a string"
-                )
+    with ThreadPoolExecutor(max_workers=max(1, args.jobs)) as pool:
+        results = pool.map(
+            lambda nf: (
+                nf[0],
+                check_one(
+                    spark, duck_local, sf_dir, nf[0], nf[1], oracles.get(nf[0])
+                ),
+            ),
+            todo,
+        )
+        for name, (line, failed, rescued) in results:
+            print(line, flush=True)
+            if failed:
                 failures.append(name)
-                continue
-            sdf = frame.toPandas()
-        except Exception:
-            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
-            continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception:
-            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
-            failures.append(name)
-            continue
-        scols, srows = frame_to_multiset(sdf)
-        dcols, drows = frame_to_multiset(ddf)
-        if scols != dcols:
-            print(f"FAIL {name}: columns {scols} vs {dcols}")
-            failures.append(name)
-            continue
-        ok, why, rescued = rows_equal(srows, drows)
-        if not ok:
-            print(f"FAIL {name}: {why}")
-            failures.append(name)
-            if rescued:
-                tolerance_rescued.append((name, rescued))
-        else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+                if rescued:
+                    tolerance_rescued.append((name, rescued))
 
     if tolerance_rescued:
         print("\nTOLERANCE-RESCUED (exact-failing) queries:")
         for name, n in tolerance_rescued:
             print(f"  {name}: {n} cell(s)")
-    print(f"\n{executed - len(failures)}/{executed} queries ok")
+    print(f"\n{len(todo) - len(failures)}/{len(todo)} queries ok")
     return 1 if failures else 0
 
 
