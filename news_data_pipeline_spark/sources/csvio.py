@@ -17,6 +17,14 @@ source forbids plans referencing only its internal corrupt column
 exists for. The text scan still splits, prunes, and parallelizes like
 any file source, and the parse is JVM-side Univocity either way.
 
+Relationship to ``sources/files.py::read_csv_with_quarantine``: that is
+the file-source fast path (PERMISSIVE CSV source, corrupt rows kept by
+carrying the typed columns alongside — the SPARK-26243 workaround).
+This module is the expression-parse path, exactly as ``jsonl.py`` is
+for ``read_json_with_quarantine``: use it when the plan touches ONLY
+the quarantine column, or for the bounded-shard ``write_csv`` the file
+path has no twin for.
+
 Headers: a text scan has no per-file "first line" notion, so
 ``skip_header=True`` drops lines that EXACTLY match the canonical
 header (schema field names joined by the delimiter) — the header shape
