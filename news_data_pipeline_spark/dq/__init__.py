@@ -12,6 +12,11 @@ from news_data_pipeline_spark.dq.rules import (
     config_to_rules,
 )
 from news_data_pipeline_spark.dq.profile import profile_columns, suggest_rules
+from news_data_pipeline_spark.dq.drift import (
+    population_stability_index,
+    schema_drift,
+    schema_drift_report,
+)
 from news_data_pipeline_spark.dq.engine import (
     DQResult,
     from_quarantine_records,
@@ -34,6 +39,9 @@ __all__ = [
     "config_to_rules",
     "from_quarantine_records",
     "profile_columns",
+    "population_stability_index",
+    "schema_drift",
+    "schema_drift_report",
     "run_dq",
     "suggest_rules",
     "to_quarantine_records",

@@ -524,3 +524,98 @@ def test_fd_multi_column_determinant_and_validation(spark):
         FunctionalDependency(dependent="v")
     with pytest.raises(TypeError):
         FunctionalDependency("g", "v")  # dependent is keyword-only
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_schema_drift_kinds():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from news_data_pipeline_spark.dq.drift import schema_drift
+
+    expected = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("name", StringType(), True),
+            StructField("score", DoubleType(), True),
+            StructField("gone", StringType(), True),
+        ]
+    )
+    observed = StructType(
+        [
+            StructField("id", LongType(), True),       # nullability loosened
+            StructField("name", LongType(), True),     # retyped
+            StructField("score", DoubleType(), True),  # unchanged
+            StructField("extra", StringType(), True),  # added
+        ]
+    )
+    drift = {(c, k): (e, o) for c, k, e, o in schema_drift(expected, observed)}
+    assert ("gone", "missing") in drift
+    assert drift[("name", "type_changed")] == ("string", "bigint")
+    assert ("id", "nullability_tightened") in drift
+    assert ("extra", "added") in drift
+    assert not any(c == "score" for c, _ in drift)
+    assert schema_drift(expected, expected) == []
+
+
+def test_schema_drift_report_frame(spark):
+    from news_data_pipeline_spark.dq.drift import schema_drift_report
+
+    a = spark.createDataFrame([(1, "x")], "id long, name string")
+    b = spark.createDataFrame([(1,)], "id long")
+    rows = schema_drift_report(spark, a, b).collect()
+    assert [(r["column"], r["kind"]) for r in rows] == [("name", "missing")]
+    assert schema_drift_report(spark, a, a).count() == 0
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    vals = [(float(i % 10),) for i in range(1000)]
+    ref = spark.createDataFrame(vals, "v double")
+    psi, detail = population_stability_index(ref, ref, "v", lo=0.0, hi=10.0)
+    assert psi == 0.0
+    # identical frames -> identical per-bin proportions
+    assert all(r["ref_p"] == r["cur_p"] for r in detail.collect())
+
+
+def test_psi_shift_detected_and_matches_reference_formula(spark):
+    import math
+
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    ref_vals = [(float(i % 10),) for i in range(1000)]       # uniform 0-9
+    cur_vals = [(float(i % 5),) for i in range(1000)]        # mass in 0-4
+    ref = spark.createDataFrame(ref_vals, "v double")
+    cur = spark.createDataFrame(cur_vals, "v double")
+    psi, _ = population_stability_index(
+        ref, cur, "v", lo=0.0, hi=10.0, bins=10
+    )
+    # textbook PSI for (0.1 each) -> (0.2 x5, eps x5), eps=1e-6
+    eps = 1e-6
+    want = 5 * (0.2 - 0.1) * math.log(0.2 / 0.1) + 5 * (eps - 0.1) * math.log(
+        eps / 0.1
+    )
+    assert psi == round(want, 6)
+    assert psi > 0.25  # action threshold for a shift this hard
+
+
+def test_psi_nulls_and_outliers_are_visible(spark):
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    cur = spark.createDataFrame(
+        [(None,)] * 50 + [(1e9,)] * 50, "v double"
+    )
+    psi, detail = population_stability_index(ref, cur, "v", lo=0.0, hi=10.0)
+    by_bin = {r["bin"]: r for r in detail.collect()}
+    assert by_bin[-1]["cur_n"] == 50        # nulls got their own bin
+    assert by_bin[9]["cur_n"] == 50         # outliers clamp into the top bin
+    assert psi > 0.25
