@@ -186,10 +186,48 @@ class VersionedLayer:
         self._commit(spark, version)
         return version
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        version = self.current_version(spark)
+    def versions(self, spark: SparkSession) -> list[str]:
+        """Retained COMPLETE versions (staged with ``_SUCCESS``),
+        oldest-first by modification time, current included. The
+        time-travel horizon is whatever ``vacuum(keep=n)`` retains —
+        same contract as Delta's ``VACUUM`` truncating ``VERSION AS OF``
+        history."""
+        jvm, fs = self._fs(spark)
+        root = jvm.org.apache.hadoop.fs.Path(self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for f in fs.listStatus(root):
+            name = f.getPath().getName()
+            if (
+                f.isDirectory()
+                and name.startswith("v_")
+                and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{name}/_SUCCESS"
+                    )
+                )
+            ):
+                out.append((f.getModificationTime(), name))
+        out.sort()
+        return [name for _, name in out]
+
+    def read(
+        self, spark: SparkSession, *, version: str | None = None
+    ) -> DataFrame:
+        """Read the current version, or — time travel — any retained
+        complete version by name (``versions()`` lists them)."""
         if version is None:
-            raise IOError(f"versioned layer at {self.path} has no committed version")
+            version = self.current_version(spark)
+            if version is None:
+                raise IOError(
+                    f"versioned layer at {self.path} has no committed version"
+                )
+        elif version not in self.versions(spark):
+            raise IOError(
+                f"version {version!r} is not a retained complete version "
+                f"of {self.path} (vacuumed, never staged, or incomplete)"
+            )
         return read_layer(
             spark, f"{self.path}/{version}", fmt=self.fmt, require_success=True
         )

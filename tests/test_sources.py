@@ -584,3 +584,27 @@ def test_csv_schema_guards(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "a INT")
     with pytest.raises(ValueError, match="max_records_per_file"):
         write_csv(df, str(tmp_path / "x"), max_records_per_file=0)
+
+
+def test_versioned_layer_time_travel(spark, tmp_path):
+    import pytest
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "gold"))
+    v1 = layer.overwrite(spark.createDataFrame([(1,)], "x long"))
+    v2 = layer.overwrite(spark.createDataFrame([(2,)], "x long"))
+    assert layer.versions(spark) == [v1, v2]
+    # default read follows the pointer; named read time-travels
+    assert [r["x"] for r in layer.read(spark).collect()] == [2]
+    assert [r["x"] for r in layer.read(spark, version=v1).collect()] == [1]
+    with pytest.raises(IOError, match="not a retained"):
+        layer.read(spark, version="v_nonexistent")
+    # a staged-but-uncommitted version is still complete -> readable
+    with pytest.raises(RuntimeError, match="injected crash"):
+        layer.overwrite(
+            spark.createDataFrame([(3,)], "x long"), _failpoint="after_stage"
+        )
+    v3 = [v for v in layer.versions(spark) if v not in (v1, v2)][0]
+    assert [r["x"] for r in layer.read(spark, version=v3).collect()] == [3]
+    assert [r["x"] for r in layer.read(spark).collect()] == [2]  # pointer untouched
