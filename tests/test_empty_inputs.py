@@ -43,3 +43,30 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting the full list
             failures.append((name, repr(ex)[:120]))
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def single_row_sf_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sf_one"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        df.limit(1).coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/{t}.parquet"
+        )
+    return path
+
+
+def test_every_query_survives_single_row_tables(spark, single_row_sf_dir):
+    # n=1 exercises the other degenerate frontier: stddev/variance of
+    # one value (null), windows with one row, percentiles without
+    # interpolation neighbors, self-joins with no second partner —
+    # none of it may throw.
+    import __spark_entry__ as entry
+
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            fn(spark, single_row_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, repr(ex)[:120]))
+    assert not failures, failures
