@@ -102,3 +102,21 @@ def test_recorded_file_env_override(tmp_path, monkeypatch):
     assert q._recorded_file() == tmp_path / "R.txt"
     monkeypatch.delenv("SPARK_GRAFT_RECORDED")
     assert q._recorded_file().name == "RECORDED.txt"
+
+
+def test_every_registered_query_has_an_oracle_twin():
+    # README/COVERAGE claim: zero rows-only queries — every name in
+    # queries() carries an executable ANSI-SQL twin. Pin it so a
+    # future registration can't silently weaken the correctness gate.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == [], f"queries without oracles: {missing}"
+    empty = sorted(n for n, sql in oracles.items() if not sql.strip())
+    assert empty == [], f"blank oracles: {empty}"
+    orphaned = sorted(set(oracles) - set(qs))
+    assert orphaned == [], f"oracles without queries: {orphaned}"
