@@ -49,12 +49,16 @@ def read_csv(
     *,
     delimiter: str = ",",
     skip_header: bool = False,
+    streaming: bool = False,
 ) -> DataFrame:
     """Read CSV with a DECLARED schema; malformed lines surface in the
     ``_corrupt_record`` column instead of vanishing. Compose with
     ``sources.jsonl.split_corrupt_records`` for the (valid, quarantine)
     split — the corrupt column is an ordinary expression here, so both
-    populations are plain filters.
+    populations are plain filters. ``streaming=True`` reads the same
+    landing directory incrementally (``readStream.text``); parse,
+    header-skip, and split are all stateless expressions, so batch and
+    stream produce identical rows per file.
     """
     struct = _as_struct(spark, schema)
     if CORRUPT_COL in struct.fieldNames():
@@ -65,7 +69,11 @@ def read_csv(
     with_corrupt = StructType(
         list(struct.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    lines = spark.read.text(path)
+    lines = (
+        spark.readStream.format("text").load(path)
+        if streaming
+        else spark.read.text(path)
+    )
     if skip_header:
         header = delimiter.join(f.name for f in struct.fields)
         lines = lines.where(F.col("value") != F.lit(header))

@@ -28,10 +28,19 @@ def _as_struct(spark: SparkSession, schema: str | StructType) -> StructType:
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: str | StructType
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    *,
+    streaming: bool = False,
 ) -> DataFrame:
     """Read JSONL with a DECLARED schema; malformed lines surface in the
     ``_corrupt_record`` column instead of vanishing.
+
+    ``streaming=True`` swaps the text scan for ``readStream.text`` —
+    every downstream expression here is stateless, so the same parse +
+    quarantine semantics run incrementally over a landing directory
+    (``split_corrupt_records`` stays two plain filters on the stream).
 
     Implementation: the file is scanned as TEXT and each line parsed
     with ``from_json`` in PERMISSIVE mode — a line that is not valid
@@ -54,7 +63,12 @@ def read_jsonl(
     with_corrupt = StructType(
         list(struct.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    parsed = spark.read.text(path).select(
+    lines = (
+        spark.readStream.format("text").load(path)
+        if streaming
+        else spark.read.text(path)
+    )
+    parsed = lines.select(
         F.from_json(
             F.col("value"),
             with_corrupt,

@@ -651,3 +651,42 @@ def test_stateful_totals_exact_across_micro_batches(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_jsonl_and_csv_quarantine_ingestion(spark, tmp_path):
+    # The declared-schema + corrupt-line-quarantine readers run the SAME
+    # stateless expressions under readStream — prove both formats parse
+    # incrementally and quarantine the same lines the batch path does.
+    from news_data_pipeline_spark.sources.csvio import read_csv
+    from news_data_pipeline_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt_records,
+    )
+
+    jdir = tmp_path / "jsonl_landing"
+    jdir.mkdir()
+    (jdir / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "also ok"}\n'
+    )
+    stream = read_jsonl(spark, str(jdir), "id INT, name STRING", streaming=True)
+    assert stream.isStreaming
+    valid, corrupt = split_corrupt_records(stream)
+    got_valid = drain_to_memory(spark, valid, "t_jsonl_valid", "append")
+    got_corrupt = drain_to_memory(spark, corrupt, "t_jsonl_corrupt", "append")
+    assert sorted(map(tuple, got_valid.collect())) == [(1, "ok"), (2, "also ok")]
+    assert [r["payload"] for r in got_corrupt.collect()] == ["this is not json"]
+
+    cdir = tmp_path / "csv_landing"
+    cdir.mkdir()
+    (cdir / "a.csv").write_text("id,name\n1,ok\nx,bad\n")
+    cstream = read_csv(
+        spark, str(cdir), "id INT, name STRING", skip_header=True, streaming=True
+    )
+    assert cstream.isStreaming
+    cvalid, ccorrupt = split_corrupt_records(cstream)
+    got_cv = drain_to_memory(spark, cvalid, "t_csv_valid", "append")
+    got_cc = drain_to_memory(spark, ccorrupt, "t_csv_corrupt", "append")
+    assert sorted(map(tuple, got_cv.collect())) == [(1, "ok")]
+    assert [r["payload"] for r in got_cc.collect()] == ["x,bad"]
