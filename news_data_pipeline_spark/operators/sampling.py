@@ -147,3 +147,102 @@ def mixture_sample(
         F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
     )
     return df.where(hash_bucket(keyed) < thr)
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float,
+    budget_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-group keep-rates realizing a temperature-flattened mixture —
+    the multilingual-corpus reweighting standard (XLM-R uses alpha=0.3,
+    mT5 0.3-0.7; alpha=1 keeps the natural mixture, alpha=0 targets
+    uniform, matching the uniform-target balance-weights query).
+
+    Target mixture q_g proportional to p_g^alpha (p_g = group share);
+    with an overall row budget of ``budget_fraction * N``, group g's
+    keep-rate is ``min(1, q_g * budget * N / n_g)`` — capped, because a
+    small group can't be up-sampled past keeping everything (true
+    up-sampling is repetition, a separate policy decision this operator
+    deliberately does not smuggle in).
+
+    Fully distributed: one count aggregate, then normalizations as
+    windows over the GROUPS frame (bounded rows — sources/languages,
+    not documents); no driver collect, no group-count cap. Feed the
+    result straight to ``mixture_sample_by_rates``. NULL groups count
+    as their own group (they exist in the corpus; a mixture that
+    ignores them silently ships them all).
+    """
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if not 0.0 < budget_fraction <= 1.0:
+        raise ValueError(
+            f"budget_fraction must be in (0,1], got {budget_fraction}"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    p = F.col("n") / F.sum("n").over(w)
+    qraw = F.pow(p, F.lit(alpha))
+    q = (qraw / F.sum(qraw).over(w)).alias("q")
+    return (
+        counts.select(
+            group_col,
+            "n",
+            p.alias("p"),
+            q,
+            F.sum("n").over(w).alias("__N"),
+        )
+        .select(
+            group_col,
+            "n",
+            "p",
+            "q",
+            F.least(
+                F.lit(1.0),
+                F.col("q") * F.lit(budget_fraction) * F.col("__N") / F.col("n"),
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample_by_rates(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: DataFrame,
+    *,
+    rate_col: str = "rate",
+    salt: str = "mix:",
+) -> DataFrame:
+    """``mixture_sample`` with the rates as a FRAME instead of a dict —
+    the high-cardinality shape: a dict compiles to an O(groups) CASE
+    chain in the plan, while this broadcast-joins the (group, rate)
+    frame and filters with the same salted row-hash, so ten thousand
+    source domains cost one small join, not ten thousand plan nodes.
+    Groups absent from ``rates`` (including NULL, unless present as a
+    row) drop — pass an explicit rate for every group you want kept;
+    ``temperature_mixture_rates`` emits exactly that."""
+    r = rates.select(
+        F.col(group_col).alias("__g"), F.col(rate_col).alias("__rate")
+    )
+    keyed = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>")),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
+    )
+    joined = df.join(
+        F.broadcast(r),
+        F.col(group_col).eqNullSafe(F.col("__g")),
+        "inner",
+    )
+    return (
+        joined.where(
+            hash_bucket(keyed) < F.round(F.col("__rate") * _BUCKETS)
+        )
+        .drop("__g", "__rate")
+    )

@@ -89,3 +89,91 @@ def test_strata_tuples_do_not_collide(spark):
         by_stratum[(r["s1"], r["s2"])].add(r["doc_id"])
     # identical key sets would mean the strata share one salt
     assert by_stratum[("x", "yz")] != by_stratum[("xy", "z")]
+
+
+def test_temperature_rates_match_python_reference(spark):
+    import math
+
+    from news_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    # skewed corpus: en 700, fr 250, sw 50
+    rows = (
+        [(i, "en") for i in range(700)]
+        + [(700 + i, "fr") for i in range(250)]
+        + [(950 + i, "sw") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r["lang"]: (r["n"], r["p"], r["q"], r["rate"])
+        for r in temperature_mixture_rates(df, "lang", alpha=0.3).collect()
+    }
+    n = {"en": 700, "fr": 250, "sw": 50}
+    p = {k: v / 1000 for k, v in n.items()}
+    qraw = {k: v ** 0.3 for k, v in p.items()}
+    z = sum(qraw.values())
+    for k in n:
+        nk, pk, qk, rk = got[k]
+        assert nk == n[k]
+        assert pk == pytest.approx(p[k])
+        assert qk == pytest.approx(qraw[k] / z)
+        assert rk == pytest.approx(min(1.0, (qraw[k] / z) * 1000 / n[k]))
+    # alpha=0.3 flattens: minority keeps everything, majority down-samples
+    assert got["sw"][3] == 1.0
+    assert got["en"][3] < 1.0
+    # alpha=1 reproduces the natural mixture exactly: every rate 1
+    nat = temperature_mixture_rates(df, "lang", alpha=1.0).collect()
+    assert all(r["rate"] == pytest.approx(1.0) for r in nat)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_rates(df, "lang", alpha=-0.1)
+
+
+def test_mixture_sample_by_rates_matches_dict_variant(spark):
+    from news_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+        mixture_sample_by_rates,
+    )
+
+    rows = [(i, ["web", "wiki"][i % 2]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = {"web": 0.25, "wiki": 1.0}
+    want = sorted(
+        r["doc_id"]
+        for r in mixture_sample(
+            df, "doc_id", "src", rates=rates, default_rate=0.0
+        ).collect()
+    )
+    rframe = spark.createDataFrame(
+        list(rates.items()), "src string, rate double"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in mixture_sample_by_rates(
+            df, "doc_id", "src", rframe
+        ).collect()
+    )
+    # identical salted row-hash -> identical kept set, join or CASE
+    assert got == want
+    assert 0 < len(got) < 400
+
+
+def test_temperature_rates_then_sample_realizes_mixture(spark):
+    from news_data_pipeline_spark.operators.sampling import (
+        mixture_sample_by_rates,
+        temperature_mixture_rates,
+    )
+
+    rows = (
+        [(i, "en") for i in range(4000)]
+        + [(4000 + i, "sw") for i in range(400)]
+        + [(4400 + i, None) for i in range(100)]  # null group participates
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = temperature_mixture_rates(df, "lang", alpha=0.0)
+    kept = mixture_sample_by_rates(df, "doc_id", "lang", rates)
+    by = {r["lang"]: r["count"] for r in kept.groupBy("lang").count().collect()}
+    # alpha=0 targets UNIFORM thirds of 4500: ~1500 each; the small
+    # groups cap at keeping everything, en down-samples toward its share
+    assert by[None] == 100 and by["sw"] == 400
+    assert 1300 <= by["en"] <= 1700
