@@ -246,3 +246,54 @@ def mixture_sample_by_rates(
         )
         .drop("__g", "__rate")
     )
+
+
+def repeat_sample_by_rates(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    rates: DataFrame,
+    *,
+    rate_col: str = "rate",
+    salt: str = "rep:",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Mixture application where rates may EXCEED 1: rate 2.7 keeps two
+    full copies of every row plus a deterministic 70% third copy — the
+    epoch-style up-sampling of small high-quality sources (e.g.
+    Wikipedia x3) that down-sampling-only mixtures can't express.
+
+    Each output row carries ``copy_col`` (1..k) so downstream exact
+    dedup doesn't silently undo the repetition and the training export
+    can interleave copies across epochs. The fractional copy uses the
+    same salted row-hash as ``mixture_sample`` — reproducible, nested
+    (raising a rate only ever ADDS copies), and engine-mirrorable.
+    Row explosion is `sequence` + `explode` — codegen'd, no Python.
+    Groups absent from ``rates`` drop, as in ``mixture_sample_by_rates``.
+    """
+    r = rates.select(
+        F.col(group_col).alias("__g"), F.col(rate_col).alias("__rate")
+    )
+    bad = r.where(F.col("__rate") < 0).limit(1).collect()
+    if bad:
+        raise ValueError(f"negative rate for group {bad[0]['__g']!r}")
+    keyed = F.concat_ws(
+        "\x1f",
+        F.lit(salt),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("<NULL>")),
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")),
+    )
+    joined = df.join(
+        F.broadcast(r), F.col(group_col).eqNullSafe(F.col("__g")), "inner"
+    )
+    full = F.floor(F.col("__rate")).cast("int")
+    frac = F.col("__rate") - full
+    n_copies = full + (
+        hash_bucket(keyed) < F.round(frac * _BUCKETS)
+    ).cast("int")
+    return (
+        joined.withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__g", "__rate", "__n")
+    )

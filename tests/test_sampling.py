@@ -92,8 +92,6 @@ def test_strata_tuples_do_not_collide(spark):
 
 
 def test_temperature_rates_match_python_reference(spark):
-    import math
-
     from news_data_pipeline_spark.operators.sampling import (
         temperature_mixture_rates,
     )
@@ -177,3 +175,45 @@ def test_temperature_rates_then_sample_realizes_mixture(spark):
     # groups cap at keeping everything, en down-samples toward its share
     assert by[None] == 100 and by["sw"] == 400
     assert 1300 <= by["en"] <= 1700
+
+
+def test_repeat_sample_up_and_down_weights(spark):
+    from news_data_pipeline_spark.operators.sampling import (
+        mixture_sample_by_rates,
+        repeat_sample_by_rates,
+    )
+
+    rows = [(i, "wiki" if i < 100 else "web") for i in range(1100)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    rates = spark.createDataFrame(
+        [("wiki", 2.5), ("web", 0.3)], "src string, rate double"
+    )
+    out = repeat_sample_by_rates(df, "doc_id", "src", rates)
+    by = {r["src"]: r["count"] for r in out.groupBy("src").count().collect()}
+    # wiki: 2 full copies of 100 + ~50% third copy
+    assert 230 <= by["wiki"] <= 270
+    # web: fractional-only -> identical kept SET as the filter variant
+    web_filter = sorted(
+        r["doc_id"]
+        for r in mixture_sample_by_rates(
+            df, "doc_id", "src", rates, salt="rep:"
+        ).collect()
+        if r["src"] == "web"
+    )
+    web_repeat = sorted(
+        r["doc_id"] for r in out.collect() if r["src"] == "web"
+    )
+    assert web_repeat == web_filter
+    # copy numbering: every wiki doc kept has copies 1..k contiguous
+    wiki = {}
+    for r in out.collect():
+        if r["src"] == "wiki":
+            wiki.setdefault(r["doc_id"], []).append(r["copy"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in wiki.values())
+    assert all(len(v) in (2, 3) for v in wiki.values())
+
+    import pytest
+
+    bad = spark.createDataFrame([("wiki", -0.1)], "src string, rate double")
+    with pytest.raises(ValueError, match="negative rate"):
+        repeat_sample_by_rates(df, "doc_id", "src", bad)
