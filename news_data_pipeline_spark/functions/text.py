@@ -207,3 +207,4 @@ def pii_count(col: Column) -> Column:
     phone shape) count once, matching what redaction actually did."""
     tokens = "|".join(t for _, t in PII_PATTERNS)
     return F.regexp_count(redact_pii(col), F.lit(tokens))
+

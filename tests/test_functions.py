@@ -196,3 +196,38 @@ def test_bench_compact_line_stays_driver_parseable():
     assert parsed["value"] == round(1.234 * len(bench.HEADLINE_QUERIES), 3)
     assert len(compact) < 1024  # stays inside a conservative tail window
     assert "\n" not in compact and "\n" not in detail  # one line each
+
+
+def test_normalize_unicode_forms_and_nulls(spark):
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.unicode_norm import (
+        normalize_unicode,
+    )
+
+    rows = [
+        ("ﬁle",),          # ligature fi + "le"
+        ("café",),        # decomposed accent
+        ("plain",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_unicode(F.col("t"), form="NFKC").alias("n")
+        ).collect()
+    ]
+    assert got == ["file", "café", "plain", None]
+    # NFC keeps compatibility characters (the ligature survives)
+    nfc = [
+        r["n"]
+        for r in df.select(
+            normalize_unicode(F.col("t"), form="NFC").alias("n")
+        ).collect()
+    ]
+    assert nfc[0] == "ﬁle" and nfc[1] == "café"
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(F.col("t"), form="NFX")
