@@ -37,3 +37,34 @@ def normalize_unicode(col: Column, *, form: str = "NFKC") -> Column:
         )
 
     return _norm(col)
+
+
+def compression_ratio(col: Column, *, level: int = 6) -> Column:
+    """Per-document zlib compression ratio (compressed/original bytes) —
+    the classic repetitiveness signal for corpus quality filtering:
+    templated or boilerplate-looped text compresses far below natural
+    prose (~0.3-0.6), machine-generated repetition approaches the
+    run-length floor, and high-entropy junk exceeds ~1. Same
+    Arrow-batch budget as ``normalize_unicode``: the JVM has no
+    per-row compressor expression. Null -> null, empty -> null (no
+    bytes to measure — a 0-byte document is a length-rule concern,
+    not a redundancy one).
+    """
+    import zlib
+
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in [1, 9], got {level}")
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return s.map(one)
+
+    return _ratio(col)

@@ -231,3 +231,34 @@ def test_normalize_unicode_forms_and_nulls(spark):
     assert nfc[0] == "ﬁle" and nfc[1] == "café"
     with pytest.raises(ValueError, match="form"):
         normalize_unicode(F.col("t"), form="NFX")
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.unicode_norm import (
+        compression_ratio,
+    )
+
+    rows = [
+        ("spam ham " * 500,),                          # pure repetition
+        ("The quick brown fox jumps over the lazy dog. "
+         "Pack my box with five dozen liquor jugs. "
+         "Sphinx of black quartz, judge my vow. " * 12,),  # prose-ish
+        ("",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        r["r"]
+        for r in df.select(compression_ratio(F.col("t")).alias("r")).collect()
+    ]
+    rep, prose, empty, null = got
+    assert rep is not None and prose is not None
+    assert rep < 0.02          # run-length floor for pure repetition
+    assert rep < prose         # repetition compresses (much) better
+    assert empty is None and null is None
+    with pytest.raises(ValueError, match="level"):
+        compression_ratio(F.col("t"), level=0)
