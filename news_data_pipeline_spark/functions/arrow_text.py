@@ -1,5 +1,4 @@
-"""Unicode normalization — the one text primitive that needs an Arrow
-stage.
+"""Arrow-path text primitives — the text ops the JVM cannot express.
 
 ``functions/text.py`` is deliberately pure Catalyst; this module holds
 the exception. Spark has no NFC/NFKC builtin, and normalization MUST

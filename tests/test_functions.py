@@ -203,7 +203,7 @@ def test_normalize_unicode_forms_and_nulls(spark):
 
     import pyspark.sql.functions as F
 
-    from news_data_pipeline_spark.functions.unicode_norm import (
+    from news_data_pipeline_spark.functions.arrow_text import (
         normalize_unicode,
     )
 
@@ -238,7 +238,7 @@ def test_compression_ratio_separates_repetition_from_prose(spark):
 
     import pyspark.sql.functions as F
 
-    from news_data_pipeline_spark.functions.unicode_norm import (
+    from news_data_pipeline_spark.functions.arrow_text import (
         compression_ratio,
     )
 
