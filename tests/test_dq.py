@@ -619,3 +619,23 @@ def test_psi_nulls_and_outliers_are_visible(spark):
     assert by_bin[-1]["cur_n"] == 50        # nulls got their own bin
     assert by_bin[9]["cur_n"] == 50         # outliers clamp into the top bin
     assert psi > 0.25
+
+
+def test_psi_edge_bins_and_guards(spark):
+    import pytest
+
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    ref = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    # bins=1: everything lands in one bin -> zero drift vs itself
+    psi, detail = population_stability_index(ref, ref, "v", lo=0.0, hi=10.0, bins=1)
+    assert psi == 0.0
+    assert {r["bin"] for r in detail.collect()} == {-1, 0}
+    with pytest.raises(ValueError, match="bins"):
+        population_stability_index(ref, ref, "v", lo=0.0, hi=1.0, bins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        population_stability_index(ref, ref, "v", lo=1.0, hi=1.0)
+    # empty current frame: all mass vanishes -> large finite PSI, no crash
+    empty = spark.createDataFrame([], "v double")
+    psi2, _ = population_stability_index(ref, empty, "v", lo=0.0, hi=10.0)
+    assert psi2 > 1.0

@@ -608,3 +608,25 @@ def test_versioned_layer_time_travel(spark, tmp_path):
     v3 = [v for v in layer.versions(spark) if v not in (v1, v2)][0]
     assert [r["x"] for r in layer.read(spark, version=v3).collect()] == [3]
     assert [r["x"] for r in layer.read(spark).collect()] == [2]  # pointer untouched
+
+
+def test_csv_custom_delimiter_tsv(spark, tmp_path):
+    from news_data_pipeline_spark.sources.csvio import read_csv, write_csv
+    from news_data_pipeline_spark.sources.jsonl import split_corrupt_records
+
+    df = spark.createDataFrame(
+        [(1, "tab\tseparated? no — quoted", 2.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+    out = str(tmp_path / "tsv")
+    write_csv(df, out, delimiter="\t", header=True)
+    back = read_csv(
+        spark,
+        out,
+        "id INT, name STRING, score DOUBLE",
+        delimiter="\t",
+        skip_header=True,
+    )
+    valid, corrupt = split_corrupt_records(back)
+    assert corrupt.count() == 0
+    assert valid.first()["name"] == "tab\tseparated? no — quoted"
