@@ -21,6 +21,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from news_data_pipeline_spark.functions.exact import settled_round
 from news_data_pipeline_spark.functions.text import fingerprint
 from news_data_pipeline_spark.operators.fanout import fan_out
 
@@ -997,7 +998,12 @@ def span_dedup_stats(
         )
         .withColumn(
             "dup_span_fraction",
-            F.round(F.col("dup_spans") / F.col("n_spans"), 4),
+            # settled_round, not F.round: the ratio of two exact BIGINTs
+            # is the same double on every engine, and floor(x*1e4+0.5)
+            # is a single IEEE op on it — engine- and version-stable,
+            # unlike round() whose half-way handling flipped a driver
+            # hash across DuckDB builds (r5 red).
+            settled_round(F.col("dup_spans") / F.col("n_spans"), 4),
         )
     )
 

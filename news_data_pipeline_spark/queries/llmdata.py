@@ -2296,12 +2296,16 @@ def encoded_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicated_span_fraction",
     oracle="""
     WITH sh AS (
-        SELECT id, array_to_string(ws[i:i+2], ' ') AS shingle
+        -- element concat, not ws[i:i+2] slicing: list-slice bounds
+        -- semantics have shifted across DuckDB releases (r5 driver red);
+        -- concat_ws skips the NULL from an out-of-range index, exactly
+        -- matching Spark's concat_ws over F.get.
+        SELECT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
         FROM (SELECT doc_id AS id,
                      regexp_split_to_array(trim(text), '\\s+') AS ws,
                      unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
               FROM documents) t
-        WHERE array_to_string(ws[i:i+2], ' ') <> ''),
+        WHERE concat_ws(' ', ws[i], ws[i+1], ws[i+2]) <> ''),
     per_doc AS (
         SELECT id, shingle, count(*) AS c FROM sh GROUP BY id, shingle),
     nd AS (
@@ -2309,8 +2313,12 @@ def encoded_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id AS doc_id,
            sum(c) AS n_spans,
            sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS dup_spans,
-           round(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END)
-                 / sum(c)::DOUBLE, 4) AS dup_span_fraction
+           -- settled half-up on an exact-integer ratio: floor is one
+           -- IEEE op, stable across engines AND DuckDB versions, unlike
+           -- round()'s half-way cells (1/32 etc. flipped in r5).
+           floor(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END)
+                 / sum(c)::DOUBLE * 10000 + 0.5) / 10000.0
+               AS dup_span_fraction
     FROM per_doc JOIN nd USING (shingle)
     GROUP BY id
     """,
@@ -2499,9 +2507,15 @@ def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_budget_selection",
     oracle="""
     WITH toks AS (
+        -- lambda-free word count: list_filter's arrow-lambda surface
+        -- has changed across DuckDB releases (r5 driver red). Splitting
+        -- TRIMMED text on \\s+ yields no empty tokens except for the
+        -- all-whitespace string, which the CASE handles — so this is
+        -- the same count as filtering out empties.
         SELECT doc_id, source,
-               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                               w -> length(w) > 0)) AS n_words
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS BIGINT) AS n_words
         FROM documents),
     cum AS (
         SELECT doc_id, source, n_words,
