@@ -83,7 +83,10 @@ def _bin_counts(df: DataFrame, col: str, edges: list[float]) -> DataFrame:
     width = (hi - lo) / nbins
     idx = F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")
     idx = F.least(F.greatest(idx, F.lit(0)), F.lit(nbins - 1))
-    binned = F.when(c.isNull(), F.lit(-1)).otherwise(idx)
+    # NaN is not null: without its own branch, floor(NaN).cast(int) is 0
+    # in non-ANSI Spark and NaN rows would silently land in the lowest
+    # bin — route them to the missing-value bin alongside nulls
+    binned = F.when(c.isNull() | F.isnan(c), F.lit(-1)).otherwise(idx)
     return df.select(binned.alias("bin")).groupBy("bin").agg(
         F.count(F.lit(1)).alias("n")
     )

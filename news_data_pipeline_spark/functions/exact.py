@@ -25,10 +25,11 @@ granularity in exact integer units, then sum the integers.**
 
 Averages use the same settled units plus a floor-based half-up:
 ``floor((2*sum(u) + n) / (2*n))`` — pure IEEE divide + floor on
-identical operands, so sign-safe and engine-identical (integer ``div``
-would also work for non-negative sums, but DuckDB ``//`` and Spark
-``div`` both truncate toward zero, which differs from floor for
-negative quotients — the floor form needs no sign analysis).
+identical operands, so sign-safe and engine-identical. Never use
+integer division for this: Spark ``div`` truncates toward zero, and
+DuckDB ``//`` has CHANGED semantics across releases (truncation in
+1.0, floor division later) — so ``//``/``div`` pairs are both
+sign-unsafe and DuckDB-version-fragile; the floor form is neither.
 
 Semantics note: this computes "sum/avg of per-row values settled to
 10^-dp" rather than "round(sum of raw doubles)". For money columns

@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
+from news_data_pipeline_spark.functions.exact import settled_round
+
 HTML_TAG_RE = "<[^>]*>"
 DOMAIN_RE = r"https?://(?:www\.)?([^/]+)"
 # BPE-ish tokenizer: runs of word chars OR single non-space punctuation.
@@ -128,7 +130,12 @@ def sentiment_label(polarity: Column) -> Column:
 def language_score(col: Column, lang: str) -> Column:
     """Marker-stopword hits per token for one language."""
     hits = _word_matches(col, LANG_MARKERS[lang])
-    return F.round(hits / F.greatest(token_count(col), F.lit(1)).cast("double"), 4)
+    # settled_round, not F.round: marker/token counts are small integers,
+    # so the ratio lands on exact half-way cells (1/32 etc.) where
+    # round() implementations disagree across engines and DuckDB builds
+    return settled_round(
+        hits / F.greatest(token_count(col), F.lit(1)).cast("double"), 4
+    )
 
 
 def detect_language(col: Column, threshold: float = 0.02) -> Column:
@@ -145,12 +152,16 @@ def detect_language(col: Column, threshold: float = 0.02) -> Column:
 
 def punct_ratio(col: Column) -> Column:
     puncts = F.regexp_count(col, F.lit(r"[^\w\s]"))
-    return F.round(puncts / F.greatest(F.length(col), F.lit(1)).cast("double"), 4)
+    # settled integer-ratio round (see language_score)
+    return settled_round(
+        puncts / F.greatest(F.length(col), F.lit(1)).cast("double"), 4
+    )
 
 
 def stopword_ratio(col: Column) -> Column:
     all_stops = tuple(w for ws in LANG_MARKERS.values() for w in ws)
-    return F.round(
+    # settled integer-ratio round (see language_score)
+    return settled_round(
         _word_matches(col, all_stops)
         / F.greatest(word_count(col), F.lit(1)).cast("double"),
         4,
@@ -167,7 +178,9 @@ def quality_score(col: Column) -> Column:
     length_part = F.least(wc / F.lit(50.0), F.lit(1.0)) * 0.5
     punct_part = (F.lit(1.0) - punct_ratio(col)) * 0.3
     band_part = F.when((wc >= 5) & (wc <= 5000), F.lit(0.2)).otherwise(F.lit(0.0))
-    return F.round(length_part + punct_part + band_part, 4)
+    # the parts are rationals with small denominators (50ths, settled
+    # 4dp punct ratio), so half-way cells at 4dp are common — settle
+    return settled_round(length_part + punct_part + band_part, 4)
 
 
 def fingerprint(col: Column) -> Column:

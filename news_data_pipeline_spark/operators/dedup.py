@@ -239,6 +239,16 @@ def two_stage_lsh_frames(
     saves a second explode. Storage note: the checkpointed blocks live
     until the RDDs are garbage-collected — callers that need the
     no-persisted-state contract should keep using the lazy operators.
+
+    Fault-tolerance note (cluster runs): ``localCheckpoint`` truncates
+    lineage WITHOUT replication — the cached blocks live only on the
+    executor that produced them, so a single executor loss after the
+    checkpoint makes the job unrecoverable (there is no lineage left to
+    recompute from). That is the right trade on a single-node session
+    and for short jobs; on a 1000-executor run prefer reliable
+    ``checkpoint()`` to a DFS checkpoint dir, or
+    ``persist(StorageLevel.MEMORY_AND_DISK_2)`` (2x replication) — same
+    lineage-truncation benefit, survives executor churn.
     """
     sh = word_shingles(df, id_col, text_col, n=shingle_n).localCheckpoint(
         eager=True
@@ -440,7 +450,10 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            # settled: common/union is an exact integer ratio, which is
+            # precisely the half-way-cell class where round() flips
+            # across engines/DuckDB builds (r5)
+            settled_round(
                 F.col("common")
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")).cast(
                     "double"
@@ -505,7 +518,8 @@ def jaccard_for_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            # settled integer-ratio round (see ngram_jaccard_pairs)
+            settled_round(
                 F.when(union > 0, shared / union.cast("double")).otherwise(
                     F.lit(0.0)
                 ),
@@ -663,7 +677,8 @@ def repetition_stats(
         )
         .withColumn(
             "dup_gram_ratio",
-            F.round(
+            # settled integer-ratio round (see ngram_jaccard_pairs)
+            settled_round(
                 (F.col("n_grams") - F.col("n_distinct_grams"))
                 / F.col("n_grams").cast("double"),
                 4,
@@ -855,7 +870,9 @@ def lsh_dedup_representatives(
     membership once so each propagation hop replays a cached frame
     instead of re-deriving the shingle->MinHash lineage per static plan
     branch (the ``two_stage_lsh_frames`` tradeoff — blocks live until
-    RDD GC). Default False preserves the lazy no-persisted-state
+    RDD GC, and the same executor-loss caveat applies: localCheckpoint
+    is unreplicated, so on clusters prefer reliable checkpoint()/
+    persist(MEMORY_AND_DISK_2) — see ``two_stage_lsh_frames``). Default False preserves the lazy no-persisted-state
     contract this operator is test-pinned to: AQE exchange reuse
     already executes the signature shuffle once even though the static
     plan repeats the scan.

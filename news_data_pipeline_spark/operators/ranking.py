@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from news_data_pipeline_spark.functions.exact import settled_round
+
 _NULL_SENTINEL = "<NULL>"
 
 
@@ -264,7 +266,9 @@ def skew_report(
     return (
         counts.join(F.broadcast(total))
         .withColumn(
-            "share", F.round(F.col("n_rows") / F.col("__total"), 6)
+            # settled: count/total is an exact integer ratio — the
+            # half-way-cell class where round() flips across engines
+            "share", settled_round(F.col("n_rows") / F.col("__total"), 6)
         )
         .drop("__total")
         .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])

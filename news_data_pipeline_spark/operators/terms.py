@@ -13,6 +13,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from news_data_pipeline_spark.functions.exact import settled_round, settled_units
+
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tf): whitespace-token term counts per document.
@@ -51,7 +53,11 @@ def tf_idf_top_terms(
         .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
+            # settled half-up (engine/version-stable); tf*ln hits 0
+            # exactly when df == N, and zero settles identically
+            settled_round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ),
         )
     )
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -111,7 +117,15 @@ def bm25_rank(
             ),
         )
     )
-    scores = contrib.groupBy("id").agg(F.round(F.sum("c"), 4).alias("bm25"))
+    # settle each term contribution to exact 6dp BIGINT units BEFORE the
+    # sum: round(sum(double)) is order-dependent in its last ulp and the
+    # two engines sum in different orders; integer sums are exact, so the
+    # final 4dp settle divides identical numbers everywhere
+    scores = contrib.groupBy("id").agg(
+        settled_round(
+            F.sum(settled_units(F.col("c"), 6)) / 1e6, 4
+        ).alias("bm25")
+    )
     # global top-k as orderBy+limit: Spark plans TakeOrderedAndProject
     # (per-partition partial top-k, k rows to the driver stage) — never
     # a single-partition sort or window
@@ -145,9 +159,15 @@ def unigram_logprob_scores(
             "lp", F.col("tf") * F.log(F.col("ctf") / F.col("total_tokens"))
         )
     )
+    # per-row 6dp settle before the sum: sum(double) order-residues
+    # differ between engines; the settled BIGINT sum is exact, and the
+    # final ratio divides identical integers (sum(tf) is already exact)
     return scored.groupBy("id").agg(
         F.sum("tf").alias("n_tokens"),
-        F.round(F.sum("lp") / F.sum("tf"), round_dp).alias("avg_logprob"),
+        settled_round(
+            (F.sum(settled_units(F.col("lp"), 6)) / 1e6) / F.sum("tf"),
+            round_dp,
+        ).alias("avg_logprob"),
     )
 
 

@@ -10,6 +10,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from news_data_pipeline_spark.functions import text as T
+from news_data_pipeline_spark.functions.exact import (
+    settled_round,
+    settled_units,
+    sql_settled_round,
+    sql_units,
+)
 from news_data_pipeline_spark.operators import dedup, similarity
 from news_data_pipeline_spark.operators.fanout import fan_out
 from news_data_pipeline_spark.queries.registry import register
@@ -27,22 +33,31 @@ _DUCK_TOKENS = "len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]'))"
 # keep in sync with the Spark formula (0.5*length band + 0.3*(1-punct
 # ratio) + 0.2*word-count band, 4dp). ONE definition: five oracles use
 # it, and a drifted copy would silently break oracle parity.
+# floor-settled half-up rounds (sql_settled_round), NOT round(): the
+# parts are small-denominator rationals, so 4dp half-way cells are
+# common and round()'s half-way handling differs across DuckDB builds
+_DUCK_PUNCT_RATIO = (
+    "floor(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))"
+    " / greatest(length(text), 1)::DOUBLE * 10000 + 0.5) / 10000.0"
+)
 _DUCK_QUALITY = (
-    f"round(least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5"
-    " + (1.0 - round(len(regexp_extract_all(text, '[^a-zA-Z0-9_\\s]'))"
-    " / greatest(length(text), 1)::DOUBLE, 4)) * 0.3"
+    f"floor((least(({_DUCK_WORDS}) / 50.0, 1.0) * 0.5"
+    f" + (1.0 - ({_DUCK_PUNCT_RATIO})) * 0.3"
     f" + CASE WHEN ({_DUCK_WORDS}) BETWEEN 5 AND 5000"
-    " THEN 0.2 ELSE 0.0 END, 4)"
+    " THEN 0.2 ELSE 0.0 END) * 10000 + 0.5) / 10000.0"
 )
 
 # DuckDB twin of operators.dedup.word_shingles (word n-grams, n=3).
+# element concat_ws, not ws[i:i+2] slicing: slice-bound semantics have
+# shifted across DuckDB releases; concat_ws skips the NULL from an
+# out-of-range index, exactly matching Spark's concat_ws over F.get
 _DUCK_SHINGLES = """
-    SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+    SELECT DISTINCT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
     FROM (SELECT doc_id AS id,
                  regexp_split_to_array(trim(text), '\\s+') AS ws,
                  unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
           FROM documents) t
-    WHERE array_to_string(ws[i:i+2], ' ') <> ''
+    WHERE concat_ws(' ', ws[i], ws[i+1], ws[i+2]) <> ''
 """
 
 
@@ -83,14 +98,14 @@ def document_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT doc_id,
-               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["de"])})\\b'))
-                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_de,
-               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["en"])})\\b'))
-                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_en,
-               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["es"])})\\b'))
-                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_es,
-               round(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["fr"])})\\b'))
-                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE, 4) AS s_fr
+               floor(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["de"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS s_de,
+               floor(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["en"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS s_en,
+               floor(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["es"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS s_es,
+               floor(len(regexp_extract_all(lower(text), '\\b({"|".join(T.LANG_MARKERS["fr"])})\\b'))
+                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS s_fr
         FROM documents)
     SELECT doc_id,
            CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
@@ -196,12 +211,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.id_a, c.id_b),
     sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id)
     SELECT c.id_a, c.id_b,
-           round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+           floor(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
                            - coalesce(i.shared, 0) > 0
                       THEN coalesce(i.shared, 0)
                            / CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
                                   - coalesce(i.shared, 0) AS DOUBLE)
-                      ELSE 0.0 END, 6) AS jaccard
+                      ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS jaccard
     FROM cand c
     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
     LEFT JOIN sizes na ON na.id = c.id_a
@@ -316,11 +331,15 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.shingle IN (SELECT shingle FROM kept)
         GROUP BY a.id, b.id)
     SELECT id_a, id_b,
-           round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) AS jaccard
+           -- floor-settled: integer-ratio half-way cells are where
+           -- round() flips across engines/DuckDB builds
+           floor(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE
+                 * 10000 + 0.5) / 10000.0 AS jaccard
     FROM common
     JOIN sizes sa ON id_a = sa.id
     JOIN sizes sb ON id_b = sb.id
-    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 4) >= 0.3
+    WHERE floor(n_common / (sa.n_sh + sb.n_sh - n_common)::DOUBLE
+                * 10000 + 0.5) / 10000.0 >= 0.3
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +430,8 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, count(*) AS n_shingles FROM shingles
         WHERE id % 97 <> 0 GROUP BY id)
     SELECT c.id AS doc_id, c.n_contaminated, t.n_shingles,
-           round(c.n_contaminated / CAST(t.n_shingles AS DOUBLE), 4)
+           floor(c.n_contaminated / CAST(t.n_shingles AS DOUBLE)
+                 * 10000 + 0.5) / 10000.0
                AS contaminated_frac
     FROM contam c JOIN totals t USING (id)
     WHERE c.n_contaminated / CAST(t.n_shingles AS DOUBLE) >= 0.05
@@ -443,7 +463,7 @@ def eval_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("doc_id"),
             "n_contaminated",
             "n_shingles",
-            F.round(frac, 4).alias("contaminated_frac"),
+            settled_round(frac, 4).alias("contaminated_frac"),
         )
     )
 
@@ -459,8 +479,8 @@ _DUCK_SHINGLES_ALL = _DUCK_SHINGLES.replace("SELECT DISTINCT", "SELECT", 1)
     SELECT id AS doc_id,
            count(*) AS n_grams,
            count(DISTINCT shingle) AS n_distinct_grams,
-           round((count(*) - count(DISTINCT shingle))
-                 / count(*)::DOUBLE, 4) AS dup_gram_ratio
+           floor((count(*) - count(DISTINCT shingle))
+                 / count(*)::DOUBLE * 10000 + 0.5) / 10000.0 AS dup_gram_ratio
     FROM sh GROUP BY id
     """,
 )
@@ -486,7 +506,8 @@ def document_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
     scored AS (
         SELECT tf.id, tf.term, tf.tf,
-               round(tf.tf * ln(n.n_docs / dfreq.df), 4) AS tfidf
+               floor(tf.tf * ln(n.n_docs / dfreq.df) * 10000 + 0.5)
+                   / 10000.0 AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n)
     SELECT id AS doc_id, term, tf, tfidf, CAST(rn AS INT) AS rank FROM (
         SELECT *, row_number() OVER (
@@ -526,7 +547,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * qtf.tf * (1.2 + 1)
                  / (qtf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
         FROM qtf JOIN dfreq USING (term) JOIN dl USING (id) CROSS JOIN stats)
-    SELECT id AS doc_id, round(sum(c), 4) AS bm25
+    -- per-term 6dp settle before the sum (order-independent), final
+    -- 4dp settle on the exact integer sum — mirrors operators.terms
+    SELECT id AS doc_id,
+           floor(sum(CAST(floor(c * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                 * 10000 + 0.5) / 10000.0 AS bm25
     FROM contrib GROUP BY id
     ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
@@ -1687,8 +1712,9 @@ def source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source,
            count(*) AS n_docs,
            count(*) FILTER (WHERE l3.u <> l3.label) AS n_neardups,
-           round(count(*) FILTER (WHERE l3.u <> l3.label)
-                 / CAST(count(*) AS DOUBLE), 4) AS neardup_rate
+           floor(count(*) FILTER (WHERE l3.u <> l3.label)
+                 / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000.0
+               AS neardup_rate
     FROM l3 JOIN documents d ON d.doc_id = l3.u
     GROUP BY d.source
     """,
@@ -1721,7 +1747,7 @@ def neardup_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(is_dup).alias("n_neardups"),
-            F.round(
+            settled_round(
                 F.sum(is_dup) / F.count(F.lit(1)).cast("double"), 4
             ).alias("neardup_rate"),
         )
@@ -2063,7 +2089,8 @@ def documents_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT tf.id, tf.tf, tf.tf * ln(ctf / total_tokens) AS lp
         FROM tf JOIN vocab USING (term) CROSS JOIN total)
     SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(sum(lp) / sum(tf), 4) AS avg_logprob
+           floor(sum(CAST(floor(lp * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                 / sum(tf) * 10000 + 0.5) / 10000.0 AS avg_logprob
     FROM lp GROUP BY id
     """,
 )
@@ -2623,20 +2650,21 @@ def shuffled_export_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT id, count(*) AS n FROM shingles GROUP BY id),
     exact AS (
         SELECT c.id_a, c.id_b,
-               round(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
+               floor(CASE WHEN coalesce(na.n, 0) + coalesce(nb.n, 0)
                                - coalesce(i.shared, 0) > 0
                           THEN coalesce(i.shared, 0)
                                / CAST(coalesce(na.n, 0) + coalesce(nb.n, 0)
                                       - coalesce(i.shared, 0) AS DOUBLE)
-                          ELSE 0.0 END, 6) AS jaccard
+                          ELSE 0.0 END * 1000000 + 0.5) / 1000000.0 AS jaccard
         FROM cand c
         LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
         LEFT JOIN sizes na ON na.id = c.id_a
         LEFT JOIN sizes nb ON nb.id = c.id_b)
     SELECT e.id_a, e.id_b,
-           round(e.est_raw, 6) AS est_jaccard,
+           floor(e.est_raw * 1000000 + 0.5) / 1000000.0 AS est_jaccard,
            x.jaccard,
-           round(abs(e.est_raw - x.jaccard), 6) AS est_error
+           floor(abs(e.est_raw - x.jaccard) * 1000000 + 0.5) / 1000000.0
+               AS est_error
     FROM est e JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
     """,
 )
@@ -2676,11 +2704,11 @@ def minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a",
         "id_b",
-        F.round("__est_raw", 6).alias("est_jaccard"),
+        settled_round(F.col("__est_raw"), 6).alias("est_jaccard"),
         "jaccard",
-        F.round(F.abs(F.col("__est_raw") - F.col("jaccard")), 6).alias(
-            "est_error"
-        ),
+        settled_round(
+            F.abs(F.col("__est_raw") - F.col("jaccard")), 6
+        ).alias("est_error"),
     )
 
 
@@ -2824,9 +2852,14 @@ def logreg_label_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM comp c JOIN stats s USING (pos)
         WHERE s.scale > 0)
     SELECT CAST(pos AS INT) AS pos,
-           round(any_value(scale), 8) AS scale,
-           round(avg(err), 8) AS avg_abs_err,
-           round(max(err), 8) AS max_abs_err
+           floor(any_value(scale) * 100000000 + 0.5) / 100000000.0 AS scale,
+           -- per-row 10dp settle before the mean: avg(double) is
+           -- summation-order-dependent in its last ulp; the BIGINT sum
+           -- is exact and divides identically on both engines
+           floor(sum(CAST(floor(err * 10000000000 + 0.5) AS BIGINT))
+                 / 10000000000.0 / count(*) * 100000000 + 0.5)
+               / 100000000.0 AS avg_abs_err,
+           floor(max(err) * 100000000 + 0.5) / 100000000.0 AS max_abs_err
     FROM dq JOIN stats USING (pos) GROUP BY pos
     """,
 )
@@ -2855,9 +2888,14 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("scale") > 0)
         .groupBy("pos")
         .agg(
-            F.round(F.any_value("scale"), 8).alias("scale"),
-            F.round(F.avg(err), 8).alias("avg_abs_err"),
-            F.round(F.max(err), 8).alias("max_abs_err"),
+            settled_round(F.any_value("scale"), 8).alias("scale"),
+            settled_round(
+                F.sum(settled_units(err, 10))
+                / 1e10
+                / F.count(F.lit(1)),
+                8,
+            ).alias("avg_abs_err"),
+            settled_round(F.max(err), 8).alias("max_abs_err"),
         )
         .select(F.col("pos").cast("int").alias("pos"), "scale", "avg_abs_err", "max_abs_err")
     )
@@ -2916,10 +2954,12 @@ def neardup_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
     total AS (SELECT sum(n_docs) AS n, count(*) AS n_langs FROM counts)
     SELECT c.lang, c.n_docs,
-           round(c.n_docs / t.n::DOUBLE, 6) AS actual_share,
-           round(1.0 / t.n_langs, 6) AS target_share,
-           round((1.0 / t.n_langs) / (c.n_docs / t.n::DOUBLE), 6)
-               AS sample_weight
+           floor(c.n_docs / t.n::DOUBLE * 1000000 + 0.5) / 1000000.0
+               AS actual_share,
+           floor(1.0 / t.n_langs * 1000000 + 0.5) / 1000000.0
+               AS target_share,
+           floor((1.0 / t.n_langs) / (c.n_docs / t.n::DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 AS sample_weight
     FROM counts c CROSS JOIN total t
     """,
 )
@@ -2941,9 +2981,9 @@ def document_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(total)).select(
         "lang",
         "n_docs",
-        F.round(actual, 6).alias("actual_share"),
-        F.round(target, 6).alias("target_share"),
-        F.round(target / actual, 6).alias("sample_weight"),
+        settled_round(actual, 6).alias("actual_share"),
+        settled_round(target, 6).alias("target_share"),
+        settled_round(target / actual, 6).alias("sample_weight"),
     )
 
 
@@ -2958,9 +2998,11 @@ def document_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols AS (SELECT lang, sum(observed) AS col_n FROM obs GROUP BY lang),
     tot AS (SELECT sum(observed) AS n FROM obs)
     SELECT o.source, o.lang, o.observed,
-           round(r.row_n * c.col_n / t.n::DOUBLE, 4) AS expected,
-           round((o.observed - r.row_n * c.col_n / t.n::DOUBLE)
-                 / sqrt(r.row_n * c.col_n / t.n::DOUBLE), 4) AS residual
+           floor(r.row_n * c.col_n / t.n::DOUBLE * 10000 + 0.5) / 10000.0
+               AS expected,
+           floor((o.observed - r.row_n * c.col_n / t.n::DOUBLE)
+                 / sqrt(r.row_n * c.col_n / t.n::DOUBLE)
+                 * 10000 + 0.5) / 10000.0 AS residual
     FROM obs o
     JOIN rows_ r USING (source)
     JOIN cols c USING (lang)
@@ -2992,8 +3034,8 @@ def source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "observed",
-            F.round(expected, 4).alias("expected"),
-            F.round(
+            settled_round(expected, 4).alias("expected"),
+            settled_round(
                 (F.col("observed") - expected) / F.sqrt(expected), 4
             ).alias("residual"),
         )

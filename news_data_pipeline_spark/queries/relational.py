@@ -755,8 +755,12 @@ def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- an exact BIGINT, SUM over BIGINTs is order-independent, and the
            -- half-up to cents happens in integer arithmetic — no
            -- round(sum(double)) half-cent boundary anywhere
-           ((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
-                      AS BIGINT)) + 50) // 100) / 100.0 AS volume
+           -- floor-form half-up (not //): DuckDB changed // from
+           -- truncation to floor division across releases, so integer
+           -- division is version-fragile; floor((u+50)/100.0) is the
+           -- same sign-safe IEEE op everywhere
+           floor((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                      AS BIGINT)) + 50) / 100.0) / 100.0 AS volume
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
@@ -813,7 +817,9 @@ def nation_pair_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             "order_year",
-            (F.expr("(u + 50) div 100") / 100.0).alias("volume"),
+            # floor((u+50)/100.0), not integer div: sign-safe and
+            # stable across DuckDB versions (// semantics changed)
+            (F.floor((F.col("u") + 50) / 100.0) / 100.0).alias("volume"),
         )
     )
 

@@ -16,7 +16,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from news_data_pipeline_spark.functions.exact import exact_sum, sql_exact_sum
+from news_data_pipeline_spark.functions.exact import (
+    exact_sum,
+    settled_round,
+    sql_exact_sum,
+)
 from news_data_pipeline_spark.queries.registry import register
 from news_data_pipeline_spark.sources.catalog import load_table
 
@@ -202,8 +206,10 @@ def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_value_percentiles",
     oracle="""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 2)  AS p50_exact,
-           round(quantile_cont(value, 0.95), 2) AS p95_exact,
+           floor(quantile_cont(value, 0.5) * 100 + 0.5) / 100.0
+               AS p50_exact,
+           floor(quantile_cont(value, 0.95) * 100 + 0.5) / 100.0
+               AS p95_exact,
            TRUE AS p50_within_bounds,
            TRUE AS p95_within_bounds
     FROM events GROUP BY event_type
@@ -237,8 +243,10 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = F.col("ex")
     return agg.select(
         "event_type",
-        F.round(ex[1], 2).alias("p50_exact"),
-        F.round(ex[4], 2).alias("p95_exact"),
+        # settled: interpolated percentiles of 2dp values sit exactly on
+        # .xx5 half-way cells, where round() differs across DuckDB builds
+        settled_round(ex[1], 2).alias("p50_exact"),
+        settled_round(ex[4], 2).alias("p95_exact"),
         F.coalesce(
             (F.col("a50") >= ex[0]) & (F.col("a50") <= ex[2]), F.lit(True)
         ).alias("p50_within_bounds"),
@@ -615,16 +623,20 @@ def user_event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2),
     scored AS (
         SELECT event_type, hour, n_events,
-               round(avg(n_events) OVER w, 4) AS mean_prev,
-               round(stddev_samp(n_events) OVER w, 4) AS std_prev
+               floor(avg(n_events) OVER w * 10000 + 0.5) / 10000.0
+                   AS mean_prev,
+               floor(stddev_samp(n_events) OVER w * 10000 + 0.5) / 10000.0
+                   AS std_prev
         FROM hourly
         WINDOW w AS (PARTITION BY event_type ORDER BY hour
                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
     SELECT event_type, hour, n_events, mean_prev,
-           round((n_events - mean_prev) / std_prev, 4) AS z
+           floor((n_events - mean_prev) / std_prev * 10000 + 0.5) / 10000.0
+               AS z
     FROM scored
     WHERE std_prev IS NOT NULL AND std_prev > 0
-      AND abs(round((n_events - mean_prev) / std_prev, 4)) >= 2.0
+      AND abs(floor((n_events - mean_prev) / std_prev * 10000 + 0.5)
+              / 10000.0) >= 2.0
     """,
 )
 def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -651,10 +663,12 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour",
         "n_events",
-        F.round(F.avg("n_events").over(w), 4).alias("mean_prev"),
-        F.round(F.stddev_samp("n_events").over(w), 4).alias("std_prev"),
+        settled_round(F.avg("n_events").over(w), 4).alias("mean_prev"),
+        settled_round(
+            F.stddev_samp("n_events").over(w), 4
+        ).alias("std_prev"),
     )
-    z = F.round(
+    z = settled_round(
         (F.col("n_events") - F.col("mean_prev")) / F.col("std_prev"), 4
     )
     return (
@@ -672,7 +686,8 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (
         SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id),
     total AS (SELECT sum(n_rows) AS t FROM counts)
-    SELECT user_id, n_rows, round(n_rows / t, 6) AS share
+    SELECT user_id, n_rows, floor(n_rows / t * 1000000 + 0.5) / 1000000.0
+               AS share
     FROM counts CROSS JOIN total
     ORDER BY n_rows DESC, user_id LIMIT 10
     """,
@@ -826,9 +841,13 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             # per-row decayed contribution settled to 1e-4 units before
-            # the sum: value, age and the exp argument are identical
-            # doubles on both engines, so the settled BIGINT is too —
-            # and the integer sum cannot drift by accumulation order
+            # the sum: value, age and the exp ARGUMENT are identical
+            # doubles on both engines, and the integer sum cannot drift
+            # by accumulation order. Caveat: exp itself is only ~1-ulp
+            # accurate in both Java's Math.exp and DuckDB's libm — they
+            # agree empirically on this data (gate-verified at two SFs),
+            # but a product within an ulp of a 0.5e-4 settle boundary
+            # could in principle still flip a unit between engines
             exact_sum(
                 F.col("value") * F.exp(-age_days / F.lit(30.0)), 4
             ).alias("decayed_value"),

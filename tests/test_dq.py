@@ -621,6 +621,22 @@ def test_psi_nulls_and_outliers_are_visible(spark):
     assert psi > 0.25
 
 
+def test_psi_nan_routes_to_missing_bin_not_bin_zero(spark):
+    # NaN is not null: floor(NaN).cast(int) is 0 in non-ANSI Spark, so
+    # without an isnan branch NaN mass would silently inflate bin 0
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    ref = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    cur = spark.createDataFrame(
+        [(float("nan"),)] * 40 + [(float(i % 10),) for i in range(60)],
+        "v double",
+    )
+    _, detail = population_stability_index(ref, cur, "v", lo=0.0, hi=10.0)
+    by_bin = {r["bin"]: r for r in detail.collect()}
+    assert by_bin[-1]["cur_n"] == 40        # NaN surfaced with the nulls
+    assert by_bin[0]["cur_n"] == 6          # bin 0 holds only real zeros
+
+
 def test_psi_edge_bins_and_guards(spark):
     import pytest
 

@@ -87,7 +87,21 @@ def cell_exact(a, b) -> bool:
         and len(a) == 2 and len(b) == 2
     ):
         if a[0] in ("f", "i") and b[0] in ("f", "i"):
-            return float(a[1]) == float(b[1])
+            # int/int crossover compares as ints: two different integers
+            # beyond 2^53 would compare equal through float64 (large
+            # counts / HUGEINT unit sums) — the exact gate must not be
+            # fooled by float collapse
+            if a[0] == b[0] == "i":
+                return a[1] == b[1]
+            fa, fb = float(a[1]), float(b[1])
+            if fa != fb:
+                return False
+            # mixed int/float: require the integral side to survive the
+            # float64 round-trip, else "equality" is just precision loss
+            for tag, val in (a, b):
+                if tag == "i" and abs(val) >= 2 ** 53:
+                    return False
+            return True
         if a[0] == b[0] == "l":
             return len(a[1]) == len(b[1]) and all(
                 cell_exact(x, y) for x, y in zip(a[1], b[1])
