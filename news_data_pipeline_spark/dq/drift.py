@@ -127,6 +127,12 @@ def population_stability_index(
     cur = {r["bin"]: r["n"] for r in _bin_counts(current, col, edges).collect()}
     ref_total = sum(ref.values()) or 1
     cur_total = sum(cur.values()) or 1
+    # floor-settled half-up, not round(): Python round is half-EVEN and
+    # SQL round()s vary across engines/builds — an oracle mirroring this
+    # frame needs the one rounding that is a plain IEEE floor everywhere
+    def settle6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     rows = []
     psi = 0.0
     for b in sorted(set(ref) | set(cur) | set(range(-1, bins))):
@@ -135,7 +141,7 @@ def population_stability_index(
         cp = max(cn / cur_total, epsilon)
         term = (cp - rp) * math.log(cp / rp)
         psi += term
-        rows.append((b, rn, cn, round(rp, 6), round(cp, 6), round(term, 6)))
+        rows.append((b, rn, cn, settle6(rp), settle6(cp), settle6(term)))
     spark = reference.sparkSession
     detail = spark.createDataFrame(
         rows,

@@ -1,0 +1,459 @@
+"""Round-6 registrations: the round-5 capabilities as driver-oracled
+queries — CSV quarantine grammar, schema/distribution drift, temperature
+mixtures and repetition up-sampling, Unicode normalization, versioned-
+layer time travel, and the PCA projection (rows-only; eigensolve is not
+SQL-expressible).
+
+Everything numeric follows the floor-settled convention from
+``functions/exact.py``: no ``round()`` on ratios, no integer division,
+no list lambdas or slicing on the DuckDB side.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from news_data_pipeline_spark.functions.exact import settled_round
+from news_data_pipeline_spark.queries.registry import register
+from news_data_pipeline_spark.sources.catalog import load_table
+
+# SQL twin of operators.sampling.hash_bucket over a salted concat_ws key
+# (salt \x1f group \x1f key) — chr(31) is the unit separator literal.
+def _sql_bucket(salt: str, group_expr: str, key_expr: str) -> str:
+    keyed = f"'{salt}' || chr(31) || {group_expr} || chr(31) || {key_expr}"
+    return (
+        f"CAST(concat('0x', substring(md5({keyed}), 1, 8)) AS BIGINT) % 10000"
+    )
+
+
+# --- temperature mixture -------------------------------------------------
+@register(
+    "temperature_mixture_lang_rates",
+    # mirrors operators.sampling.temperature_mixture_rates(alpha=0.5,
+    # budget_fraction=0.5): p = group share, q ∝ p^alpha, rate =
+    # min(1, q * budget * N / n). All outputs floor-settled at 6dp.
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS nn FROM counts),
+    pq AS (
+        SELECT lang, n,
+               n / nn::DOUBLE AS p,
+               pow(n / nn::DOUBLE, 0.5) AS qraw,
+               nn
+        FROM counts CROSS JOIN tot),
+    qs AS (SELECT sum(qraw) AS sq FROM pq)
+    SELECT lang,
+           CAST(n AS BIGINT) AS n,
+           floor(p * 1000000 + 0.5) / 1000000.0 AS p,
+           floor(qraw / sq * 1000000 + 0.5) / 1000000.0 AS q,
+           floor(least(1.0, qraw / sq * 0.5 * nn / n) * 1000000 + 0.5)
+               / 1000000.0 AS rate
+    FROM pq CROSS JOIN qs
+    """,
+)
+def temperature_mixture_lang_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-flattened mixture rates over the language column
+    (operators.sampling.temperature_mixture_rates, alpha=0.5, half the
+    corpus as budget): the XLM-R/mT5-style reweighting that up-weights
+    tail languages. One count aggregate plus window normalizations over
+    the bounded GROUPS frame — no driver collect, scales to any corpus."""
+    from news_data_pipeline_spark.operators.sampling import (
+        temperature_mixture_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(
+        docs, "lang", alpha=0.5, budget_fraction=0.5
+    )
+    return rates.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n"),
+        settled_round(F.col("p"), 6).alias("p"),
+        settled_round(F.col("q"), 6).alias("q"),
+        settled_round(F.col("rate"), 6).alias("rate"),
+    )
+
+
+@register(
+    "mixture_rate_sampled_counts",
+    # end-to-end: temperature rates FRAME -> salted-hash membership ->
+    # kept rows per language. The kept-set is a pure function of
+    # (doc_id, lang, rate), so the oracle recomputes membership exactly.
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS nn FROM counts),
+    pq AS (
+        SELECT lang, n, pow(n / nn::DOUBLE, 0.5) AS qraw, nn
+        FROM counts CROSS JOIN tot),
+    qs AS (SELECT sum(qraw) AS sq FROM pq),
+    rates AS (
+        SELECT lang,
+               least(1.0, qraw / sq * 0.5 * nn / n) AS rate
+        FROM pq CROSS JOIN qs),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {_sql_bucket("mix:", "coalesce(d.lang, '<NULL>')",
+                           "coalesce(CAST(d.doc_id AS VARCHAR), '<NULL>')")}
+              < round(r.rate * 10000))
+    SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
+    """,
+)
+def mixture_rate_sampled_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full mixture pipeline: temperature rates computed as a frame,
+    then applied by ``mixture_sample_by_rates`` (broadcast rate join +
+    salted row-hash filter — no RNG state, no shuffle, stable under
+    repartitioning). Output is kept-documents per language; tail
+    languages keep ~everything, the head language is down-sampled."""
+    from news_data_pipeline_spark.operators.sampling import (
+        mixture_sample_by_rates,
+        temperature_mixture_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = temperature_mixture_rates(
+        docs, "lang", alpha=0.5, budget_fraction=0.5
+    )
+    kept = mixture_sample_by_rates(docs, "doc_id", "lang", rates)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@register(
+    "repeat_upsample_copies",
+    # rates: fr -> 2.5 (two full copies + deterministic 50% third),
+    # de -> 1.0, all other languages absent -> dropped. frac*10000 =
+    # 5000 exactly (0.5 is binary-representable), so the threshold is
+    # engine-exact.
+    oracle=f"""
+    WITH fr AS (SELECT doc_id, lang FROM documents WHERE lang = 'fr'),
+    third AS (
+        SELECT doc_id, lang FROM fr
+        WHERE {_sql_bucket("rep:", "coalesce(lang, '<NULL>')",
+                           "coalesce(CAST(doc_id AS VARCHAR), '<NULL>')")}
+              < 5000),
+    copies AS (
+        SELECT lang, 1 AS copy FROM fr
+        UNION ALL SELECT lang, 2 FROM fr
+        UNION ALL SELECT lang, 3 FROM third
+        UNION ALL SELECT lang, 1 FROM documents WHERE lang = 'de')
+    SELECT lang, CAST(copy AS INT) AS copy, count(*) AS n_rows
+    FROM copies GROUP BY lang, copy
+    """,
+)
+def repeat_upsample_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style deterministic up-sampling
+    (operators.sampling.repeat_sample_by_rates): rate 2.5 for 'fr'
+    emits two full copies of every French document plus a hash-gated
+    50% third copy, rate 1.0 passes 'de' through, unlisted languages
+    drop. The copy index is part of the output contract — downstream
+    dedup must see the repetition. Row explosion is sequence+explode,
+    fully codegen'd."""
+    from news_data_pipeline_spark.operators.sampling import (
+        repeat_sample_by_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("fr", 2.5), ("de", 1.0)], "lang string, rate double"
+    )
+    out = repeat_sample_by_rates(docs, "doc_id", "lang", rates)
+    return out.groupBy("lang", "copy").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --- CSV quarantine grammar ----------------------------------------------
+@register(
+    "csv_quarantine_split",
+    # corruption is injected by a known predicate, so the oracle derives
+    # both populations WITHOUT parsing CSV: doc_id%13==0 mangles the
+    # BIGINT field (type error), doc_id%17==0 appends a field (arity
+    # error). The quarantine checksum is over the RAW line — proving the
+    # reader preserved the original bytes for replay.
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(doc_id AS VARCHAR) || ',' || lang || ',' ||
+               CASE WHEN doc_id % 13 = 0 THEN 'n' || CAST(n_chars AS VARCHAR)
+                    ELSE CAST(n_chars AS VARCHAR) END ||
+               CASE WHEN doc_id % 17 = 0 THEN ',extra' ELSE '' END AS line,
+               (doc_id % 13 = 0 OR doc_id % 17 = 0) AS corrupt
+        FROM documents)
+    SELECT 'valid' AS population,
+           count(*) AS n_rows,
+           sum(n_chars) AS checksum
+    FROM lines WHERE NOT corrupt
+    UNION ALL
+    SELECT 'quarantined', count(*), sum(length(line))
+    FROM lines WHERE corrupt
+    """,
+)
+def csv_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV corrupt-line quarantine, end to end
+    (sources.csvio.parse_csv_lines + sources.jsonl.split_corrupt_records):
+    documents are rendered as CSV lines with two deliberate corruption
+    classes injected — a non-numeric BIGINT field (doc_id%13) and an
+    extra field (doc_id%17) — then parsed against the declared schema.
+    The CSV grammar itself must route exactly the injected rows to
+    quarantine (with their raw bytes intact, proven by the length
+    checksum) and parse everything else to the original typed values
+    (proven by the n_chars checksum)."""
+    from news_data_pipeline_spark.sources.csvio import parse_csv_lines
+    from news_data_pipeline_spark.sources.jsonl import split_corrupt_records
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        F.col("lang"),
+        F.lit(","),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit("n"), F.col("n_chars").cast("string")),
+        ).otherwise(F.col("n_chars").cast("string")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(",extra")).otherwise(
+            F.lit("")
+        ),
+    )
+    lines = docs.select(line.alias("value"))
+    parsed = parse_csv_lines(
+        lines, "doc_id bigint, lang string, n_chars bigint"
+    )
+    valid, quarantine = split_corrupt_records(parsed)
+    v = valid.agg(
+        F.lit("valid").alias("population"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("checksum"),
+    )
+    q = quarantine.agg(
+        F.lit("quarantined").alias("population"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("payload")).alias("checksum"),
+    )
+    return v.unionAll(q)
+
+
+# --- schema drift ---------------------------------------------------------
+@register(
+    "schema_drift_found",
+    # pure metadata: the drift between a declared expectation and the
+    # actual documents schema — one row per drift kind
+    oracle="""
+    SELECT * FROM (VALUES
+        ('n_chars', 'type_changed', 'int', 'bigint'),
+        ('published_ts', 'missing', 'timestamp', ''),
+        ('source', 'added', '', 'string')
+    ) AS t("column", kind, expected, observed)
+    """,
+)
+def schema_drift_found(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report (dq.drift.schema_drift_report): an expected
+    contract declaring ``n_chars int`` and a ``published_ts`` column,
+    checked against the real documents table — surfacing one row per
+    drift (retyped, missing, undeclared-added). Zero Spark jobs: drift
+    is metadata, and catching it BEFORE a 100-TB scan is the point."""
+    from pyspark.sql.types import StructType
+
+    from news_data_pipeline_spark.dq.drift import schema_drift_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    expected = StructType.fromDDL(
+        "doc_id bigint, text string, lang string, n_chars int, "
+        "published_ts timestamp"
+    )
+    return schema_drift_report(spark, expected, docs)
+
+
+# --- distribution drift (PSI) --------------------------------------------
+@register(
+    "psi_nchars_parity",
+    # even vs odd doc_ids over n_chars, fixed bins [0, 600) x 12 +
+    # null bin -1; proportions epsilon-floored at 1e-6, everything
+    # floor-settled at 6dp — the exact mirror of dq.drift's driver-side
+    # arithmetic
+    oracle="""
+    WITH binned AS (
+        SELECT doc_id % 2 = 0 AS is_ref,
+               CASE WHEN n_chars IS NULL THEN -1
+                    ELSE least(greatest(
+                        CAST(floor((n_chars::DOUBLE - 0.0) / 50.0) AS INT),
+                        0), 11) END AS bin
+        FROM documents),
+    ref AS (SELECT bin, count(*) AS n FROM binned WHERE is_ref GROUP BY bin),
+    cur AS (SELECT bin, count(*) AS n FROM binned WHERE NOT is_ref GROUP BY bin),
+    tot AS (
+        SELECT (SELECT coalesce(sum(n), 1) FROM ref) AS rt,
+               (SELECT coalesce(sum(n), 1) FROM cur) AS ct),
+    bins AS (SELECT unnest(generate_series(-1, 11)) AS bin),
+    joined AS (
+        SELECT b.bin,
+               coalesce(r.n, 0) AS ref_n,
+               coalesce(c.n, 0) AS cur_n,
+               greatest(coalesce(r.n, 0) / rt::DOUBLE, 0.000001) AS rp,
+               greatest(coalesce(c.n, 0) / ct::DOUBLE, 0.000001) AS cp
+        FROM bins b
+        LEFT JOIN ref r ON r.bin = b.bin
+        LEFT JOIN cur c ON c.bin = b.bin
+        CROSS JOIN tot)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(ref_n AS BIGINT) AS ref_n,
+           CAST(cur_n AS BIGINT) AS cur_n,
+           floor(rp * 1000000 + 0.5) / 1000000.0 AS ref_p,
+           floor(cp * 1000000 + 0.5) / 1000000.0 AS cur_p,
+           floor((cp - rp) * ln(cp / rp) * 1000000 + 0.5) / 1000000.0
+               AS contribution
+    FROM joined
+    """,
+)
+def psi_nchars_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index detail frame
+    (dq.drift.population_stability_index): document-length distribution
+    of even vs odd doc_ids over a fixed 12-bin [0, 600) grid. Two
+    one-pass histogram aggregates; the per-bin arithmetic is O(bins)
+    driver-side. Near-zero contributions everywhere == the parity split
+    is distribution-neutral, which is itself the assertion."""
+    from news_data_pipeline_spark.dq.drift import population_stability_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 != 0)
+    _, detail = population_stability_index(
+        ref, cur, "n_chars", lo=0.0, hi=600.0, bins=12
+    )
+    return detail
+
+
+# --- Unicode normalization ------------------------------------------------
+@register(
+    "nfc_normalized_sample",
+    # combining-accent injection makes normalization observable on an
+    # ASCII fixture: 'a' -> 'a'+U+0301 decomposes, NFC recomposes to
+    # U+00E1; the length delta counts exactly the replaced 'a's
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
+               AS text_nfc,
+           length(regexp_replace(text, 'a', 'a' || chr(769), 'g'))
+               - length(nfc_normalize(
+                     regexp_replace(text, 'a', 'a' || chr(769), 'g')))
+               AS n_recomposed
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def nfc_normalized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions.arrow_text.normalize_unicode,
+    Arrow-batched pandas_udf — Spark has no NFC builtin): decomposed
+    accents are injected ('a' -> 'a' + combining acute) and NFC must
+    recompose every one of them, shrinking the string by exactly the
+    number of injected marks. This is the dedup pre-pass that merges
+    byte-different/equal-text variants (ligatures, NFD accents,
+    full-width digits) before fingerprinting."""
+    from news_data_pipeline_spark.functions.arrow_text import (
+        normalize_unicode,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    decomposed = F.regexp_replace(F.col("text"), "a", "á")
+    nfc = normalize_unicode(decomposed, form="NFC")
+    return docs.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        (F.length(decomposed) - F.length(nfc)).alias("n_recomposed"),
+    )
+
+
+# --- compression-ratio repetitiveness (rows-only: no SQL zlib) ------------
+@register("compression_ratio_bands", oracle=None)
+def compression_ratio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zlib compression-ratio quality bands
+    (functions.arrow_text.compression_ratio, Arrow-batched): templated/
+    repetitive text compresses low, natural prose sits ~0.3-0.6. No
+    SQL engine exposes a zlib scalar, so this entry is rows-only at the
+    driver (documented weaker check); the ratio semantics are pinned by
+    tests/test_functions.py against stdlib zlib directly."""
+    from news_data_pipeline_spark.functions.arrow_text import (
+        compression_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    band = F.floor(compression_ratio(F.col("text")) * 10).cast("int")
+    return (
+        docs.select(band.alias("ratio_band"))
+        .groupBy("ratio_band")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- versioned-layer time travel ------------------------------------------
+@register(
+    "versioned_layer_time_travel",
+    # the oracle recomputes what version 0 CONTAINED; the Spark side
+    # must round-trip it through two staged writes and a version= read —
+    # any commit/pointer/retention bug surfaces as a value mismatch
+    oracle="""
+    SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    """,
+)
+def versioned_layer_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time travel on the versioned parquet layer
+    (sources.writers.VersionedLayer — the Delta-substitute commit-by-
+    pointer design): version 0 holds the full per-language counts,
+    version 1 overwrites with a filtered view, and the query reads
+    VERSION 0 BACK while v1 is current — the ``VERSION AS OF`` contract.
+    The layer lives in a per-call scratch dir; at scale the same two
+    staged writes hit object storage and the pointer swap is the only
+    atomic op needed."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    half = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    layer = VersionedLayer(tempfile.mkdtemp(prefix="vlayer_q_"))
+    v0 = layer.overwrite(full)
+    layer.overwrite(half)
+    assert layer.current_version(spark) != v0
+    return layer.read(spark, version=v0)
+
+
+# --- PCA projection (rows-only: eigensolve is not SQL) --------------------
+@register("pca_projection_sample", oracle=None)
+def pca_projection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding corpus
+    (operators.similarity.pca_project): ONE distributed covariance-
+    moment pass (d^2 scalar rows, corpus-size independent), a driver-
+    side 64x64 eigensolve, and a broadcast-literal projection. The
+    eigendecomposition is not SQL-expressible, so the driver row is
+    rows-only; the covariance input is exactly the driver-green
+    ``embedding_covariance`` frame, and the projection algebra is
+    test-pinned against numpy (tests/test_similarity.py)."""
+    from news_data_pipeline_spark.operators.similarity import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    try:
+        proj = pca_project(emb, id_col="vec_id", vec_col="embedding", k=2)
+    except ValueError:
+        # no non-null vectors (empty slot / pruned partition): nothing
+        # to fit on — a declared-schema empty answer, not a crash
+        return spark.createDataFrame(
+            [], "vec_id bigint, pc1 double, pc2 double"
+        )
+    return proj.where(F.col("vec_id") < 50).select(
+        "vec_id",
+        F.col("pc")[0].alias("pc1"),
+        F.col("pc")[1].alias("pc2"),
+    )

@@ -42,6 +42,52 @@ from pyspark.sql.types import StringType, StructField, StructType
 from news_data_pipeline_spark.sources.jsonl import CORRUPT_COL, _as_struct
 
 
+def parse_csv_lines(
+    lines: DataFrame,
+    schema: str | StructType,
+    *,
+    delimiter: str = ",",
+    value_col: str = "value",
+) -> DataFrame:
+    """The expression core of ``read_csv``: parse a string column of CSV
+    lines against a declared schema, surfacing malformed lines in
+    ``_corrupt_record``. Public so in-memory line streams (a Kafka
+    value column, a constructed frame) get the identical quarantine
+    grammar as file reads — one parser definition, one corrupt taxonomy.
+    """
+    spark = lines.sparkSession
+    struct = _as_struct(spark, schema)
+    if CORRUPT_COL in struct.fieldNames():
+        raise ValueError(
+            f"schema must not declare {CORRUPT_COL!r}; it is appended "
+            "automatically"
+        )
+    with_corrupt = StructType(
+        list(struct.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    parsed = lines.select(
+        F.from_csv(
+            F.col(value_col),
+            with_corrupt.simpleString(),
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+                "sep": delimiter,
+            },
+        ).alias("__row"),
+        F.col(value_col).alias("__raw"),
+    )
+    return parsed.select(
+        *[F.col(f"__row.{f.name}") for f in struct.fields],
+        # a blank/unparseable line nulls the whole struct; both that and
+        # the parser-flagged corrupt cases quarantine the RAW line
+        F.when(
+            F.col(f"__row.{CORRUPT_COL}").isNotNull() | F.col("__row").isNull(),
+            F.col("__raw"),
+        ).alias(CORRUPT_COL),
+    )
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
@@ -61,14 +107,6 @@ def read_csv(
     stream produce identical rows per file.
     """
     struct = _as_struct(spark, schema)
-    if CORRUPT_COL in struct.fieldNames():
-        raise ValueError(
-            f"schema must not declare {CORRUPT_COL!r}; it is appended "
-            "automatically"
-        )
-    with_corrupt = StructType(
-        list(struct.fields) + [StructField(CORRUPT_COL, StringType(), True)]
-    )
     lines = (
         spark.readStream.format("text").load(path)
         if streaming
@@ -77,27 +115,7 @@ def read_csv(
     if skip_header:
         header = delimiter.join(f.name for f in struct.fields)
         lines = lines.where(F.col("value") != F.lit(header))
-    parsed = lines.select(
-        F.from_csv(
-            F.col("value"),
-            with_corrupt.simpleString(),
-            {
-                "mode": "PERMISSIVE",
-                "columnNameOfCorruptRecord": CORRUPT_COL,
-                "sep": delimiter,
-            },
-        ).alias("__row"),
-        F.col("value"),
-    )
-    return parsed.select(
-        *[F.col(f"__row.{f.name}") for f in struct.fields],
-        # a blank/unparseable line nulls the whole struct; both that and
-        # the parser-flagged corrupt cases quarantine the RAW line
-        F.when(
-            F.col(f"__row.{CORRUPT_COL}").isNotNull() | F.col("__row").isNull(),
-            F.col("value"),
-        ).alias(CORRUPT_COL),
-    )
+    return parse_csv_lines(lines, struct, delimiter=delimiter)
 
 
 def write_csv(
