@@ -115,7 +115,10 @@ def sentiment_polarity(col: Column) -> Column:
     pos = _word_matches(col, POSITIVE_WORDS)
     neg = _word_matches(col, NEGATIVE_WORDS)
     denom = F.greatest(word_count(col), F.lit(1))
-    return F.round((pos - neg) / denom.cast("double"), 4)
+    # settled integer-ratio round (see language_score) — and this one is
+    # SIGN-MIXED, where round() implementations diverge even harder
+    # (half-away-from-zero vs half-up-toward-+inf on negative half-ways)
+    return settled_round((pos - neg) / denom.cast("double"), 4)
 
 
 def sentiment_label(polarity: Column) -> Column:

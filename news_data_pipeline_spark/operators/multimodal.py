@@ -27,6 +27,8 @@ Fake container formats (little-endian u32 fields, deterministic):
 
 from __future__ import annotations
 
+import math
+
 import hashlib
 import struct
 from collections.abc import Iterator
@@ -317,7 +319,15 @@ def image_embeddings(
                     hist[byte * dim // 256] += 1
                 total = max(len(px), 1)
                 ids.append(i)
-                vecs.append([round(h / total, 6) for h in hist])
+                # floor-settled half-up: Python round() is banker's and
+                # SQL round()s vary per engine/build; bin/total is an
+                # exact integer ratio — the half-way-cell class
+                vecs.append(
+                    [
+                        math.floor(h / total * 1e6 + 0.5) / 1e6
+                        for h in hist
+                    ]
+                )
             yield pd.DataFrame({"id": ids, "embedding": vecs})
 
     return fan_out(df.select(id_col, payload_col)).mapInPandas(

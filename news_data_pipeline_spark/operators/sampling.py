@@ -242,7 +242,11 @@ def mixture_sample_by_rates(
     )
     return (
         joined.where(
-            hash_bucket(keyed) < F.round(F.col("__rate") * _BUCKETS)
+            # floor(x+0.5), not round(): the threshold is computed IN
+            # the plan from a frame value, so it must use the rounding
+            # both engines (and every DuckDB build) implement identically
+            hash_bucket(keyed)
+            < F.floor(F.col("__rate") * _BUCKETS + F.lit(0.5))
         )
         .drop("__g", "__rate")
     )
@@ -289,7 +293,7 @@ def repeat_sample_by_rates(
     full = F.floor(F.col("__rate")).cast("int")
     frac = F.col("__rate") - full
     n_copies = full + (
-        hash_bucket(keyed) < F.round(frac * _BUCKETS)
+        hash_bucket(keyed) < F.floor(frac * _BUCKETS + F.lit(0.5))
     ).cast("int")
     return (
         joined.withColumn("__n", n_copies)

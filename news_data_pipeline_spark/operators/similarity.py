@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from news_data_pipeline_spark.functions.exact import settled_round
 from news_data_pipeline_spark.operators.fanout import fan_out
 
 
@@ -564,8 +565,11 @@ def embedding_covariance(
         "j",
         # + 0.0 folds IEEE -0.0 to +0.0: repr-sorting canonicalizers
         # order the two zeros differently and misalign row streams
+        # settled half-up (engine/version-stable round); the moment
+        # AVERAGES themselves are double sums whose order the
+        # determinism probe + oracle gate watch (see module docs)
         (
-            F.round(F.col("__exy") - F.col("__ex") * F.col("__ey"), 6)
+            settled_round(F.col("__exy") - F.col("__ex") * F.col("__ey"), 6)
             + F.lit(0.0)
         ).alias("cov"),
     )
@@ -621,7 +625,13 @@ def pca_project(
     C = np.zeros((d, d))
     mu = np.zeros(d)
     for r in cov_rows:
-        C[r["i"], r["j"]] = round(r["__exy"] - r["__ex"] * r["__ey"], 6)
+        # same settle as embedding_covariance publishes (Python round
+        # is half-even; floor(x*1e6+0.5) is the engine-shared half-up)
+        import math
+
+        C[r["i"], r["j"]] = (
+            math.floor((r["__exy"] - r["__ex"] * r["__ey"]) * 1e6 + 0.5) / 1e6
+        )
         mu[r["i"]] = r["__ex"]
     vals, vecs = np.linalg.eigh((C + C.T) / 2.0)
     order = np.argsort(vals)[::-1][:k]

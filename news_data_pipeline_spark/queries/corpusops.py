@@ -100,7 +100,7 @@ def temperature_mixture_lang_rates(
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE {_sql_bucket("mix:", "coalesce(d.lang, '<NULL>')",
                            "coalesce(CAST(d.doc_id AS VARCHAR), '<NULL>')")}
-              < round(r.rate * 10000))
+              < floor(r.rate * 10000 + 0.5))
     SELECT lang, count(*) AS n_kept FROM kept GROUP BY lang
     """,
 )

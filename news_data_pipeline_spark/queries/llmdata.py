@@ -601,27 +601,29 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cosine_topk_arrow_sign",
     oracle="""
+    -- lambda-free: list_transform/arrow-lambda is the DuckDB surface
+    -- that has changed across releases (r5 red class). Sign-vector
+    -- cosine folds to a positional agreement count: cos = (#agree -
+    -- #disagree)/64, an exact multiple of 1/64 (6 decimal digits, so
+    -- no rounding is even needed to match Spark's 6dp round).
     WITH v AS (
-        SELECT vec_id,
-               list_transform(
-                   CAST(embedding AS DOUBLE[]),
-                   x -> CASE WHEN x >= 0 THEN CAST(1 AS DOUBLE)
-                             ELSE CAST(-1 AS DOUBLE) END) AS e
-        FROM embeddings),
-    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10)
-    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    pos AS (SELECT unnest(range(1, 65)) AS i),
+    sims AS (
         SELECT q.query_id, v.vec_id AS neighbor_id,
-               round(list_dot_product(q.qe, v.e)
-                     / (sqrt(list_dot_product(q.qe, q.qe))
-                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine_sim,
+               sum(CASE WHEN (q.qe[pos.i] >= 0) = (v.e[pos.i] >= 0)
+                        THEN 1 ELSE -1 END) / 64.0 AS cosine_sim
+        FROM q JOIN v ON q.query_id <> v.vec_id
+        CROSS JOIN pos
+        GROUP BY q.query_id, v.vec_id)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT query_id, neighbor_id, cosine_sim,
                row_number() OVER (
-                   PARTITION BY q.query_id
-                   ORDER BY round(list_dot_product(q.qe, v.e)
-                                  / (sqrt(list_dot_product(q.qe, q.qe))
-                                     * sqrt(list_dot_product(v.e, v.e))), 6)
-                            DESC,
-                            v.vec_id) AS rank
-        FROM q JOIN v ON q.query_id <> v.vec_id) t
+                   PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, neighbor_id) AS rank
+        FROM sims) t
     WHERE rank <= 5
     """,
 )
@@ -677,7 +679,10 @@ def cosine_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT label,
            count(*) AS n_vectors,
-           round(avg(sqrt(list_dot_product(e, e))), 6) AS avg_norm
+           floor(sum(CAST(floor(sqrt(list_dot_product(e, e))
+                                 * 10000000000 + 0.5) AS BIGINT))
+                 / 10000000000.0 / count(*) * 1000000 + 0.5) / 1000000.0
+               AS avg_norm
     FROM v GROUP BY label
     """,
 )
@@ -686,7 +691,14 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.col("embedding").cast("array<double>")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.round(F.avg(similarity.l2_norm(vec)), 6).alias("avg_norm"),
+        # per-row 10dp settle before the mean (avg(double) is
+        # summation-order-dependent; the BIGINT sum is exact)
+        settled_round(
+            F.sum(settled_units(similarity.l2_norm(vec), 10))
+            / 1e10
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
     )
 
 
@@ -855,9 +867,10 @@ _DUCK_IMG_EMB = """
         SELECT doc_id, [{bins}] AS e
         FROM nib GROUP BY doc_id)
 """.format(
+    # floor-settled integer ratio (bin count / pixel count)
     bins=", ".join(
-        f"round(sum(CASE WHEN nibble = '{x:x}' THEN 1 ELSE 0 END)"
-        f" / any_value(total)::DOUBLE, 6)"
+        f"floor(sum(CASE WHEN nibble = '{x:x}' THEN 1 ELSE 0 END)"
+        f" / any_value(total)::DOUBLE * 1000000 + 0.5) / 1000000.0"
         for x in range(16)
     )
 )
@@ -1083,7 +1096,8 @@ def ivf_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ui.i - 1 AS i, uj.j - 1 AS j,
            -- + 0.0 folds IEEE -0.0 to +0.0 (repr-sorted canonicalizers
            -- misalign otherwise)
-           round(avg(e[ui.i] * e[uj.j]) - avg(e[ui.i]) * avg(e[uj.j]), 6)
+           floor((avg(e[ui.i] * e[uj.j]) - avg(e[ui.i]) * avg(e[uj.j]))
+                 * 1000000 + 0.5) / 1000000.0
                + 0.0 AS cov
     FROM v,
          LATERAL unnest(range(1, len(e) + 1)) AS ui(i),
@@ -1176,12 +1190,12 @@ def ivf_kmeans_two_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact oracle: the 3 label-propagation iterations unrolled as CTEs
     oracle="""
     WITH shingles AS (
-        SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+        SELECT DISTINCT id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS shingle
         FROM (SELECT doc_id AS id,
                      regexp_split_to_array(trim(text), '\\s+') AS ws,
                      unnest(range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 1) + 1)) AS i
               FROM documents) t
-        WHERE array_to_string(ws[i:i+2], ' ') <> ''),
+        WHERE concat_ws(' ', ws[i], ws[i+1], ws[i+2]) <> ''),
     sig AS (SELECT id, min(substring(md5('seed0:' || shingle), 1, 8)) AS mh_0, min(substring(md5('seed0:' || shingle), 9, 8)) AS mh_1, min(substring(md5('seed0:' || shingle), 17, 8)) AS mh_2, min(substring(md5('seed0:' || shingle), 25, 8)) AS mh_3, min(substring(md5('seed1:' || shingle), 1, 8)) AS mh_4, min(substring(md5('seed1:' || shingle), 9, 8)) AS mh_5, min(substring(md5('seed1:' || shingle), 17, 8)) AS mh_6, min(substring(md5('seed1:' || shingle), 25, 8)) AS mh_7, min(substring(md5('seed2:' || shingle), 1, 8)) AS mh_8, min(substring(md5('seed2:' || shingle), 9, 8)) AS mh_9, min(substring(md5('seed2:' || shingle), 17, 8)) AS mh_10, min(substring(md5('seed2:' || shingle), 25, 8)) AS mh_11, min(substring(md5('seed3:' || shingle), 1, 8)) AS mh_12, min(substring(md5('seed3:' || shingle), 9, 8)) AS mh_13, min(substring(md5('seed3:' || shingle), 17, 8)) AS mh_14, min(substring(md5('seed3:' || shingle), 25, 8)) AS mh_15 FROM shingles GROUP BY id),
     member AS (SELECT id, concat('0', '#', md5(mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3)) AS bucket FROM sig UNION ALL SELECT id, concat('1', '#', md5(mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7)) AS bucket FROM sig UNION ALL SELECT id, concat('2', '#', md5(mh_8 || '|' || mh_9 || '|' || mh_10 || '|' || mh_11)) AS bucket FROM sig UNION ALL SELECT id, concat('3', '#', md5(mh_12 || '|' || mh_13 || '|' || mh_14 || '|' || mh_15)) AS bucket FROM sig),
     l0 AS (SELECT DISTINCT id, id AS label FROM member),
@@ -1492,7 +1506,8 @@ def hot_shingles_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                percent_rank() OVER (PARTITION BY lang
                                     ORDER BY quality ASC NULLS LAST) AS qr
         FROM scored)
-    SELECT doc_id, lang, quality, round(qr, 6) AS q_rank
+    SELECT doc_id, lang, quality,
+           floor(qr * 1000000 + 0.5) / 1000000.0 AS q_rank
     FROM ranked WHERE qr >= 0.1 AND qr <= 0.9
     """,
 )
@@ -1524,7 +1539,10 @@ def quality_band_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["lang"], "quality", out_col="qr"
     )
     return banded.where((F.col("qr") >= 0.1) & (F.col("qr") <= 0.9)).select(
-        "doc_id", "lang", "quality", F.round("qr", 6).alias("q_rank")
+        "doc_id",
+        "lang",
+        "quality",
+        settled_round(F.col("qr"), 6).alias("q_rank"),
     )
 
 

@@ -107,9 +107,10 @@ def gold_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT source,
-               round((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
+               floor((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
                     - len(regexp_extract_all(lower(text), '\\b({"|".join(T.NEGATIVE_WORDS)})\\b')))
-                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE, 4) AS polarity
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
+                    * 10000 + 0.5) / 10000.0 AS polarity
         FROM documents)
     SELECT source,
            CASE WHEN polarity > 0 THEN 'positive'
@@ -428,9 +429,10 @@ def documents_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id,
-               round((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
+               floor((len(regexp_extract_all(lower(text), '\\b({"|".join(T.POSITIVE_WORDS)})\\b'))
                     - len(regexp_extract_all(lower(text), '\\b({"|".join(T.NEGATIVE_WORDS)})\\b')))
-                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE, 4)
+                    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1)::DOUBLE
+                    * 10000 + 0.5) / 10000.0
                    AS sentiment_score
         FROM documents)
     SELECT doc_id, sentiment_score,

@@ -289,8 +289,12 @@ def part_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier_balance_distribution",
     oracle="""
     SELECT s_suppkey, s_nationkey,
-           round(percent_rank() OVER w, 6) AS bal_pct_rank,
-           round(cume_dist()    OVER w, 6) AS bal_cume_dist,
+           -- settled: (rank-1)/(n-1) and n_le/n are exact integer
+           -- ratios — round()'s half-way-cell class
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
+               AS bal_pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
+               AS bal_cume_dist,
            CAST(ntile(4) OVER w AS INT)    AS bal_quartile,
            first_value(s_suppkey) OVER w   AS poorest_supp,
            nth_value(s_suppkey, 2) OVER w  AS second_poorest_supp
@@ -308,8 +312,8 @@ def supplier_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return supp.select(
         "s_suppkey",
         "s_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        settled_round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        settled_round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
         F.ntile(4).over(w).alias("bal_quartile"),
         F.first("s_suppkey").over(w).alias("poorest_supp"),
         F.nth_value("s_suppkey", 2).over(w).alias("second_poorest_supp"),
@@ -581,16 +585,18 @@ def status_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantity_median",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+           floor(quantile_cont(l_quantity, 0.5) * 10000 + 0.5) / 10000.0
+               AS median_qty,
+           floor(quantile_cont(l_quantity, 0.9) * 10000 + 0.5) / 10000.0
+               AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
-        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        settled_round(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+        settled_round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
     )
 
 
@@ -598,7 +604,9 @@ def quantity_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           -- settled cents (order-independent BIGINT sum), not
+           -- round(sum(double)) — see functions/exact.py
+           floor((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue,
            CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
            o.o_orderpriority
     FROM customer c
@@ -630,8 +638,24 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # settled cents: per-row 1e-4 units (2dp price x 2dp discount
+            # is exact at 4dp), BIGINT sum, integer half-up to cents
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                                + F.lit(0.5)
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100.0
+                )
+                / 100.0
             ).alias("revenue")
         )
         .select(
@@ -649,7 +673,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_items_report",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue,
            round(c.c_acctbal, 2) AS c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -677,8 +701,23 @@ def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # settled cents (see shipping_priority)
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                                + F.lit(0.5)
+                            ).cast("long")
+                        )
+                        + 50
+                    )
+                    / 100.0
+                )
+                / 100.0
             ).alias("revenue")
         )
         .select(
@@ -920,8 +959,10 @@ def part_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundaries are the identical doubles
     oracle=f"""
     WITH pct AS (
-        SELECT round(quantile_cont(l_extendedprice, 0.01), 2) AS lo,
-               round(quantile_cont(l_extendedprice, 0.99), 2) AS hi
+        SELECT floor(quantile_cont(l_extendedprice, 0.01) * 100 + 0.5)
+                   / 100.0 AS lo,
+               floor(quantile_cont(l_extendedprice, 0.99) * 100 + 0.5)
+                   / 100.0 AS hi
         FROM lineitem)
     SELECT l_returnflag,
            count(*) AS n,
@@ -941,8 +982,10 @@ def price_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow clamp, grouped aggregate) is unchanged."""
     li = load_table(spark, sf_dir, "lineitem")
     pct = li.agg(
-        F.round(F.percentile("l_extendedprice", 0.01), 2).alias("lo"),
-        F.round(F.percentile("l_extendedprice", 0.99), 2).alias("hi"),
+        # settled: interpolated percentiles of 2dp money can land
+        # exactly on .xx5 half-way cells
+        settled_round(F.percentile("l_extendedprice", 0.01), 2).alias("lo"),
+        settled_round(F.percentile("l_extendedprice", 0.99), 2).alias("hi"),
     )
     price = F.col("l_extendedprice")
     clamped = (
@@ -1167,8 +1210,10 @@ def order_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey, s_nationkey,
            round(s_acctbal, 2) AS acctbal,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume_dist
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000.0
+               AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000.0
+               AS cume_dist
     FROM supplier
     WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
     """,
@@ -1186,8 +1231,8 @@ def supplier_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_nationkey",
         F.round("s_acctbal", 2).alias("acctbal"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        settled_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        settled_round(F.cume_dist().over(w), 6).alias("cume_dist"),
     )
 
 
@@ -1297,7 +1342,8 @@ def monthly_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                datediff('day', max(CAST(o_orderdate AS DATE)),
                         any_value(r.ref_d)) AS recency_days,
                count(*) AS frequency,
-               round(sum(o_totalprice), 2) AS monetary
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   / 100.0 AS monetary
         FROM orders CROSS JOIN ref r
         GROUP BY o_custkey),
     bounds AS (
@@ -1325,9 +1371,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) customer segmentation with
     quartile scores assigned by comparing against a broadcast 1-row
     boundary aggregate — not a global ntile, so no single-partition
-    sort and an approx_percentile drop-in at 100 TB. Monetary rounds to
-    cents BEFORE the quantile so boundary comparisons run on identical
-    values in both engines."""
+    sort and an approx_percentile drop-in at 100 TB. Monetary settles
+    to exact integer cents BEFORE the quantile (order-independent sum)
+    so boundary comparisons run on identical values in both engines."""
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("__ref_d")
@@ -1341,7 +1387,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.col("o_orderdate").cast("date")),
             ).alias("recency_days"),
             F.count(F.lit(1)).alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            # exact cents: settled BIGINT sum, not round(sum(double))
+            (
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * 100 + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 100.0
+            ).alias("monetary"),
         )
     )
     bounds = rfm.agg(

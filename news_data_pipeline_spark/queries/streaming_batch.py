@@ -1083,8 +1083,12 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT event_type,
            count(gap_s) AS n_gaps,
-           round(avg(gap_s), 2) AS avg_gap_s,
-           round(quantile_cont(gap_s, 0.5), 2) AS median_gap_s,
+           -- settled: sum/count of exact integer seconds is the
+           -- half-way-cell integer-ratio class
+           floor(sum(gap_s) / count(gap_s)::DOUBLE * 100 + 0.5) / 100.0
+               AS avg_gap_s,
+           floor(quantile_cont(gap_s, 0.5) * 100 + 0.5) / 100.0
+               AS median_gap_s,
            max(gap_s) AS max_gap_s
     FROM gaps GROUP BY event_type
     """,
@@ -1107,8 +1111,10 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = events.select("event_type", gap.alias("gap_s"))
     return gaps.groupBy("event_type").agg(
         F.count("gap_s").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
-        F.round(F.percentile("gap_s", 0.5), 2).alias("median_gap_s"),
+        settled_round(
+            F.sum("gap_s") / F.count("gap_s").cast("double"), 2
+        ).alias("avg_gap_s"),
+        settled_round(F.percentile("gap_s", 0.5), 2).alias("median_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
 
@@ -1124,8 +1130,13 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT day, sum(cnt) AS n FROM daily GROUP BY day)
     SELECT d.day,
            CAST(t.n AS BIGINT) AS n_events,
-           round(-sum((d.cnt / t.n::DOUBLE)
-                      * log2(d.cnt / t.n::DOUBLE)), 6) AS entropy_bits
+           -- per-term 10dp settle before the sum: summation order
+           -- differs between engines; the BIGINT sum is exact
+           floor(-sum(CAST(floor((d.cnt / t.n::DOUBLE)
+                                 * log2(d.cnt / t.n::DOUBLE)
+                                 * 10000000000 + 0.5) AS BIGINT))
+                 / 10000000000.0 * 1000000 + 0.5) / 1000000.0
+               AS entropy_bits
     FROM daily d JOIN tot t USING (day)
     GROUP BY d.day, t.n
     """,
@@ -1134,8 +1145,8 @@ def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of the daily event-type mix: the one-number
     drift signal that collapses when traffic degenerates to a single
     type (bot storms, pipeline stalls) and peaks at uniform mix. Two
-    keyed aggregates; per-day totals attach by broadcast; identical
-    log2 arithmetic on both engines."""
+    keyed aggregates; per-day totals attach by broadcast; per-term
+    settled units make the sum order-independent on both engines."""
     events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = events.groupBy(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
@@ -1148,5 +1159,15 @@ def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         daily.join(F.broadcast(tot), "day")
         .groupBy("day", F.col("__n").cast("bigint").alias("n_events"))
-        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .agg(
+            # per-term 10dp settle before the sum (order-independent),
+            # final 6dp settle — mirrors the oracle exactly
+            settled_round(
+                -F.sum(
+                    F.floor(p * F.log2(p) * 1e10 + F.lit(0.5)).cast("long")
+                )
+                / 1e10,
+                6,
+            ).alias("entropy_bits")
+        )
     )
