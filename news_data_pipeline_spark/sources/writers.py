@@ -22,20 +22,49 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
+
+def default_layer_format(spark: SparkSession) -> str:
+    """``"delta"`` when the session is Delta-enabled, else ``"parquet"``.
+
+    Closes the one physical-format gap vs the reference (its layers are
+    Delta tables, ``_lib_dq_helpers.py:36-47``; ``README.md:29-33``)
+    without adding a dependency: this container has no Delta jar, so the
+    default stays parquet, but a session built with
+    ``--packages io.delta:delta-spark...`` + the standard two confs
+    (``spark.sql.extensions`` including ``DeltaSparkSessionExtension``
+    and the ``DeltaCatalog`` as ``spark.sql.catalog.spark_catalog``)
+    makes every ``fmt=None`` writer/reader below produce real Delta
+    tables — ACID overwrite and ``VERSION AS OF`` then come from the
+    transaction log instead of ``VersionedLayer``'s pointer swap.
+    """
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        cat = spark.conf.get("spark.sql.catalog.spark_catalog", "") or ""
+    except Exception:  # conf lookup should never break a write
+        return "parquet"
+    if "DeltaSparkSessionExtension" in ext or "DeltaCatalog" in cat:
+        return "delta"
+    return "parquet"
+
+
 def write_layer(
     df: DataFrame,
     path: str,
     *,
     partition_by: str | Sequence[str] | None = None,
     mode: str = "append",
-    fmt: str = "parquet",
+    fmt: str | None = "parquet",
 ) -> None:
     """Write ``df`` to ``path`` with optional partitioning.
 
     Mirrors ``write_to_datalake`` (``_lib_dq_helpers.py:21-54``) minus the
     cloud-path assembly: callers pass a full path/URI so the same code
-    serves local disk, HDFS, or object stores.
+    serves local disk, HDFS, or object stores. ``fmt=None`` resolves via
+    ``default_layer_format`` — parquet here, Delta on a Delta-enabled
+    session (reference format parity without a bundled jar).
     """
+    if fmt is None:
+        fmt = default_layer_format(df.sparkSession)
     writer = df.write.format(fmt).mode(mode)
     if partition_by:
         cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)

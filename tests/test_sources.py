@@ -630,3 +630,39 @@ def test_csv_custom_delimiter_tsv(spark, tmp_path):
     valid, corrupt = split_corrupt_records(back)
     assert corrupt.count() == 0
     assert valid.first()["name"] == "tab\tseparated? no — quoted"
+
+
+def test_default_layer_format_detects_delta_session(spark):
+    # parquet on this container (no Delta jar/confs)…
+    from news_data_pipeline_spark.sources.writers import default_layer_format
+
+    assert default_layer_format(spark) == "parquet"
+
+    # …delta when the standard Delta session confs are present.
+    # spark.sql.extensions is a STATIC conf (cannot be set on a live
+    # session), so the Delta-enabled session is faked through the same
+    # conf.get surface the detector reads — pinning the OR semantics
+    # over both signals.
+    class _Conf:
+        def __init__(self, values):
+            self._v = values
+
+        def get(self, key, default=None):
+            return self._v.get(key, default)
+
+    class _Session:
+        def __init__(self, values):
+            self.conf = _Conf(values)
+
+    ext = _Session(
+        {"spark.sql.extensions": "io.delta.sql.DeltaSparkSessionExtension"}
+    )
+    cat = _Session(
+        {
+            "spark.sql.catalog.spark_catalog":
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog"
+        }
+    )
+    assert default_layer_format(ext) == "delta"
+    assert default_layer_format(cat) == "delta"
+    assert default_layer_format(_Session({})) == "parquet"
