@@ -1,0 +1,242 @@
+"""Product quantization (PQ): compressed-vector ANN for the 100-TB tier.
+
+IVF (``similarity.ivf_topk``) prunes WHICH vectors a query scores;
+PQ compresses WHAT is stored and scored: each ``d``-dim float vector
+becomes ``m`` small codes (here 4 codes over 16-dim subspaces, 16
+centroids each — 4 bytes per vector vs 256 for float32 at d=64, a 64x
+memory cut), and queries score candidates from a per-query lookup
+table (ADC — asymmetric distance computation) instead of touching raw
+floats. This is the standard second half of IVF-PQ, the layout every
+billion-vector index uses; at 100 TB the codes fit where the floats
+never would, and scoring is ``m`` table lookups per candidate.
+
+Everything is DataFrame algebra over the positionally-exploded
+components — no UDFs, no driver-side vectors beyond the k*m codebook
+rows (bounded by construction, same contract as ``kmeans_iterate``):
+
+- training: per-subspace Lloyd assignments via a broadcast codebook
+  join on (sub, pos), map-side-combined dot products, 6dp-settled
+  means (the shared cross-engine distance convention);
+- encoding: the same assignment rule — train and encode MUST share
+  the boundary tie-break or cells drift;
+- ADC: per-(query, sub, code) distances settled to exact 1e-6 BIGINT
+  units so the per-candidate sum over subspaces is order-independent
+  and engine-identical (see ``functions/exact.py``).
+
+Production notes at scale: train on a sample (Lloyd cost is
+rows*k*d per iteration — the codebook needs ~100k vectors, not the
+corpus), store codes+ids in the IVF cell layout, and rerank the ADC
+top-R with exact distances over the raw floats of just those R.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from news_data_pipeline_spark.functions.exact import settled_round, settled_units
+from news_data_pipeline_spark.operators.fanout import fan_out
+from news_data_pipeline_spark.operators.similarity import _as_double
+
+
+def _components(df: DataFrame, id_col: str, vec_col: str, sub_dim: int) -> DataFrame:
+    """(id, sub, j, x): positionally exploded vectors, subspace-keyed.
+
+    ``j`` is the 1-based position WITHIN the subspace — the codebook's
+    positional key — so the downstream joins never slice arrays (list
+    slicing is also the DuckDB construct the oracle twins must avoid).
+    """
+    return (
+        fan_out(
+            df.where(F.col(vec_col).isNotNull()).select(
+                F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+            )
+        )
+        .select("id", F.posexplode("v").alias("p", "x"))
+        .select(
+            "id",
+            # floor of the double ratio, NOT a bare int cast: Spark's
+            # double->int cast truncates but DuckDB's rounds, so the
+            # oracle twin mirrors floor() — the one form both share
+            F.floor(F.col("p") / sub_dim).cast("int").alias("sub"),
+            (F.col("p") % sub_dim + 1).alias("j"),
+            "x",
+        )
+    )
+
+
+def _assign_codes(comp: DataFrame, codebook_rows: DataFrame) -> DataFrame:
+    """(id, sub, code): nearest codebook centroid per subspace.
+
+    Shared by train and encode. Distance rule is the corpus-norm-free
+    ``-2*dot + c2`` at 6dp with code tie-break — identical to
+    ``similarity._assign_cells`` so every operator in the ANN family
+    agrees on cell boundaries.
+    """
+    cb = codebook_rows.select("sub", "cid", "j", "value")
+    # Per-term 12dp integer-unit settles BEFORE every sum: these sums
+    # run as groupBy partial aggregates whose order is arbitrary, so a
+    # raw double sum could differ in its last ulp between engines (and
+    # between runs under AQE) — the exact BIGINT sum cannot. This is
+    # stricter than the kmeans family's array-level dots (sequential
+    # fold, shared order) because the exploded layout has no order.
+    c2 = cb.groupBy("sub", "cid").agg(
+        (
+            F.sum(settled_units(F.col("value") * F.col("value"), 12)) / 1e12
+        ).alias("c2")
+    )
+    dots = (
+        comp.join(F.broadcast(cb), on=["sub", "j"])
+        .groupBy("id", "sub", "cid")
+        .agg(
+            (
+                F.sum(settled_units(F.col("x") * F.col("value"), 12)) / 1e12
+            ).alias("dot")
+        )
+    )
+    dist = settled_round(
+        -2 * F.col("dot") + F.col("c2"), 6
+    ).alias("__dist")
+    w = Window.partitionBy("id", "sub").orderBy("__dist", "cid")
+    return (
+        dots.join(F.broadcast(c2), on=["sub", "cid"])
+        .select("id", "sub", "cid", dist)
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("id", "sub", F.col("cid").alias("code"))
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    sub_dim: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Train per-subspace codebooks: (sub, cid, j, value) scalar rows.
+
+    Seeds are the first ``k`` vectors' subvectors (by id — the same
+    deterministic convention as ``ivf_kmeans_centroids``); each Lloyd
+    iteration reassigns all vectors and re-means each (sub, cid, j)
+    cell at 6dp, empty cells keeping their previous centroid. The
+    codebook is k*m*sub_dim scalar rows — bounded, never corpus-sized.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    comp = _components(df, id_col, vec_col, sub_dim)
+    seeds = (
+        comp.where(F.col("id") < k)
+        .select("sub", F.col("id").cast("int").alias("cid"), "j", F.col("x").alias("value"))
+    )
+    spark = df.sparkSession
+    rows = [
+        (r["sub"], r["cid"], r["j"], r["value"]) for r in seeds.collect()
+    ]
+    schema = "sub int, cid int, j int, value double"
+    for _ in range(iters):
+        cb = spark.createDataFrame(rows, schema)
+        assigned = _assign_codes(comp, cb)
+        means = (
+            comp.join(
+                assigned.withColumnRenamed("code", "cid"), on=["id", "sub"]
+            )
+            .groupBy("sub", "cid", "j")
+            .agg(
+                # order-free mean: 10dp settled components, exact sum
+                settled_round(
+                    F.sum(settled_units(F.col("x"), 10))
+                    / 1e10
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("value")
+            )
+        )
+        updated = {
+            (r["sub"], r["cid"], r["j"]): r["value"] for r in means.collect()
+        }
+        rows = [
+            (s, c, j, updated.get((s, c, j), v)) for s, c, j, v in rows
+        ]
+    return spark.createDataFrame(rows, schema)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+) -> DataFrame:
+    """(id, sub, code): every vector as its per-subspace code — the
+    compressed representation an index stores (pivot to an array or
+    pack to bytes at the storage boundary; scalar rows keep the engine
+    join-friendly and the oracle canonicalizable)."""
+    comp = _components(df, id_col, vec_col, sub_dim)
+    return _assign_codes(comp, codebooks)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-``k`` by ADC: (query_id, neighbor_id, adc_dist,
+    rank).
+
+    Per query: a lookup table of settled ``||q_sub - c||^2`` integer
+    units per (sub, code) — m*k rows, broadcast; per candidate: the
+    exact BIGINT sum of its ``m`` table entries (order-independent —
+    a float sum over subspaces would be engine/order-sensitive), then
+    ranked ascending with neighbor-id tie-break. Candidates never touch
+    raw floats — that is the entire point of the layout.
+    """
+    qcomp = _components(queries, id_col, vec_col, sub_dim).withColumnRenamed(
+        "id", "query_id"
+    )
+    cb = codebooks.select("sub", "cid", "j", "value")
+    # ||q_sub - c||^2 = sum_j (q_j - c_j)^2, settled to 1e-6 units
+    lut = (
+        qcomp.join(F.broadcast(cb), on=["sub", "j"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            # order-free: settled squared-difference terms, exact sum
+            (
+                F.sum(
+                    settled_units(
+                        (F.col("x") - F.col("value"))
+                        * (F.col("x") - F.col("value")),
+                        12,
+                    )
+                )
+                / 1e12
+            ).alias("__d")
+        )
+        .select(
+            "query_id",
+            "sub",
+            F.col("cid").alias("code"),
+            settled_units(F.col("__d"), 6).alias("__u"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg((F.sum("__u") / 1e6).alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

@@ -457,3 +457,173 @@ def pca_projection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pc")[0].alias("pc1"),
         F.col("pc")[1].alias("pc2"),
     )
+
+
+# --- product quantization (IVF-PQ's compression half) ---------------------
+# Shared oracle prefix: one unrolled PQ training iteration (m=4
+# subspaces x 16 centroids x 16 dims, seeds = first 16 vectors'
+# subvectors). Every sum settles its terms to integer units FIRST
+# (12dp products, 10dp components) because these aggregates run in
+# arbitrary partial-aggregation order on the Spark side — the exact
+# BIGINT sums are order- and engine-independent by construction.
+_PQ_PREFIX = """
+    v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE embedding IS NOT NULL),
+    comp AS (
+        SELECT id,
+               CAST(floor((u.p - 1) / 16.0) AS INT) AS sub,
+               (u.p - 1) % 16 + 1 AS j,
+               e[u.p] AS x
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)),
+    cb0 AS (
+        SELECT sub, CAST(id AS INT) AS cid, j, x AS value
+        FROM comp WHERE id < 16),
+    c2_0 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb0 GROUP BY sub, cid),
+    dots0 AS (
+        SELECT comp.id, comp.sub, cb0.cid,
+               sum(CAST(floor(comp.x * cb0.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM comp JOIN cb0 ON comp.sub = cb0.sub AND comp.j = cb0.j
+        GROUP BY comp.id, comp.sub, cb0.cid),
+    assign0 AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots0 d JOIN c2_0 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1),
+    means1 AS (
+        SELECT comp.sub, a.code AS cid, comp.j,
+               floor(sum(CAST(floor(comp.x * 10000000000 + 0.5) AS BIGINT))
+                     / 10000000000.0 / count(*) * 1000000 + 0.5)
+                   / 1000000.0 AS value
+        FROM comp JOIN assign0 a ON comp.id = a.id AND comp.sub = a.sub
+        GROUP BY comp.sub, a.code, comp.j),
+    cb1 AS (
+        SELECT cb0.sub, cb0.cid, cb0.j, coalesce(m.value, cb0.value) AS value
+        FROM cb0 LEFT JOIN means1 m
+          ON cb0.sub = m.sub AND cb0.cid = m.cid AND cb0.j = m.j),
+    c2_1 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb1 GROUP BY sub, cid),
+    dots1 AS (
+        SELECT comp.id, comp.sub, cb1.cid,
+               sum(CAST(floor(comp.x * cb1.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM comp JOIN cb1 ON comp.sub = cb1.sub AND comp.j = cb1.j
+        GROUP BY comp.id, comp.sub, cb1.cid),
+    codes AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots1 d JOIN c2_1 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1)
+"""
+
+
+@register(
+    "pq_codebooks",
+    oracle=f"""
+    WITH {_PQ_PREFIX}
+    SELECT sub, cid, j, value FROM cb1
+    """,
+)
+def pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (operators.pq.pq_train,
+    one Lloyd iteration over 4x16-dim subspaces, 16 centroids each):
+    the compression half of IVF-PQ — 4 bytes per vector instead of 256,
+    which is what makes a billion-vector index fit in memory at 100 TB.
+    The codebook is k*m*sub_dim scalar rows; training is broadcast
+    joins + map-side-combined integer-unit sums, nothing corpus-sized
+    on the driver."""
+    from news_data_pipeline_spark.operators.pq import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_train(emb, m=4, k=16, sub_dim=16, iters=1)
+
+
+@register(
+    "pq_encoded_sample",
+    oracle=f"""
+    WITH {_PQ_PREFIX}
+    SELECT id AS vec_id, sub, code FROM codes WHERE id < 50
+    """,
+)
+def pq_encoded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding (operators.pq.pq_encode): every vector as its 4
+    per-subspace codes under the trained codebooks — the stored form of
+    the corpus in a PQ index. Train and encode share one assignment
+    rule (settled -2*dot + c2, code tie-break) so cell boundaries can't
+    drift between fit and apply."""
+    from news_data_pipeline_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, k=16, sub_dim=16, iters=1)
+    return (
+        pq_encode(emb, cb, sub_dim=16)
+        .where(F.col("id") < 50)
+        .select(F.col("id").alias("vec_id"), "sub", "code")
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_PREFIX},
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    scored AS (
+        SELECT l.query_id, c.id AS neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM codes c
+        JOIN qlut l ON l.sub = c.sub AND l.code = c.code
+        WHERE l.query_id <> c.id
+        GROUP BY l.query_id, c.id)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+        FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over PQ codes
+    (operators.pq.pq_adc_topk): each query builds a 4x16 lookup table of
+    settled subspace distances (broadcast — m*k rows), and every
+    candidate's approximate distance is the exact BIGINT sum of its 4
+    table entries. Candidates never touch raw floats — the scoring cost
+    that lets ANN run over compressed codes at corpus scale."""
+    from news_data_pipeline_spark.operators.pq import (
+        pq_adc_topk as _adc,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, k=16, sub_dim=16, iters=1)
+    codes = pq_encode(emb, cb, sub_dim=16)
+    queries = emb.where(F.col("vec_id") < 5)
+    return _adc(queries, codes, cb, sub_dim=16, k=10)

@@ -1,0 +1,122 @@
+"""Product quantization: train / encode / ADC scoring.
+
+Model-pins the PQ operator family on small hand-built vectors where the
+right codebooks and assignments are computable by eye: with two
+well-separated clusters per subspace, training must converge to the
+cluster means and ADC distances must rank same-cluster neighbors first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark.operators.pq import (
+    _components,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+
+def _vectors(spark, sub_dim=2):
+    # 4-dim vectors = 2 subspaces x 2 dims. Two clusters per subspace:
+    # ids 0/1 near (1,0 | 0,1), ids 2/3 near (0,5 | 5,0).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [1.2, 0.0, 0.0, 0.8]),
+        (2, [0.0, 5.0, 5.0, 0.0]),
+        (3, [0.0, 5.2, 4.8, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_components_positional_layout(spark):
+    comp = _components(_vectors(spark), "vec_id", "embedding", sub_dim=2)
+    got = {
+        (r["id"], r["sub"], r["j"]): r["x"] for r in comp.collect()
+    }
+    # id 0: subspace 0 holds dims 1-2, subspace 1 holds dims 3-4
+    assert got[(0, 0, 1)] == 1.0 and got[(0, 0, 2)] == 0.0
+    assert got[(0, 1, 1)] == 0.0 and got[(0, 1, 2)] == 1.0
+    assert len(got) == 4 * 4
+
+
+def test_pq_train_converges_to_cluster_means(spark):
+    # k=2 seeds are ids 0 and 1 — both in cluster A — so iteration 1
+    # must pull one centroid to cluster B's mean (all B points assign
+    # to whichever seed is nearer, then re-mean lands on the mean).
+    cb = pq_train(
+        _vectors(spark), m=2, k=2, sub_dim=2, iters=2
+    )
+    vals = {
+        (r["sub"], r["cid"], r["j"]): r["value"] for r in cb.collect()
+    }
+    # After convergence each subspace has one centroid at each cluster
+    # mean: sub 0 cluster means (1.1, 0) and (0, 5.1).
+    by_centroid = {}
+    for (sub, cid, j), v in vals.items():
+        by_centroid.setdefault((sub, cid), {})[j] = v
+    sub0 = sorted(
+        (c[1], c[2]) for (s, _), c in by_centroid.items() if s == 0
+    )
+    assert sub0[0] == (0.0, 5.1)
+    assert abs(sub0[1][0] - 1.1) < 1e-9 and sub0[1][1] == 0.0
+
+
+def test_pq_encode_groups_clusters(spark):
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    codes = {
+        (r["id"], r["sub"]): r["code"]
+        for r in pq_encode(vecs, cb, sub_dim=2).collect()
+    }
+    # Same-cluster ids share codes in every subspace; cross-cluster differ.
+    for sub in (0, 1):
+        assert codes[(0, sub)] == codes[(1, sub)]
+        assert codes[(2, sub)] == codes[(3, sub)]
+        assert codes[(0, sub)] != codes[(2, sub)]
+
+
+def test_pq_adc_ranks_same_cluster_first(spark):
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    codes = pq_encode(vecs, cb, sub_dim=2)
+    out = pq_adc_topk(
+        vecs.where("vec_id = 0"), codes, cb, sub_dim=2, k=3
+    ).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 1  # same cluster
+    assert set(ranked[1:]) == {2, 3}
+    # ADC distance to the same-cluster neighbor equals the distance to
+    # its own codebook cell (both quantize to the same codes): strictly
+    # below any cross-cluster distance.
+    dists = {r["neighbor_id"]: r["adc_dist"] for r in out}
+    assert dists[1] < dists[2] and dists[1] < dists[3]
+
+
+def test_pq_adc_excludes_self_and_is_sorted(spark):
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=1)
+    codes = pq_encode(vecs, cb, sub_dim=2)
+    out = pq_adc_topk(vecs, codes, cb, sub_dim=2, k=10).collect()
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for q, pairs in per_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        ds = [p[1] for p in pairs]
+        assert ds == sorted(ds)
+
+
+def test_pq_train_iters_guard(spark):
+    try:
+        pq_train(_vectors(spark), iters=0)
+    except ValueError as e:
+        assert "iters" in str(e)
+    else:
+        raise AssertionError("iters=0 must raise")
