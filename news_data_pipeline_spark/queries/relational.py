@@ -1659,3 +1659,124 @@ def customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         (F.sum("rev_u") / 100.0).alias("class_revenue"),
     )
+
+
+# --- round 6: MERGE INTO (Delta-style upsert) semantics -------------------
+# Shared source frame for the merge queries: updates flag every 97th
+# order as status 'U'; inserts clone every 193rd order under a shifted
+# key with status 'N'. Both arms carry the full column set so the
+# update path (source wins, even for same-valued columns) is exercised.
+_MERGE_SRC_SQL = """
+    src AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 'N' AS o_orderstatus,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 193 = 0),
+    tgt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders),
+    merged AS (
+        SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_orderstatus ELSE t.o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL
+                    THEN s.o_totalprice ELSE t.o_totalprice END
+                   AS o_totalprice
+        FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    inserts = (
+        orders.where(F.col("o_orderkey") % 193 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return orders, updates.unionByName(inserts)
+
+
+@register(
+    "merge_upsert_status_rollup",
+    oracle=f"""
+    WITH {_MERGE_SRC_SQL}
+    SELECT o_orderstatus, count(*) AS n_orders,
+           {sql_exact_sum('o_totalprice', 2)} AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_upsert_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics end-to-end (operators.upsert.merge_upsert):
+    updates flip matched statuses, inserts append shifted keys, and the
+    whole-table rollup proves unmatched rows pass through untouched.
+    One full-outer sort-merge shuffle on the key — the same single-pass
+    shape a table format's MERGE runs, minus file pruning (see module
+    docstring for the 100-TB copy-on-write story)."""
+    from news_data_pipeline_spark.operators.upsert import merge_upsert
+
+    orders, src = _merge_inputs(spark, sf_dir)
+    return (
+        merge_upsert(orders, src, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "merge_upsert_touched_rows",
+    oracle=f"""
+    WITH {_MERGE_SRC_SQL}
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM merged
+    WHERE o_orderstatus IN ('U', 'N')
+    """,
+)
+def merge_upsert_touched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE check: exactly the updated and inserted rows,
+    with source values winning on the update arm (prices ride through
+    bit-identical — no arithmetic, so no settling needed)."""
+    from news_data_pipeline_spark.operators.upsert import merge_upsert
+
+    orders, src = _merge_inputs(spark, sf_dir)
+    return merge_upsert(orders, src, "o_orderkey").where(
+        F.col("o_orderstatus").isin("U", "N")
+    )
+
+
+@register(
+    "merge_delete_matched_count",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_delete_matched_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHEN MATCHED THEN DELETE arm: merging a delete-key set
+    removes exactly the matched rows (left-anti under the hood) — the
+    retention/GDPR-erasure primitive at table scale."""
+    from news_data_pipeline_spark.operators.upsert import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    dels = orders.where(F.col("o_orderkey") % 97 == 0).select("o_orderkey")
+    return (
+        merge_upsert(orders, dels, "o_orderkey", delete=True)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
