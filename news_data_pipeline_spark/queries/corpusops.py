@@ -627,3 +627,73 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = pq_encode(emb, cb, sub_dim=16)
     queries = emb.where(F.col("vec_id") < 5)
     return _adc(queries, codes, cb, sub_dim=16, k=10)
+
+
+# --- fuzzy record linkage (blocked edit-distance joins) -------------------
+# Oracle twin of operators.fuzzy: distinct values -> distinct character
+# bigrams (short strings emit themselves) -> gram-equi candidates ->
+# length prefilter -> exact levenshtein. Integer distances, nothing to
+# settle.
+def _sql_fuzzy_pairs(values_cte: str, max_distance: int) -> str:
+    return f"""
+    vals AS ({values_cte}),
+    grams AS (
+        SELECT DISTINCT s, substring(s, CAST(u.p AS INT), 2) AS gram
+        FROM vals, LATERAL unnest(
+            range(1, greatest(length(s) - 1, 1) + 1)) AS u(p)
+        WHERE length(substring(s, CAST(u.p AS INT), 2)) > 0),
+    cand AS (
+        SELECT DISTINCT a.s AS sa, b.s AS sb
+        FROM grams a JOIN grams b USING (gram)
+        WHERE a.s < b.s
+          AND abs(length(a.s) - length(b.s)) <= {max_distance})
+    SELECT sa AS text_a, sb AS text_b,
+           CAST(levenshtein(sa, sb) AS INT) AS distance
+    FROM cand
+    WHERE levenshtein(sa, sb) <= {max_distance}
+    """
+
+
+_WORDS_CTE = """
+        SELECT DISTINCT w AS s
+        FROM documents, LATERAL unnest(
+            regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE text IS NOT NULL AND length(w) > 0"""
+
+
+@register(
+    "word_fuzzy_pairs",
+    oracle="WITH " + _sql_fuzzy_pairs(_WORDS_CTE, 2),
+)
+def word_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical vocabulary terms (operators.fuzzy.fuzzy_pairs,
+    levenshtein <= 2): the misspelling/variant detector for entity and
+    key cleanup. Bigram blocking is lossless down to length 6 at this
+    distance (one edit breaks at most 2 bigrams) — the declared recall
+    contract; candidate cost is bounded by gram document frequency the
+    same way shared_shingles bounds Jaccard."""
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+    from news_data_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        word_shingles(docs, "doc_id", "text", n=1, distinct=False)
+        .select(F.col("shingle").alias("word"))
+        .distinct()
+    )
+    return fuzzy_pairs(words, "word", max_distance=2)
+
+
+@register(
+    "source_fuzzy_pairs",
+    oracle="WITH "
+    + _sql_fuzzy_pairs("SELECT DISTINCT source AS s FROM documents", 1),
+)
+def source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical source identifiers (levenshtein <= 1): the
+    canonical record-linkage smell test — src1/src10-style key variants
+    that exact grouping would count as distinct publishers."""
+    from news_data_pipeline_spark.operators.fuzzy import fuzzy_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_pairs(docs, "source", max_distance=1)
