@@ -83,6 +83,14 @@ TAIL_QUERIES = (
     "minhash_jaccard_estimates",
     "logreg_label_weights",
     "customer_abc_classes",
+    # round-6 additions (tail grew 19 -> 22 this round; cross-round
+    # tail comparisons use the shared-query subset in the detail line).
+    # bpe_merge_table is deliberately absent: its sf0.1 wall-clock is
+    # fixed per-merge scheduling overhead on a vocabulary-sized table
+    # (no data-scaling signal); the correctness gate covers it.
+    "pq_adc_topk",
+    "merge_upsert_status_rollup",
+    "word_fuzzy_pairs",
 )
 
 

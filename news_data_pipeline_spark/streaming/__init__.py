@@ -7,6 +7,7 @@ from news_data_pipeline_spark.streaming.ops import (
     watermarked_dedup,
 )
 from news_data_pipeline_spark.streaming.sinks import (
+    apply_cdc,
     ingest_deduplicated,
     run_available_now,
     split_to_silver_and_quarantine,
@@ -18,6 +19,7 @@ from news_data_pipeline_spark.streaming.state import (
 )
 
 __all__ = [
+    "apply_cdc",
     "ingest_deduplicated",
     "interval_join_streams",
     "read_event_stream",

@@ -258,3 +258,95 @@ def run_available_now(
             .start()
         )
     q.awaitTermination()
+
+
+def apply_cdc(
+    stream: DataFrame,
+    *,
+    keys: str | list[str],
+    layer_path: str,
+    checkpoint: str,
+    dedup_order_col: str | None = None,
+    op_col: str | None = None,
+    delete_value: str = "d",
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously apply a change stream to a keyed table — the
+    streaming MERGE INTO (the pattern every CDC/changefeed consumer
+    runs): per micro-batch, keep the LATEST change per key, route
+    deletes, and commit one new table version atomically.
+
+    * ``dedup_order_col`` (a version/timestamp column on the stream)
+      resolves multiple changes to one key inside a micro-batch —
+      REQUIRED with ``op_col``, because whether the key ends deleted or
+      upserted depends on which change is last; without ``op_col`` it
+      is optional and batches must then carry unique keys.
+    * ``op_col``/``delete_value``: rows whose op equals ``delete_value``
+      remove their key; all other rows upsert (the op column itself is
+      not stored).
+
+    Semantics per batch are exactly ``operators.upsert.merge_upsert``
+    (update arm, then delete arm) against the current
+    ``VersionedLayer`` version, committed with the pointer swap —
+    readers always see a complete table. Replay-idempotent: applying
+    the same resolved batch to the already-merged table is a no-op
+    (upserts rewrite identical values, deletes find nothing), so a
+    crash between commit and checkpoint is safe.
+
+    Scale: one full-outer shuffle per batch on the key — copy-on-write
+    over the whole table each commit, the honest no-log baseline (a
+    table format prunes rewrites to matched files; see
+    ``operators/upsert`` module notes).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from news_data_pipeline_spark.operators.upsert import merge_upsert
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    if op_col is not None and dedup_order_col is None:
+        raise ValueError(
+            "op_col requires dedup_order_col: last-change-wins per key "
+            "is undefined without an ordering column"
+        )
+    layer = VersionedLayer(layer_path, fmt=fmt)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        b = batch
+        if dedup_order_col is not None:
+            w = Window.partitionBy(*key_list).orderBy(
+                F.desc(dedup_order_col)
+            )
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        if op_col is not None:
+            dels = b.where(F.col(op_col) == delete_value).select(*key_list)
+            ups = b.where(
+                (F.col(op_col) != delete_value) | F.col(op_col).isNull()
+            ).drop(op_col)
+        else:
+            dels, ups = None, b
+        spark = b.sparkSession
+        try:
+            merged = merge_upsert(layer.read(spark), ups, key_list)
+        except IOError:  # first batch bootstraps the table
+            merged = ups
+        if dels is not None:
+            merged = merge_upsert(merged, dels, key_list, delete=True)
+        layer.overwrite(merged)
+
+    writer = (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

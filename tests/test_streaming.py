@@ -690,3 +690,81 @@ def test_streaming_jsonl_and_csv_quarantine_ingestion(spark, tmp_path):
     got_cc = drain_to_memory(spark, ccorrupt, "t_csv_corrupt", "append")
     assert sorted(map(tuple, got_cv.collect())) == [(1, "ok")]
     assert [r["payload"] for r in got_cc.collect()] == ["x,bad"]
+
+
+def test_apply_cdc_upserts_and_deletes(spark, tmp_path):
+    """Streaming MERGE INTO: batch 1 bootstraps, batch 2 updates one
+    key, inserts one, deletes one — last change per key wins inside a
+    batch; readers see one committed table version per batch."""
+    import os
+
+    landing = tmp_path / "cdc_in"
+    os.makedirs(landing)
+    schema = "k long, tag string, version long, op string"
+    spark.createDataFrame(
+        [(1, "a", 1, "u"), (2, "b", 1, "u"), (3, "c", 1, "u")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f1"))
+    # batch 2: k=2 updated twice (version 3 must win), k=3 deleted,
+    # k=4 inserted, k=5 inserted-then-deleted (net: absent)
+    spark.createDataFrame(
+        [
+            (2, "stale", 2, "u"),
+            (2, "fresh", 3, "u"),
+            (3, None, 2, "d"),
+            (4, "d4", 2, "u"),
+            (5, "ghost", 2, "u"),
+            (5, None, 3, "d"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.apply_cdc(
+        stream,
+        keys="k",
+        layer_path=str(tmp_path / "table"),
+        checkpoint=str(tmp_path / "cdc_ckpt"),
+        dedup_order_col="version",
+        op_col="op",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "table"))
+    got = {r["k"]: r["tag"] for r in layer.read(spark).collect()}
+    assert got == {1: "a", 2: "fresh", 4: "d4"}
+    assert "op" not in layer.read(spark).columns
+    # two committed versions — one per micro-batch; batch-1 state is
+    # still time-travelable
+    versions = layer.versions(spark)
+    assert len(versions) == 2
+    first = min(
+        versions,
+        key=lambda v: 0 if layer.read(spark, version=v).count() == 3 else 1,
+    )
+    old = {r["k"]: r["tag"] for r in layer.read(spark, version=first).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_apply_cdc_requires_order_col_with_op(spark, tmp_path):
+    import os
+
+    os.makedirs(tmp_path / "empty_in")
+    stream = (
+        spark.readStream.schema("k long, op string")
+        .parquet(str(tmp_path / "empty_in"))
+    )
+    with pytest.raises(ValueError, match="dedup_order_col"):
+        stx.apply_cdc(
+            stream,
+            keys="k",
+            layer_path=str(tmp_path / "t"),
+            checkpoint=str(tmp_path / "c"),
+            op_col="op",
+        )
