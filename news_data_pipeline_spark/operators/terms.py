@@ -239,3 +239,179 @@ def encode_documents(
         "pos",
         F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("token_id"),
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lam: float = 0.8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): interpolated bigram language-model
+    quality score — the order-2 upgrade of ``unigram_logprob_scores``
+    (CCNet/KenLM-style filtering scores with context instead of a bag
+    of words, so shuffled-word salad scores low even when its unigrams
+    are common).
+
+    The corpus trains its own model:
+    ``p(w2|w1) = lam * c(w1,w2)/c(w1,·) + (1-lam) * c(w2)/total`` with
+    ``c(w1,·)`` the bigram-context total, and each document scores as
+    the mean log-probability over its bigram positions (documents with
+    fewer than two tokens emit no row). Because the model trains on the
+    corpus it scores, every bigram has ``c >= 1`` — interpolation is the
+    smoothing knob, not an OOV fallback.
+
+    Scale shape: token positions shuffle once by doc id for the
+    ``lag`` window (partitioned by id — never global); bigram/unigram
+    count tables are vocabulary-sized (Heaps' law: sublinear in corpus)
+    and attach by equi-joins on their term keys; the only broadcast is
+    the 1-row token total. Per-(doc,bigram) log terms settle to 6dp
+    BIGINT units before the per-doc sum (`functions.exact` convention)
+    so the aggregate is order-free and engine-identical.
+    """
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    words = (
+        fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
+        .select(
+            "id",
+            F.posexplode(F.split(F.trim(F.col("__t")), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .where(F.length("term") > 0)
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        words.withColumn("prev", F.lag("term").over(w))
+        .where(F.col("prev").isNotNull())
+        .groupBy("id", "prev", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    uni = words.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").alias("total_tokens"))
+    big = bigrams.groupBy("prev", "term").agg(F.sum("tf").alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("cctx"))
+    # lam and (1 - lam) both enter as SQL-side double arithmetic so the
+    # DuckDB oracle can write the identical literals (Python's 1 - 0.8
+    # is not the double the SQL text "0.2" parses to)
+    p = F.lit(float(lam)) * (F.col("c2") / F.col("cctx")) + (
+        F.lit(1.0) - F.lit(float(lam))
+    ) * (F.col("c1") / F.col("total_tokens"))
+    scored = (
+        bigrams.join(big, on=["prev", "term"])
+        .join(ctx, on="prev")
+        .join(uni, on="term")
+        .join(F.broadcast(total))
+        .withColumn("lp", F.col("tf") * F.log(p))
+    )
+    return scored.groupBy("id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        settled_round(
+            (F.sum(settled_units(F.col("lp"), 6)) / 1e6) / F.sum("tf"),
+            round_dp,
+        ).alias("avg_logprob"),
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_df: int | float = 0.1,
+    min_cosine: float = 0.3,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_terms, cosine): near-duplicate /
+    same-story document pairs by cosine similarity in sparse TF-IDF
+    term space — the lexical complement of the embedding-space ANN
+    family (no embeddings needed, catches verbatim-ish rewrites that
+    para-phrase-robust embeddings blur together).
+
+    Vector space: terms with document frequency <= ``max_df`` (hot
+    boilerplate terms carry near-zero idf AND would blow the posting
+    join up quadratically — dropping them is both the quality and the
+    scale decision, same law as ``ngram_jaccard_pairs``). ``max_df``
+    follows the sklearn convention: a float in (0, 1] is a FRACTION of
+    the corpus (``df <= max_df * N`` — the scale-invariant form: an
+    absolute cap silently empties the vector space as N grows past it),
+    an int >= 1 is an absolute document count. Weights are
+    ``tf * ln(N/df)`` settled to 3dp BIGINT units, so dot products and
+    squared norms are EXACT integer aggregates (order-free on any
+    cluster re-plan); 3dp keeps ``uw^2`` sums far inside BIGINT for any
+    realistic document. The cosine divides the exact dot by
+    ``sqrt(norm2)`` products — IEEE sqrt is correctly rounded, so
+    identical integer inputs give bit-identical doubles on every
+    engine — then settles to 4dp BEFORE the ``min_cosine`` filter
+    (threshold comparisons on raw doubles are exactly the
+    last-ulp-flip class the oracle gate bans).
+
+    Candidate generation is the posting-list equi-join on term with
+    ``id_a < id_b``: cost is bounded by ``max_df**2`` per term — linear
+    in corpus for bounded df, never all-pairs.
+    """
+    fractional = isinstance(max_df, float) and not isinstance(max_df, bool)
+    if fractional and not 0.0 < max_df <= 1.0:
+        raise ValueError(f"fractional max_df must be in (0, 1], got {max_df}")
+    if not fractional and max_df < 1:
+        raise ValueError(f"absolute max_df must be >= 1, got {max_df}")
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    # the fractional cap needs N, so it filters AFTER the broadcast
+    # join; both forms are integer-vs-engine-identical-double compares
+    cap = (
+        F.col("df") <= F.lit(float(max_df)) * F.col("n_docs")
+        if fractional
+        else F.col("df") <= F.lit(int(max_df))
+    )
+    weights = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n_docs))
+        .where(cap)
+        .withColumn(
+            "uw",
+            settled_units(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 3
+            ),
+        )
+    )
+    norms = weights.groupBy("id").agg(
+        F.sum(F.col("uw") * F.col("uw")).alias("norm2")
+    )
+    a = weights.select(F.col("id").alias("id_a"), "term", F.col("uw").alias("uwa"))
+    b = weights.select(F.col("id").alias("id_b"), "term", F.col("uw").alias("uwb"))
+    dots = (
+        a.join(b, on="term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("uwa") * F.col("uwb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared_terms"),
+        )
+    )
+    scored = (
+        dots.join(
+            norms.select(F.col("id").alias("id_a"), F.col("norm2").alias("__na")),
+            on="id_a",
+        )
+        .join(
+            norms.select(F.col("id").alias("id_b"), F.col("norm2").alias("__nb")),
+            on="id_b",
+        )
+        .withColumn(
+            "cosine",
+            settled_round(
+                F.col("dot") / (F.sqrt("__na") * F.sqrt("__nb")), 4
+            ),
+        )
+    )
+    return scored.where(F.col("cosine") >= float(min_cosine)).select(
+        "id_a", "id_b", "n_shared_terms", "cosine"
+    )

@@ -697,3 +697,104 @@ def source_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fuzzy_pairs(docs, "source", max_distance=1)
+
+
+# --- round-6 term-space additions ----------------------------------------
+@register(
+    "document_bigram_lm_scores",
+    # the oracle retrains the interpolated bigram model end-to-end:
+    # same lag-window bigrams, same count tables, and literal-identical
+    # double arithmetic (0.8 / (1.0 - 0.8) appear as SQL text on BOTH
+    # engines — Python's 1 - 0.8 is a different double than "0.2");
+    # per-row 6dp settle before the sum per the exact.py convention
+    oracle="""
+    WITH toks AS (
+        SELECT id, i AS pos, ws[i] AS term
+        FROM (SELECT doc_id AS id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws,
+                     unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1)) AS i
+              FROM documents) t
+        WHERE length(ws[i]) > 0),
+    lagged AS (
+        SELECT id, lag(term) OVER (PARTITION BY id ORDER BY pos) AS prev,
+               term
+        FROM toks),
+    tfb AS (SELECT id, prev, term, count(*) AS tf
+            FROM lagged WHERE prev IS NOT NULL GROUP BY id, prev, term),
+    big AS (SELECT prev, term, sum(tf) AS c2 FROM tfb GROUP BY prev, term),
+    ctx AS (SELECT prev, sum(c2) AS cctx FROM big GROUP BY prev),
+    uni AS (SELECT term, count(*) AS c1 FROM toks GROUP BY term),
+    total AS (SELECT sum(c1) AS total_tokens FROM uni),
+    lp AS (
+        SELECT tfb.id, tfb.tf,
+               tfb.tf * ln(0.8 * (c2 / cctx)
+                           + (1.0 - 0.8) * (c1 / total_tokens)) AS lp
+        FROM tfb JOIN big USING (prev, term) JOIN ctx USING (prev)
+             JOIN uni ON tfb.term = uni.term CROSS JOIN total)
+    SELECT id AS doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           floor(sum(CAST(floor(lp * 1000000 + 0.5) AS BIGINT)) / 1000000.0
+                 / sum(tf) * 10000 + 0.5) / 10000.0 AS avg_logprob
+    FROM lp GROUP BY id
+    """,
+)
+def document_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scores
+    (operators.terms.bigram_logprob_scores, lam=0.8): context-aware
+    CCNet-style corpus filtering — scores word-salad low even when its
+    unigram mix looks natural. Documents with < 2 tokens emit no row."""
+    from news_data_pipeline_spark.operators.terms import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    # exact mirror: 3dp-settled tf*idf weights make norms and dots
+    # integer aggregates; sqrt/division run on identical doubles; the
+    # 0.3 threshold compares the SETTLED cosine on both engines
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(DISTINCT id) AS n_docs FROM tf),
+    w AS (SELECT id, term,
+                 CAST(floor(tf * ln(n_docs / df) * 1000 + 0.5) AS BIGINT)
+                     AS uw
+          FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+          WHERE df <= 0.1 * n_docs),
+    norms AS (SELECT id, sum(uw * uw) AS norm2 FROM w GROUP BY id),
+    dots AS (SELECT a.id AS id_a, b.id AS id_b,
+                    sum(a.uw * b.uw) AS dot,
+                    CAST(count(*) AS BIGINT) AS n_shared_terms
+             FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+             GROUP BY a.id, b.id),
+    scored AS (
+        SELECT id_a, id_b, n_shared_terms,
+               CAST(floor(dot / (sqrt(na.norm2) * sqrt(nb.norm2)) * 10000
+                          + 0.5) AS BIGINT) / 10000.0 AS cosine
+        FROM dots JOIN norms na ON dots.id_a = na.id
+                  JOIN norms nb ON dots.id_b = nb.id)
+    SELECT * FROM scored WHERE cosine >= 0.3
+    """,
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse term-space cosine near-duplicate pairs
+    (operators.terms.tfidf_cosine_pairs, max_df=0.1 of the corpus,
+    min_cosine=0.3): the lexical complement of embedding ANN —
+    posting-list equi-join candidates (bounded by max_df**2 per term),
+    exact integer dot/norm aggregates, settled cosine threshold. The
+    FRACTIONAL df cap is the scale-invariant form — an absolute cap
+    goes silently empty once the corpus outgrows it."""
+    from news_data_pipeline_spark.operators.terms import (
+        tfidf_cosine_pairs as _pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _pairs(docs, "doc_id", "text", max_df=0.1, min_cosine=0.3)

@@ -129,3 +129,102 @@ def test_encode_documents_positions_and_oov(spark):
         (1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 0, (1, 4): 0, (1, 5): -1,
         (2, 0): 0, (2, 1): -1,
     }
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    from news_data_pipeline_spark.operators.terms import bigram_logprob_scores
+
+    # corpus: "a b" x2 and "a c" x1 -> contexts: c(a,.) = 3
+    # p(b|a) = .8 * 2/3 + .2 * (unigram b = 2/7)
+    # p(c|a) = .8 * 1/3 + .2 * (unigram c = 1/7)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        ["doc_id", "body"],
+    )
+    out = {
+        r["id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob_scores(df, "doc_id", "body").collect()
+    }
+    lam = 0.8
+    p_b = lam * (2 / 3) + (1.0 - lam) * (2 / 7)
+    p_c = lam * (1 / 3) + (1.0 - lam) * (1 / 7)
+
+    def settle(x, dp):
+        return math.floor(x * 10**dp + 0.5) / 10**dp
+
+    exp_b = settle(settle(math.log(p_b), 6), 4)
+    exp_c = settle(settle(math.log(p_c), 6), 4)
+    assert out[1] == (1, exp_b) and out[2] == (1, exp_b)
+    assert out[3] == (1, exp_c)
+    assert 4 not in out  # single-token doc: no bigram positions
+    # context matters: the common-context bigram scores higher
+    assert out[1][1] > out[3][1]
+
+
+def test_bigram_scores_word_salad_below_natural_order(spark):
+    from news_data_pipeline_spark.operators.terms import bigram_logprob_scores
+
+    # Same unigram bag (2 a's + 2 b's per doc); doc 9's shuffle forms
+    # the corpus-rare bigram (a,a) while the natural order "a b a b"
+    # dominates -> salad must score strictly lower than the natural
+    # docs despite identical unigram statistics (the failure mode
+    # unigram LM scoring misses).
+    rows = [(i, "a b a b") for i in range(1, 9)] + [(9, "b a a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    out = {
+        r["id"]: r["avg_logprob"]
+        for r in bigram_logprob_scores(df, "doc_id", "body").collect()
+    }
+    assert out[9] < out[1]
+
+
+def test_tfidf_cosine_pairs_identical_docs_hit_one(spark):
+    from news_data_pipeline_spark.operators.terms import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "delta epsilon zeta"),
+            (4, "alpha delta unrelatedmix"),
+        ],
+        ["doc_id", "body"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["n_shared_terms"], r["cosine"])
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "body", max_df=1.0, min_cosine=0.9
+        ).collect()
+    }
+    # identical docs: cosine exactly 1.0 (settled), all 3 terms shared
+    assert out == {(1, 2): (3, 1.0)}
+
+
+def test_tfidf_cosine_pairs_max_df_drops_boilerplate(spark):
+    from news_data_pipeline_spark.operators.terms import tfidf_cosine_pairs
+
+    # "common" is in all 4 docs; with max_df=3 it leaves the vector
+    # space, so docs sharing ONLY it form no candidate pair at all.
+    df = spark.createDataFrame(
+        [
+            (1, "common alpha"),
+            (2, "common alpha"),
+            (3, "common beta"),
+            (4, "common gamma"),
+        ],
+        ["doc_id", "body"],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", "body", max_df=3, min_cosine=0.0
+        ).collect()
+    )
+    assert got == [(1, 2)]  # alpha-only vectors; no common-term pairs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(df, "doc_id", "body", max_df=0)
