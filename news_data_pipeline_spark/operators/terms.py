@@ -353,6 +353,19 @@ def tfidf_cosine_pairs(
     Candidate generation is the posting-list equi-join on term with
     ``id_a < id_b``: cost is bounded by ``max_df**2`` per term — linear
     in corpus for bounded df, never all-pairs.
+
+    Plan shape note: the weights subtree recurs four times in the
+    physical plan (norms + both posting sides, each carrying the 1-row
+    doc-count broadcast — the four audited BNLJ flags in PLANS.md).
+    Measured at sf0.1 on local[32], persisting weights
+    (MEMORY_AND_DISK) is a net LOSS — 2.1 s vs 1.7 s — because the
+    cache write costs more than three parallel recomputes of a cheap
+    tokenize+join. The lazy form is therefore the default. On a real
+    cluster where the input is 100 TB and tokenization dominates,
+    invert that: write the (id, term, uw) weights frame to a table
+    (or ``persist``) first and run norms + pairs from it — one corpus
+    scan instead of four; same output, so the oracle contract is
+    unaffected.
     """
     fractional = isinstance(max_df, float) and not isinstance(max_df, bool)
     if fractional and not 0.0 < max_df <= 1.0:
