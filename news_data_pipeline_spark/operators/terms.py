@@ -270,6 +270,13 @@ def bigram_logprob_scores(
     the 1-row token total. Per-(doc,bigram) log terms settle to 6dp
     BIGINT units before the per-doc sum (`functions.exact` convention)
     so the aggregate is order-free and engine-identical.
+
+    Plan shape note: the token subtree recurs in the plan (bigrams,
+    unigram counts, corpus total — 5 scans in PLANS.md), the same
+    recurring-subtree class as ``tfidf_cosine_pairs``; see that
+    docstring for the measured persist-vs-recompute tradeoff. At
+    corpus scale, tokenize once to a table and derive all three count
+    frames from it.
     """
     from news_data_pipeline_spark.operators.fanout import fan_out
 
