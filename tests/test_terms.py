@@ -228,3 +228,58 @@ def test_tfidf_cosine_pairs_max_df_drops_boilerplate(spark):
 
     with pytest.raises(ValueError, match="max_df"):
         tfidf_cosine_pairs(df, "doc_id", "body", max_df=0)
+
+
+def test_tfidf_cosine_fractional_and_absolute_max_df_agree(spark):
+    from news_data_pipeline_spark.operators.terms import tfidf_cosine_pairs
+
+    # 4 docs: fractional 0.75 and absolute 3 are the same cap (df <= 3),
+    # so outputs must be identical — the sklearn-convention contract.
+    df = spark.createDataFrame(
+        [
+            (1, "common alpha beta"),
+            (2, "common alpha beta"),
+            (3, "common beta gamma"),
+            (4, "common gamma delta"),
+        ],
+        ["doc_id", "body"],
+    )
+
+    def rows(max_df):
+        return sorted(
+            (r["id_a"], r["id_b"], r["n_shared_terms"], r["cosine"])
+            for r in tfidf_cosine_pairs(
+                df, "doc_id", "body", max_df=max_df, min_cosine=0.0
+            ).collect()
+        )
+
+    frac, absolute = rows(0.75), rows(3)
+    assert frac == absolute and frac  # identical AND non-empty
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fractional"):
+        tfidf_cosine_pairs(df, "doc_id", "body", max_df=1.5)
+
+
+def test_bigram_lam_one_is_pure_conditional(spark):
+    import math
+
+    from news_data_pipeline_spark.operators.terms import bigram_logprob_scores
+
+    # lam=1.0 removes the unigram interpolation term entirely:
+    # "a b a b" has bigrams (a,b) x2 and (b,a) x1; contexts a->2, b->1,
+    # every continuation is deterministic, so all p = 1 and score = 0.
+    df = spark.createDataFrame([(1, "a b a b")], ["doc_id", "body"])
+    row = bigram_logprob_scores(df, "doc_id", "body", lam=1.0).collect()[0]
+    assert row["n_bigrams"] == 3
+    assert row["avg_logprob"] == 0.0
+
+    # "a a a b": p(a|a)=2/3, p(b|a)=1/3 — hand-computable pure
+    # conditionals (settled per-position at 6dp, then 4dp mean)
+    df2 = spark.createDataFrame([(1, "a a a b")], ["doc_id", "body"])
+    row2 = bigram_logprob_scores(df2, "doc_id", "body", lam=1.0).collect()[0]
+    lp = lambda p: math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+    expect = math.floor((2 * lp(2 / 3) + lp(1 / 3)) / 3 * 1e4 + 0.5) / 1e4
+    assert row2["n_bigrams"] == 3
+    assert abs(row2["avg_logprob"] - expect) < 1e-9
