@@ -184,12 +184,16 @@ def repeat_upsample_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 17 = 0 THEN ',extra' ELSE '' END AS line,
                (doc_id % 13 = 0 OR doc_id % 17 = 0) AS corrupt
         FROM documents)
+    -- CAST on both checksums: DuckDB sum(BIGINT) returns HUGEINT
+    -- (int128), which pandas-side canonicalization renders as float64
+    -- ("123.0") while Spark's LongType stays int64 ("123") — the
+    -- r5/r6 driver hash-fail class. BIGINT cast is a semantic no-op.
     SELECT 'valid' AS population,
            count(*) AS n_rows,
-           sum(n_chars) AS checksum
+           CAST(sum(n_chars) AS BIGINT) AS checksum
     FROM lines WHERE NOT corrupt
     UNION ALL
-    SELECT 'quarantined', count(*), sum(length(line))
+    SELECT 'quarantined', count(*), CAST(sum(length(line)) AS BIGINT)
     FROM lines WHERE corrupt
     """,
 )

@@ -2356,29 +2356,31 @@ def encoded_documents_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd AS (
         SELECT shingle, count(*) AS ndocs FROM per_doc GROUP BY shingle)
     SELECT id AS doc_id,
-           sum(c) AS n_spans,
-           sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS dup_spans,
-           -- settled half-up on an exact-integer ratio: floor is one
-           -- IEEE op, stable across engines AND DuckDB versions, unlike
-           -- round()'s half-way cells (1/32 etc. flipped in r5).
-           floor(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END)
-                 / sum(c)::DOUBLE * 10000 + 0.5) / 10000.0
-               AS dup_span_fraction
+           -- CAST: DuckDB sum(BIGINT) returns HUGEINT (int128), which
+           -- pandas-side canonicalization renders as float64 ("42.0")
+           -- while Spark's LongType stays int64 ("42") — the r5/r6
+           -- driver hash-fail class. Casting back to BIGINT is a
+           -- semantic no-op (counts are tiny) that pins the type.
+           CAST(sum(c) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_spans
     FROM per_doc JOIN nd USING (shingle)
     GROUP BY id
     """,
 )
 def duplicated_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document fraction of token trigram spans shared with at
-    least one OTHER document (operators.dedup.span_dedup_stats) — the
+    """Per-document count of token trigram spans shared with at least
+    one OTHER document (operators.dedup.span_dedup_stats) — the
     ExactSubstr-style "corpus boilerplate" gate the reference's exact
-    row dedup (02:66) cannot express."""
+    row dedup (02:66) cannot express. The driver-checked projection is
+    integer-pure: the derived dup_span_fraction DOUBLE stays in the
+    library API (span_dedup_stats) but is dropped here, since the
+    selection semantics are fully proven by the exact integer counts."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.span_dedup_stats(docs, "doc_id", "text", n=3).select(
         F.col("id").alias("doc_id"),
         "n_spans",
         "dup_spans",
-        "dup_span_fraction",
     )
 
 
@@ -2563,11 +2565,16 @@ def doc_length_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     END AS BIGINT) AS n_words
         FROM documents),
     cum AS (
+        -- CAST: DuckDB's sum(BIGINT) window aggregate returns HUGEINT
+        -- (int128), which pandas-side canonicalization renders as
+        -- float64 ("500.0") while Spark's LongType stays int64
+        -- ("500") — the r5/r6 driver hash-fail class. BIGINT cast is
+        -- a semantic no-op that pins the type.
         SELECT doc_id, source, n_words,
-               sum(n_words) OVER (
+               CAST(sum(n_words) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_tokens
+                   AS BIGINT) AS cum_tokens
         FROM toks)
     SELECT doc_id, source, n_words, cum_tokens
     FROM cum WHERE cum_tokens <= 500

@@ -28,6 +28,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # CSV corrupt-record detection must not depend on plan shape: with
+    # column pruning on, a malformed extra-field row is only flagged
+    # when the parser happens to read past the projected columns, so
+    # the quarantine split would vary with the downstream projection
+    # (and with any environment that flips the default). Pin it off.
+    "spark.sql.csv.parser.columnPruning.enabled": "false",
 }
 
 

@@ -574,6 +574,47 @@ def test_csv_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     ]
 
 
+def test_csv_extra_field_quarantined_under_both_pruning_modes(spark):
+    """Corrupt-record routing must not depend on plan shape: Spark's
+    Univocity parser only notices EXTRA fields when it parses past the
+    projected columns, which ``spark.sql.csv.parser.columnPruning.
+    enabled`` controls. session.RUNTIME_CONFS pins it false; this test
+    proves the quarantine split is identical under both settings, so an
+    environment that flips the default cannot change the populations."""
+    from news_data_pipeline_spark.sources.csvio import parse_csv_lines
+    from news_data_pipeline_spark.sources.jsonl import split_corrupt_records
+
+    lines = spark.createDataFrame(
+        [("1,a,10",), ("2,b,20,extra",), ("n3,c,30",)], "value string"
+    )
+    conf_key = "spark.sql.csv.parser.columnPruning.enabled"
+    previous = spark.conf.get(conf_key)
+    results = {}
+    try:
+        for setting in ("true", "false"):
+            spark.conf.set(conf_key, setting)
+            parsed = parse_csv_lines(lines, "id bigint, k string, v bigint")
+            valid, corrupt = split_corrupt_records(parsed)
+            results[setting] = (
+                sorted(r["id"] for r in valid.select("id").collect()),
+                sorted(r["payload"] for r in corrupt.collect()),
+            )
+    finally:
+        spark.conf.set(conf_key, previous)
+    for setting, (valid_ids, quarantined) in results.items():
+        assert valid_ids == [1], setting
+        assert quarantined == ["2,b,20,extra", "n3,c,30"], setting
+
+
+def test_runtime_confs_pin_csv_column_pruning_off():
+    from news_data_pipeline_spark.session import RUNTIME_CONFS
+
+    assert (
+        RUNTIME_CONFS["spark.sql.csv.parser.columnPruning.enabled"]
+        == "false"
+    )
+
+
 def test_csv_schema_guards(spark, tmp_path):
     import pytest
 
