@@ -201,32 +201,24 @@ def pq_encode(
     return _assign_codes(comp, codebooks)
 
 
-def pq_adc_topk(
+def _adc_lut(
     queries: DataFrame,
-    codes: DataFrame,
     codebooks: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sub_dim: int = 16,
-    k: int = 10,
+    id_col: str,
+    vec_col: str,
+    sub_dim: int,
 ) -> DataFrame:
-    """Approximate top-``k`` by ADC: (query_id, neighbor_id, adc_dist,
-    rank).
-
-    Per query: a lookup table of settled ``||q_sub - c||^2`` integer
-    units per (sub, code) — m*k rows, broadcast; per candidate: the
-    exact BIGINT sum of its ``m`` table entries (order-independent —
-    a float sum over subspaces would be engine/order-sensitive), then
-    ranked ascending with neighbor-id tie-break. Candidates never touch
-    raw floats — that is the entire point of the layout.
-    """
+    """(query_id, sub, code, __u): per-query ADC lookup table of settled
+    ``||q_sub - c||^2`` distances in exact 1e-6 BIGINT units — m*k rows
+    per query, broadcastable by construction. Shared by the full-scan
+    ADC baseline and the IVF-pruned composition so both score candidates
+    with bit-identical tables."""
     qcomp = _components(queries, id_col, vec_col, sub_dim).withColumnRenamed(
         "id", "query_id"
     )
     cb = codebooks.select("sub", "cid", "j", "value")
     # ||q_sub - c||^2 = sum_j (q_j - c_j)^2, settled to 1e-6 units
-    lut = (
+    return (
         qcomp.join(F.broadcast(cb), on=["sub", "j"])
         .groupBy("query_id", "sub", "cid")
         .agg(
@@ -249,15 +241,129 @@ def pq_adc_topk(
             settled_units(F.col("__d"), 6).alias("__u"),
         )
     )
-    scored = (
-        codes.join(F.broadcast(lut), on=["sub", "code"])
-        .groupBy("query_id", F.col("id").alias("neighbor_id"))
-        .agg((F.sum("__u") / 1e6).alias("adc_dist"))
-        .where(F.col("query_id") != F.col("neighbor_id"))
-    )
+
+
+def _rank_adc(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-``k`` by ADC: (query_id, neighbor_id, adc_dist,
+    rank).
+
+    Per query: a lookup table of settled ``||q_sub - c||^2`` integer
+    units per (sub, code) — m*k rows, broadcast; per candidate: the
+    exact BIGINT sum of its ``m`` table entries (order-independent —
+    a float sum over subspaces would be engine/order-sensitive), then
+    ranked ascending with neighbor-id tie-break. Candidates never touch
+    raw floats — that is the entire point of the layout.
+
+    This is the honest IndexPQ baseline: every code row is scored for
+    every query (linear, no shuffle explosion — but a full scan). At
+    corpus scale, compose with the coarse quantizer instead:
+    ``pq_ivf_adc_topk`` scores only the codes in each query's probed
+    IVF cells.
+    """
+    lut = _adc_lut(queries, codebooks, id_col, vec_col, sub_dim)
+    scored = (
+        codes.join(F.broadcast(lut), on=["sub", "code"])
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg((F.sum("__u") / 1e6).alias("adc_dist"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return _rank_adc(scored, k)
+
+
+def pq_ivf_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IndexIVFPQ: the coarse quantizer prunes WHICH codes each query
+    scores, ADC compresses HOW they are scored — the composition every
+    billion-vector ANN index ships, and the 100-TB answer to
+    ``pq_adc_topk``'s full scan.
+
+    Corpus vectors are assigned to their nearest of ``nlist`` IVF cells
+    (``similarity._assign_cells`` — the ONE assignment rule shared by
+    IVF probing, k-means training, and semantic dedup, so cells can
+    never disagree across the ANN family); each query probes its
+    ``nprobe`` nearest cells, and ADC scoring runs ONLY on the
+    (query, candidate) pairs produced by the cell equi-join — the plan
+    contains no query-crossed full scan of the code table. Cost per
+    query drops from |C| to ~|C|*nprobe/nlist, and at cluster scale the
+    codes live cell-partitioned so the join prunes partitions too.
+
+    ``centroids`` / ``codes`` are injectable for the production shape
+    (offline k-means, pre-encoded corpus); defaults are the
+    deterministic conventions shared with ``ivf_topk`` / ``pq_encode``
+    (first ``nlist`` vectors by id; encode under ``codebooks``).
+    Queries are scored against raw-vector cells but PQ codes — raw-code
+    (not residual) PQ, the FAISS ``by_residual=false`` layout; residual
+    encoding would need per-cell codebooks, a straightforward extension
+    the oracle convention can't express compactly.
+    """
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("cid"), _as_double(vec_col).alias("c_vec")
+            )
+        )
+    centroids = centroids.withColumn(
+        "c2", dot(F.col("c_vec"), F.col("c_vec"))
+    )
+    corpus_cells = _assign_cells(
+        corpus, centroids, id_col, vec_col, "neighbor_id", 1
+    ).select("neighbor_id", "cid")
+    query_cells = _assign_cells(
+        queries, centroids, id_col, vec_col, "query_id", nprobe
+    ).select("query_id", "cid")
+    # candidate pruning: each corpus vector lives in exactly one cell,
+    # so the equi-join yields each (query, neighbor) at most once
+    cand = (
+        query_cells.join(corpus_cells, on="cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    if codes is None:
+        codes = pq_encode(
+            corpus, codebooks, id_col=id_col, vec_col=vec_col, sub_dim=sub_dim
+        )
+    lut = _adc_lut(queries, codebooks, id_col, vec_col, sub_dim)
+    scored = (
+        cand.join(codes, on=[cand.neighbor_id == codes.id])
+        .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("__u") / 1e6).alias("adc_dist"))
+    )
+    return _rank_adc(scored, k)

@@ -633,6 +633,86 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc(queries, codes, cb, sub_dim=16, k=10)
 
 
+@register(
+    "pq_ivf_adc_topk",
+    # IndexIVFPQ = the green cosine_topk_ivf cell algebra composed with
+    # the green pq_adc_topk ADC algebra: cells prune candidates, the
+    # LUT scores them. Same conventions as both parents (first-16
+    # centroid stub, 6dp-rounded -2*dot+c2 with cid tie-break, settled
+    # integer-unit ADC sums).
+    oracle=f"""
+    WITH {_PQ_PREFIX},
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    corpus_assign AS (
+        SELECT id AS neighbor_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT id AS query_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM query_probe q JOIN corpus_assign c ON q.cell = c.cell
+        WHERE q.query_id <> c.neighbor_id),
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM cand
+        JOIN codes cd ON cd.id = cand.neighbor_id
+        JOIN qlut l ON l.query_id = cand.query_id
+                   AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+        FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def pq_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed (operators.pq.pq_ivf_adc_topk — IndexIVFPQ):
+    queries probe their 4 nearest of 16 coarse cells, and ADC scoring
+    runs only on the codes the cell equi-join admits — the full-scan
+    half of pq_adc_topk replaced by candidate pruning, which is the
+    actual 100-TB ANN layout (cells partition the code table, so the
+    join prunes partitions; the LUT stays an m*k broadcast)."""
+    from news_data_pipeline_spark.operators.pq import (
+        pq_ivf_adc_topk as _ivfadc,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, k=16, sub_dim=16, iters=1)
+    queries = emb.where(F.col("vec_id") < 5)
+    return _ivfadc(
+        queries, emb, cb, sub_dim=16, k=10, nlist=16, nprobe=4
+    )
+
+
 # --- fuzzy record linkage (blocked edit-distance joins) -------------------
 # Oracle twin of operators.fuzzy: distinct values -> distinct character
 # bigrams (short strings emit themselves) -> gram-equi candidates ->

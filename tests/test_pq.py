@@ -120,3 +120,55 @@ def test_pq_train_iters_guard(spark):
         assert "iters" in str(e)
     else:
         raise AssertionError("iters=0 must raise")
+
+
+def test_pq_ivf_adc_matches_full_scan_on_probed_cells(spark):
+    """IVF pruning must not change the SCORES, only the candidate set:
+    every (query, neighbor) pair the composition emits carries exactly
+    the adc_dist the full-scan baseline computes, and with nprobe =
+    nlist (no pruning) the two operators agree pair-for-pair."""
+    from news_data_pipeline_spark.operators.pq import pq_ivf_adc_topk
+
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    codes = pq_encode(vecs, cb, sub_dim=2)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_adc_topk(vecs, codes, cb, sub_dim=2, k=10).collect()
+    }
+    # nprobe == nlist: every cell probed -> identical result set
+    pruned_all = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_ivf_adc_topk(
+            vecs, vecs, cb, sub_dim=2, k=10, nlist=2, nprobe=2
+        ).collect()
+    }
+    assert pruned_all == full
+    # nprobe < nlist: a subset of the full scan with identical scores
+    pruned = pq_ivf_adc_topk(
+        vecs, vecs, cb, sub_dim=2, k=10, nlist=2, nprobe=1
+    ).collect()
+    assert 0 < len(pruned) < len(full) + 1
+    for r in pruned:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
+
+
+def test_pq_ivf_adc_prunes_cross_cell_candidates(spark):
+    """With nprobe=1 and the two clusters in separate cells, a query
+    only scores its own cell's members — the cross-cluster pairs the
+    full scan returns are absent, which is the pruning working."""
+    from news_data_pipeline_spark.operators.pq import pq_ivf_adc_topk
+
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    # centroids injected at the cluster means so cells = clusters
+    cents = spark.createDataFrame(
+        [(0, [1.1, 0.0, 0.0, 0.9]), (1, [0.0, 5.1, 4.9, 0.0])],
+        ["cid", "c_vec"],
+    )
+    out = pq_ivf_adc_topk(
+        vecs, vecs, cb, sub_dim=2, k=10, nlist=2, nprobe=1,
+        centroids=cents,
+    ).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert pairs == {(0, 1), (1, 0), (2, 3), (3, 2)}
