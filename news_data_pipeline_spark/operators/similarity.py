@@ -575,31 +575,24 @@ def embedding_covariance(
     )
 
 
-def pca_project(
+def pca_fit(
     df: DataFrame,
     *,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 2,
-) -> DataFrame:
-    """Project embeddings onto their top-``k`` principal components:
-    ``(id, pc)`` with ``pc`` an ``array<double>`` of length ``k``.
-
-    Scale shape: the ONLY distributed work is ONE covariance-moment
-    aggregate (see ``_cov_moments`` — d^2 scalar rows, corpus-size
-    independent, and it carries the centering means so no second
-    corpus scan is needed); the eigendecomposition runs driver-side on the tiny
-    d x d matrix (64x64 here — microseconds, and the classic split for
-    PCA at corpus scale: data-sized work distributed, model-sized work
-    local), and the d x k projection matrix returns as a broadcast
-    literal applied with codegen'd array math. Deterministic sign
-    convention: each eigenvector is flipped so its largest-magnitude
-    component is positive (eigh's sign is otherwise arbitrary and would
-    flip across BLAS builds).
-
-    Means are subtracted before projection (PCA is centered by
-    definition). Components come out in DECREASING eigenvalue order.
+):
+    """Fit the PCA model: ``(W, mu, eigvals, C)`` as numpy arrays —
+    the (d, k) projection matrix (decreasing-eigenvalue order,
+    sign-canonicalized), the per-dimension means, the top-``k``
+    eigenvalues, and the settled d x d covariance the eigensolve ran
+    on (identical cell-for-cell to ``embedding_covariance``'s published
+    values). ONE distributed moment pass; the eigensolve is driver-side
+    on the tiny d x d matrix. Split out of ``pca_project`` so invariant
+    checks (projected variance == eigenvalue, cross-component
+    covariance == 0) can reach the model the projection used.
     """
+    import math
+
     import numpy as np
 
     if k < 1:
@@ -627,8 +620,6 @@ def pca_project(
     for r in cov_rows:
         # same settle as embedding_covariance publishes (Python round
         # is half-even; floor(x*1e6+0.5) is the engine-shared half-up)
-        import math
-
         C[r["i"], r["j"]] = (
             math.floor((r["__exy"] - r["__ex"] * r["__ey"]) * 1e6 + 0.5) / 1e6
         )
@@ -639,6 +630,36 @@ def pca_project(
     flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(k)])
     flip[flip == 0] = 1.0
     W = W * flip
+    return W, mu, vals[order], C
+
+
+def pca_project(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 2,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components:
+    ``(id, pc)`` with ``pc`` an ``array<double>`` of length ``k``.
+
+    Scale shape: the ONLY distributed work is ONE covariance-moment
+    aggregate (see ``_cov_moments`` — d^2 scalar rows, corpus-size
+    independent, and it carries the centering means so no second
+    corpus scan is needed); the eigendecomposition runs driver-side on the tiny
+    d x d matrix (64x64 here — microseconds, and the classic split for
+    PCA at corpus scale: data-sized work distributed, model-sized work
+    local), and the d x k projection matrix returns as a broadcast
+    literal applied with codegen'd array math. Deterministic sign
+    convention: each eigenvector is flipped so its largest-magnitude
+    component is positive (eigh's sign is otherwise arbitrary and would
+    flip across BLAS builds).
+
+    Means are subtracted before projection (PCA is centered by
+    definition). Components come out in DECREASING eigenvalue order.
+    """
+    W, mu, _, _ = pca_fit(df, vec_col=vec_col, k=k)
+    d, k = W.shape
     w_lit = F.array(
         *[
             F.array(*[F.lit(float(W[i, c])) for i in range(d)])

@@ -432,35 +432,97 @@ def versioned_layer_time_travel(
     return layer.read(spark, version=v0)
 
 
-# --- PCA projection (rows-only: eigensolve is not SQL) --------------------
-@register("pca_projection_sample", oracle=None)
-def pca_projection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 principal-component projection of the embedding corpus
-    (operators.similarity.pca_project): ONE distributed covariance-
-    moment pass (d^2 scalar rows, corpus-size independent), a driver-
-    side 64x64 eigensolve, and a broadcast-literal projection. The
-    eigendecomposition is not SQL-expressible, so the driver row is
-    rows-only; the covariance input is exactly the driver-green
-    ``embedding_covariance`` frame, and the projection algebra is
-    test-pinned against numpy (tests/test_similarity.py)."""
-    from news_data_pipeline_spark.operators.similarity import pca_project
+# --- PCA projection invariants (the eigensolve's partial oracle) ----------
+@register(
+    "pca_projection_invariants",
+    # The eigensolve is not SQL — but its INVARIANTS are: (1) the trace
+    # of the settled covariance the fit ran on is recomputable in
+    # DuckDB from the raw moments (exact BIGINT-unit sum, CAST to dodge
+    # the HUGEINT class); (2)-(4) are mathematical identities of a
+    # correct fit+projection, so their settled values are literal
+    # constants: projected variance equals the component's eigenvalue
+    # (Rayleigh quotient of its eigenvector) and cross-component
+    # projected covariance is 0. Deltas settle at 3dp: the fit runs on
+    # the 6dp-settled covariance while projections are measured on raw
+    # data, so residuals are bounded ~d*5e-7 — far inside 5e-4, far
+    # outside any half-way cell.
+    oracle="""
+    WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    comp AS (
+        SELECT u.i AS i, e[u.i] AS x
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(i)),
+    diag AS (
+        SELECT i,
+               CAST(floor((avg(x * x) - avg(x) * avg(x)) * 1000000 + 0.5)
+                    AS BIGINT) AS cov_u
+        FROM comp GROUP BY i)
+    SELECT 'trace_settled_cov' AS invariant,
+           CAST(sum(cov_u) AS BIGINT) / 1000000.0 AS value
+    FROM diag
+    UNION ALL SELECT 'cross_cov_pc1_pc2', 0.0
+    UNION ALL SELECT 'var_minus_rayleigh_pc1', 0.0
+    UNION ALL SELECT 'var_minus_rayleigh_pc2', 0.0
+    """,
+)
+def pca_projection_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit + projection, verified through its invariants
+    (operators.similarity.pca_fit / pca_project): ONE distributed
+    covariance-moment pass (d^2 scalar rows, corpus-size independent),
+    a driver-side 64x64 eigensolve, and a broadcast-literal projection.
+    The eigensolve itself is not SQL-expressible, so the oracle checks
+    what a correct one implies: the fitted covariance's trace matches a
+    DuckDB recomputation from raw moments, each component's projected
+    variance (measured DISTRIBUTEDLY over the actual pc coordinates)
+    equals its eigenvalue, and the two components' projected covariance
+    is 0. A wrong eigenvector, a skipped centering, or a projection bug
+    each break at least one row. Raw coordinates remain test-pinned
+    against numpy (tests/test_similarity.py); replaces the rows-only
+    ``pca_projection_sample`` registration so the query carries a real
+    driver oracle."""
+    from news_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
     )
     try:
-        proj = pca_project(emb, id_col="vec_id", vec_col="embedding", k=2)
+        W, mu, eigvals, C = pca_fit(emb, vec_col="embedding", k=2)
     except ValueError:
         # no non-null vectors (empty slot / pruned partition): nothing
         # to fit on — a declared-schema empty answer, not a crash
-        return spark.createDataFrame(
-            [], "vec_id bigint, pc1 double, pc2 double"
-        )
-    return proj.where(F.col("vec_id") < 50).select(
-        "vec_id",
-        F.col("pc")[0].alias("pc1"),
-        F.col("pc")[1].alias("pc2"),
+        return spark.createDataFrame([], "invariant string, value double")
+    proj = pca_project(emb, id_col="vec_id", vec_col="embedding", k=2)
+    trace = float(sum(int(C[i, i] * 1e6 + (0.5 if C[i, i] >= 0 else -0.5)) for i in range(C.shape[0]))) / 1e6
+    pcs = proj.select(
+        F.col("pc")[0].alias("p1"), F.col("pc")[1].alias("p2")
     )
+    stats = pcs.agg(
+        F.avg(F.col("p1") * F.col("p1")).alias("e11"),
+        F.avg(F.col("p2") * F.col("p2")).alias("e22"),
+        F.avg(F.col("p1") * F.col("p2")).alias("e12"),
+        F.avg("p1").alias("m1"),
+        F.avg("p2").alias("m2"),
+    )
+    var1 = F.col("e11") - F.col("m1") * F.col("m1")
+    var2 = F.col("e22") - F.col("m2") * F.col("m2")
+    cross = F.col("e12") - F.col("m1") * F.col("m2")
+    settle3 = lambda c: settled_round(c, 3) + F.lit(0.0)  # noqa: E731
+    rows = [
+        ("trace_settled_cov", F.lit(trace)),
+        ("cross_cov_pc1_pc2", settle3(cross)),
+        ("var_minus_rayleigh_pc1", settle3(var1 - F.lit(float(eigvals[0])))),
+        ("var_minus_rayleigh_pc2", settle3(var2 - F.lit(float(eigvals[1])))),
+    ]
+    out = None
+    for name, expr in rows:
+        part = stats.select(
+            F.lit(name).alias("invariant"), expr.alias("value")
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 # --- product quantization (IVF-PQ's compression half) ---------------------

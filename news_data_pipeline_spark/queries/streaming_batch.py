@@ -1171,3 +1171,84 @@ def event_type_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy_bits")
         )
     )
+
+
+# --- round 7: CDC apply (the streaming MERGE INTO), batch replay ----------
+@register(
+    "cdc_apply_final_state",
+    # last-writer-wins over the whole change set: per user, the change
+    # with the highest event_id decides — a final delete removes the
+    # key, anything else carries its row into the final table. The
+    # Spark side replays the same set in three ordered batches through
+    # streaming.sinks.apply_cdc_batch (the exact code the streaming
+    # sink runs per micro-batch), so sequential merge-with-delete must
+    # compose to global LWW for the hashes to meet.
+    oracle="""
+    WITH ch AS (
+        SELECT event_id, user_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+        FROM events),
+    last AS (
+        SELECT event_id, user_id, event_type, value, op FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM ch) t
+        WHERE rn = 1)
+    SELECT user_id, event_id AS last_event_id, event_type, value
+    FROM last WHERE op <> 'd'
+    """,
+)
+def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply end-to-end (streaming.sinks.apply_cdc_batch — the body
+    apply_cdc runs per micro-batch): the events table becomes a change
+    stream (key user_id, version event_id, op 'd' on error events),
+    replayed in three event-id-ordered batches into a VersionedLayer.
+    Each batch resolves last-change-per-key, merges the upsert arm,
+    then the delete arm, and commits one version atomically; the final
+    table must equal last-writer-wins over the entire change set —
+    including a delete resurrected by a later upsert and vice versa.
+    One bounded scalar collect (max event_id, 1 row) sizes the batches.
+    """
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+    from news_data_pipeline_spark.streaming.sinks import apply_cdc_batch
+
+    events = load_table(spark, sf_dir, "events")
+    changes = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    max_id = changes.agg(F.max("event_id")).first()[0]
+    if max_id is None:  # empty change set: nothing to replay
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, last_event_id bigint, event_type string, "
+            "value double",
+        )
+    step = max_id // 3 + 1
+    layer = VersionedLayer(tempfile.mkdtemp(prefix="cdc_q_"))
+    for i in range(3):
+        batch = changes.where(
+            (F.col("event_id") >= i * step)
+            & (F.col("event_id") < (i + 1) * step)
+        )
+        apply_cdc_batch(
+            batch,
+            layer,
+            ["user_id"],
+            dedup_order_col="event_id",
+            op_col="op",
+            delete_value="d",
+        )
+    return layer.read(spark).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        "event_type",
+        "value",
+    )

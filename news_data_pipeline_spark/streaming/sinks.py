@@ -260,6 +260,54 @@ def run_available_now(
     q.awaitTermination()
 
 
+def apply_cdc_batch(
+    batch: DataFrame,
+    layer,
+    key_list: list[str],
+    *,
+    dedup_order_col: str | None = None,
+    op_col: str | None = None,
+    delete_value: str = "d",
+) -> None:
+    """One CDC micro-batch against a ``VersionedLayer``: resolve the
+    latest change per key (``dedup_order_col`` descending), split the
+    delete arm, MERGE both arms, commit one new version. This IS the
+    body ``apply_cdc`` runs per micro-batch — public so a bounded batch
+    replay (backfill, test, the ``cdc_apply_final_state`` registry
+    query) exercises the identical code path the streaming sink does.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from news_data_pipeline_spark.operators.upsert import merge_upsert
+
+    if not batch.head(1):
+        return
+    b = batch
+    if dedup_order_col is not None:
+        w = Window.partitionBy(*key_list).orderBy(F.desc(dedup_order_col))
+        b = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if op_col is not None:
+        dels = b.where(F.col(op_col) == delete_value).select(*key_list)
+        ups = b.where(
+            (F.col(op_col) != delete_value) | F.col(op_col).isNull()
+        ).drop(op_col)
+    else:
+        dels, ups = None, b
+    spark = b.sparkSession
+    try:
+        merged = merge_upsert(layer.read(spark), ups, key_list)
+    except IOError:  # first batch bootstraps the table
+        merged = ups
+    if dels is not None:
+        merged = merge_upsert(merged, dels, key_list, delete=True)
+    layer.overwrite(merged)
+
+
 def apply_cdc(
     stream: DataFrame,
     *,
@@ -299,10 +347,6 @@ def apply_cdc(
     table format prunes rewrites to matched files; see
     ``operators/upsert`` module notes).
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from news_data_pipeline_spark.operators.upsert import merge_upsert
     from news_data_pipeline_spark.sources.writers import VersionedLayer
 
     key_list = [keys] if isinstance(keys, str) else list(keys)
@@ -314,33 +358,14 @@ def apply_cdc(
     layer = VersionedLayer(layer_path, fmt=fmt)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        if not batch.head(1):
-            return
-        b = batch
-        if dedup_order_col is not None:
-            w = Window.partitionBy(*key_list).orderBy(
-                F.desc(dedup_order_col)
-            )
-            b = (
-                b.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        if op_col is not None:
-            dels = b.where(F.col(op_col) == delete_value).select(*key_list)
-            ups = b.where(
-                (F.col(op_col) != delete_value) | F.col(op_col).isNull()
-            ).drop(op_col)
-        else:
-            dels, ups = None, b
-        spark = b.sparkSession
-        try:
-            merged = merge_upsert(layer.read(spark), ups, key_list)
-        except IOError:  # first batch bootstraps the table
-            merged = ups
-        if dels is not None:
-            merged = merge_upsert(merged, dels, key_list, delete=True)
-        layer.overwrite(merged)
+        apply_cdc_batch(
+            batch,
+            layer,
+            key_list,
+            dedup_order_col=dedup_order_col,
+            op_col=op_col,
+            delete_value=delete_value,
+        )
 
     writer = (
         stream.writeStream.outputMode("update")

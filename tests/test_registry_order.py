@@ -112,7 +112,8 @@ def test_every_registered_query_has_an_oracle_twin():
     # the correctness gate by skipping an expressible oracle.
     ROWS_ONLY_DOCUMENTED = {
         "compression_ratio_bands",  # no SQL zlib scalar anywhere
-        "pca_projection_sample",  # driver-side eigensolve
+        # (pca got a partial oracle in r7: projection invariants —
+        # trace parity + variance==eigenvalue + zero cross-covariance)
     }
     import sys
 
