@@ -91,6 +91,12 @@ TAIL_QUERIES = (
     "pq_adc_topk",
     "merge_upsert_status_rollup",
     "word_fuzzy_pairs",
+    # round-7 additions (tail 22 -> 25): the IVF-pruned ADC pair tracks
+    # whether cell pruning keeps beating the pq_adc_topk full scan as
+    # data grows; dsir is the heaviest new text aggregate.
+    "pq_ivf_adc_topk",
+    "pq_ivf_rerank_topk",
+    "dsir_importance_weights",
 )
 
 

@@ -367,3 +367,81 @@ def pq_ivf_adc_topk(
         .agg((F.sum("__u") / 1e6).alias("adc_dist"))
     )
     return _rank_adc(scored, k)
+
+
+def pq_ivf_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+    k: int = 5,
+    rerank: int = 20,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage ANN retrieval: IVF×PQ shortlists ``rerank`` candidates
+    per query by ADC (compressed, cell-pruned — ``pq_ivf_adc_topk``),
+    then ONLY those shortlisted ids are re-scored with exact cosine
+    over raw floats and the top-``k`` kept. The production pattern for
+    recall recovery: ADC quantization error decides nothing final, it
+    only picks who gets the expensive exact pass — which touches
+    ``queries x rerank`` vectors instead of the corpus.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank), cosine at 6dp
+    with neighbor-id tie-break — the same output contract as the exact
+    ``cosine_topk`` family, so swapping brute force for this is a
+    drop-in at 100 TB.
+    """
+    from news_data_pipeline_spark.operators.similarity import dot, l2_norm
+
+    shortlist = pq_ivf_adc_topk(
+        queries,
+        corpus,
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        sub_dim=sub_dim,
+        k=rerank,
+        nlist=nlist,
+        nprobe=nprobe,
+        centroids=centroids,
+        codes=codes,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__vid"), _as_double(vec_col).alias("__vec")
+    )
+    q = queries.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__qid"), _as_double(vec_col).alias("__qvec")
+    )
+    scored = (
+        shortlist.join(
+            F.broadcast(q), on=[shortlist.query_id == q.__qid]
+        )
+        .join(vecs, on=[shortlist.neighbor_id == vecs.__vid])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("__qvec"), F.col("__vec"))
+                / F.nullif(
+                    l2_norm(F.col("__qvec")) * l2_norm(F.col("__vec")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

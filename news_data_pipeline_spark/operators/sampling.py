@@ -301,3 +301,102 @@ def repeat_sample_by_rates(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__g", "__rate", "__n")
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much its hashed word-feature
+    distribution looks like a TARGET domain's — the weight that drives
+    importance resampling of a web-scale corpus toward a quality/domain
+    target.
+
+    Words hash into ``n_buckets`` feature buckets (same md5 mechanics
+    as ``hash_bucket``); the bucket unigram models are Laplace-smoothed
+    ``(count+1) / (total+n_buckets)``, and a document's log importance
+    is ``sum_b c_b * (ln p_target(b) - ln p_raw(b))`` over its bucket
+    occurrence counts. The per-bucket log-ratio settles to 1e-10
+    integer units BEFORE the per-document sum, so the sum is exact
+    BIGINT arithmetic — order-independent and engine-identical (the
+    ``event_type_entropy_daily`` convention; ln itself can differ in
+    the last ulp across libm builds, which the settle absorbs except on
+    measure-zero half-way cells).
+
+    Scale: two bucket aggregates (n_buckets rows each — model-sized,
+    broadcast) + one per-(doc, bucket) count whose width is capped at
+    ``n_buckets`` per doc; nothing quadratic, no driver collect.
+    Returns ``(id, n_words, log_importance)``.
+    """
+    def word_buckets(frame: DataFrame, out_id: str) -> DataFrame:
+        return (
+            frame.select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+                    "__w"
+                ),
+            )
+            .where(F.length("__w") > 0)
+            .select(
+                out_id,
+                (
+                    F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast(
+                        "long"
+                    )
+                    % n_buckets
+                ).alias("__b"),
+            )
+        )
+
+    doc_b = (
+        word_buckets(df, "id")
+        .groupBy("id", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    raw_b = doc_b.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    tgt_b = (
+        word_buckets(target, "id")
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    raw_tot = raw_b.agg(F.sum("__cr").alias("__r"))
+    tgt_tot = tgt_b.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__t"))
+    lr = (
+        raw_b.join(tgt_b, on="__b", how="left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "__b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + 1)
+                        / (F.col("__t") + float(n_buckets))
+                    )
+                    - F.log(
+                        (F.col("__cr") + 1) / (F.col("__r") + float(n_buckets))
+                    )
+                )
+                * 1e10
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__u"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(lr), on="__b")
+        .groupBy("id")
+        .agg(
+            F.sum("__c").alias("n_words"),
+            (F.sum(F.col("__c") * F.col("__u")) / 1e10).alias(
+                "log_importance"
+            ),
+        )
+    )

@@ -775,6 +775,166 @@ def pq_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 7: two-stage ANN (IVF×PQ shortlist + exact rerank) -------------
+@register(
+    "pq_ivf_rerank_topk",
+    # extends pq_ivf_adc_topk's oracle: the ADC shortlist (rank <= 20)
+    # is re-scored with exact cosine over the raw vectors and the top-5
+    # kept — quantization decides WHO gets the exact pass, never the
+    # final order.
+    oracle=f"""
+    WITH {_PQ_PREFIX},
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    corpus_assign AS (
+        SELECT id AS neighbor_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT id AS query_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM query_probe q JOIN corpus_assign c ON q.cell = c.cell
+        WHERE q.query_id <> c.neighbor_id),
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM cand
+        JOIN codes cd ON cd.id = cand.neighbor_id
+        JOIN qlut l ON l.query_id = cand.query_id
+                   AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY cand.query_id, cand.neighbor_id),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc) t
+        WHERE rn <= 20)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round(list_dot_product(q.e, n.e)
+                                  / (sqrt(list_dot_product(q.e, q.e))
+                                     * sqrt(list_dot_product(n.e, n.e))), 6)
+                            DESC,
+                            s.neighbor_id) AS rn
+        FROM shortlist s
+        JOIN v q ON q.id = s.query_id
+        JOIN v n ON n.id = s.neighbor_id) t
+    WHERE rn <= 5
+    """,
+)
+def pq_ivf_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN (operators.pq.pq_ivf_rerank_topk): IVF×PQ ADC
+    shortlists 20 candidates per query from the probed cells, exact
+    cosine over raw floats re-ranks just those 20 and keeps the top-5 —
+    compressed codes choose who gets the expensive pass, the exact
+    score decides the order. Same output contract as the cosine_topk
+    family, which is what makes the 100-TB swap drop-in."""
+    from news_data_pipeline_spark.operators.pq import (
+        pq_ivf_rerank_topk as _rerank,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=4, k=16, sub_dim=16, iters=1)
+    queries = emb.where(F.col("vec_id") < 5)
+    return _rerank(
+        queries, emb, cb, sub_dim=16, k=5, rerank=20, nlist=16, nprobe=4
+    )
+
+
+# --- round 7: DSIR importance resampling weights --------------------------
+@register(
+    "dsir_importance_weights",
+    # per-bucket log-ratios settle to 1e-10 BIGINT units BEFORE the
+    # per-document sum (ln can differ in the last ulp across libm
+    # builds; the settled-unit sum is exact integer arithmetic on both
+    # engines). Every integer sum is CAST back to BIGINT — the HUGEINT
+    # discipline.
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 64
+                   AS b
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents) t
+        WHERE length(w) > 0),
+    doc_b AS (SELECT doc_id, b, count(*) AS c FROM toks GROUP BY doc_id, b),
+    raw_b AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM doc_b GROUP BY b),
+    raw_tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r FROM raw_b),
+    tgt_b AS (
+        SELECT b, CAST(sum(c) AS BIGINT) AS ct
+        FROM doc_b JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY b),
+    tgt_tot AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS t
+                FROM tgt_b),
+    lr AS (
+        SELECT rb.b,
+               CAST(floor((ln((coalesce(tb.ct, 0) + 1) / (tt.t + 64.0))
+                           - ln((rb.cr + 1) / (rt.r + 64.0)))
+                          * 10000000000 + 0.5) AS BIGINT) AS u
+        FROM raw_b rb LEFT JOIN tgt_b tb ON rb.b = tb.b
+        CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt)
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_words,
+           CAST(sum(d.c * lr.u) AS BIGINT) / 10000000000.0
+               AS log_importance
+    FROM doc_b d JOIN lr ON d.b = lr.b
+    GROUP BY d.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights
+    (operators.sampling.dsir_importance_weights): every document scored
+    by the log-likelihood ratio of its hashed word-feature distribution
+    under a target-domain unigram model (the English subset) vs the raw
+    corpus model — the Xie et al. 2023 recipe for steering a web-scale
+    corpus toward a target domain without a classifier. Two 64-row
+    bucket models (broadcast), one per-(doc, bucket) count, exact
+    settled-unit sums; importance resampling then feeds the weights to
+    the same hash-threshold machinery as mixture_sample_by_rates."""
+    from news_data_pipeline_spark.operators.sampling import (
+        dsir_importance_weights as _dsir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    out = _dsir(docs, target, "doc_id", "text", n_buckets=64)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_words", "log_importance"
+    )
+
+
 # --- fuzzy record linkage (blocked edit-distance joins) -------------------
 # Oracle twin of operators.fuzzy: distinct values -> distinct character
 # bigrams (short strings emit themselves) -> gram-equi candidates ->

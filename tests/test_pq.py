@@ -172,3 +172,40 @@ def test_pq_ivf_adc_prunes_cross_cell_candidates(spark):
     ).collect()
     pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
     assert pairs == {(0, 1), (1, 0), (2, 3), (3, 2)}
+
+
+def test_pq_ivf_rerank_orders_by_exact_cosine(spark):
+    """The rerank stage must order by EXACT cosine, not ADC distance:
+    ranks are contiguous from 1, similarities non-increasing, and every
+    returned pair's cosine matches a direct computation."""
+    import math
+
+    from news_data_pipeline_spark.operators.pq import pq_ivf_rerank_topk
+
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    out = pq_ivf_rerank_topk(
+        vecs, vecs, cb, sub_dim=2, k=3, rerank=4, nlist=2, nprobe=2
+    ).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in _vectors(spark).collect()}
+
+    def cosine(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    per_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["cosine_sim"] == cosine(
+            raw[r["query_id"]], raw[r["neighbor_id"]]
+        )
+        per_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["cosine_sim"])
+        )
+    for q, pairs in per_q.items():
+        pairs.sort()
+        assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
+        sims = [p[1] for p in pairs]
+        assert sims == sorted(sims, reverse=True)

@@ -129,3 +129,46 @@ def test_every_registered_query_has_an_oracle_twin():
     assert empty == [], f"blank oracles: {empty}"
     orphaned = sorted(set(oracles) - set(qs))
     assert orphaned == [], f"oracles without queries: {orphaned}"
+
+
+def test_no_oracle_emits_hugeint():
+    """Driver-red class root-caused in r7: DuckDB types a bare
+    sum(<integer>) as HUGEINT (int128). The local gate fetches HUGEINT
+    as exact Python ints and passes, but the DRIVER's pandas
+    materialization renders it float64 ("42.0" vs Spark's int64 "42")
+    and the value hash fails — this was exactly and only the three
+    r5/r6 driver reds. Statically pin every oracle's DuckDB result
+    type so the class cannot re-enter; integer sums must CAST back to
+    BIGINT. probe_hugeint_sum_raw is the deliberate one-round
+    diagnostic exercising the failure through the driver."""
+    import os
+
+    import duckdb
+
+    from news_data_pipeline_spark.queries import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = f"{sf}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    DELIBERATE = {"probe_hugeint_sum_raw"}
+    offenders = []
+    for name, q in QUERIES.items():
+        if not q.oracle or name in DELIBERATE:
+            continue
+        try:
+            types = [str(t) for t in con.sql(q.oracle).types]
+        except Exception as ex:  # noqa: BLE001 — surface as a failure
+            offenders.append((name, f"oracle error: {ex!r:.80}"))
+            continue
+        bad = [t for t in types if t in ("HUGEINT", "UHUGEINT")]
+        if bad:
+            offenders.append((name, ",".join(bad)))
+    assert not offenders, offenders

@@ -217,3 +217,56 @@ def test_repeat_sample_up_and_down_weights(spark):
     bad = spark.createDataFrame([("wiki", -0.1)], "src string, rate double")
     with pytest.raises(ValueError, match="negative rate"):
         repeat_sample_by_rates(df, "doc_id", "src", bad)
+
+
+def test_dsir_importance_weights_favor_target_like_docs(spark):
+    """Documents made of target-domain words must score a strictly
+    higher log-importance than documents of non-target words, and
+    n_words must count the whitespace tokens."""
+    from news_data_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (0, "alpha beta alpha beta", "en"),
+        (1, "alpha beta gamma", "en"),
+        (2, "zeta eta theta", "fr"),
+        (3, "zeta eta zeta eta", "fr"),
+        (4, "alpha zeta", "de"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    target = docs.where("lang = 'en'")
+    out = {
+        r["id"]: r
+        for r in dsir_importance_weights(
+            docs, target, "doc_id", "text", n_buckets=16
+        ).collect()
+    }
+    assert out[0]["n_words"] == 4 and out[2]["n_words"] == 3
+    # all-target-vocabulary docs beat all-non-target docs
+    assert out[0]["log_importance"] > out[3]["log_importance"]
+    assert out[1]["log_importance"] > out[2]["log_importance"]
+    # the mixed doc sits strictly between the extremes
+    assert (
+        out[3]["log_importance"]
+        < out[4]["log_importance"]
+        < out[0]["log_importance"]
+    )
+
+
+def test_dsir_importance_weights_empty_target(spark):
+    """An empty target degrades to the smoothed-uniform model instead
+    of dividing by zero: weights are finite and defined for every doc."""
+    from news_data_pipeline_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e")], ["doc_id", "text"]
+    )
+    out = dsir_importance_weights(
+        docs, docs.where("doc_id < 0"), "doc_id", "text", n_buckets=8
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["log_importance"] is not None
