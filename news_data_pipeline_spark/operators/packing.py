@@ -216,3 +216,54 @@ def chunk_documents(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    *,
+    n_shards: int = 8,
+    n_groups: int = 64,
+    salt: str = "shard:",
+) -> DataFrame:
+    """Token-balanced export sharding without a global sort: assign
+    every document to one of ``n_shards`` output shards so shard TOKEN
+    totals (not row counts) come out even — the export planning step
+    before writing training shards, where a size-skewed shard becomes
+    the straggler of every downstream epoch.
+
+    Exact LPT (longest-processing-time) scheduling is inherently
+    sequential; the scalable approximation is partition-local LPT:
+    documents hash into ``n_groups`` deterministic groups, each group
+    ranks its members by size descending and deals them round-robin
+    (rank mod n_shards) — the window partitions on the group key, so
+    no stage ever sees a global sort or a single-partition funnel.
+    Each group's contribution to any two shards differs by at most one
+    document, so the cross-shard spread is bounded by ``n_groups *
+    max_doc_size`` regardless of corpus size, and grouping by hash
+    (not by size) keeps every group a size-representative sample.
+
+    Returns ``(id, size, shard)`` — feed to
+    ``write_layer(partition_by="shard")`` or the round-robin exporter.
+    """
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    grouped = df.select(
+        F.col(id_col).alias("id"),
+        F.col(size_col).alias("size"),
+        (bucket % n_groups).alias("__g"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("size"), F.asc("id"))
+    return (
+        grouped.withColumn(
+            "shard",
+            ((F.row_number().over(w) - 1) % n_shards).cast("int"),
+        )
+        .select("id", "size", "shard")
+    )

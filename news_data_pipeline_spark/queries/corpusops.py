@@ -1104,3 +1104,43 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _pairs(docs, "doc_id", "text", max_df=0.1, min_cosine=0.3)
+
+
+# --- round 7: token-balanced export shard planning ------------------------
+@register(
+    "token_shard_plan",
+    # HUGEINT discipline: the per-shard size sum CASTs back to BIGINT.
+    oracle="""
+    WITH g AS (
+        SELECT doc_id AS id, n_chars AS size,
+               CAST(concat('0x', substring(
+                   md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 64 AS grp
+        FROM documents),
+    assigned AS (
+        SELECT id, size,
+               CAST((row_number() OVER (
+                   PARTITION BY grp ORDER BY size DESC, id) - 1) % 8
+                   AS INT) AS shard
+        FROM g)
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(size) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY shard
+    """,
+)
+def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced export sharding (operators.packing.shard_plan):
+    documents deal into 8 shards by partition-local LPT — hash-grouped,
+    ranked by size within each group, round-robin by rank — so shard
+    TOKEN totals even out without any global sort (the window
+    partitions on the 64-way group key). The rollup is the export
+    planner's output: per-shard doc count and byte budget, where a
+    skewed shard would become every epoch's straggler."""
+    from news_data_pipeline_spark.operators.packing import shard_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = shard_plan(docs, "doc_id", "n_chars", n_shards=8, n_groups=64)
+    return plan.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("size").alias("total_chars"),
+    )

@@ -196,3 +196,33 @@ def test_chunk_validation(spark):
         chunk_documents(df, "doc_id", "text", ctx_len=4, stride=5)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, "doc_id", "text", ctx_len=4, stride=0)
+
+
+def test_shard_plan_balances_sizes_and_covers_all_docs(spark):
+    from news_data_pipeline_spark.operators.packing import shard_plan
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "nbytes"])
+    plan = shard_plan(docs, "doc_id", "nbytes", n_shards=4, n_groups=8)
+    out = plan.collect()
+    # total coverage, no duplication
+    assert sorted(r["id"] for r in out) == list(range(400))
+    totals = {}
+    counts = {}
+    for r in out:
+        totals[r["shard"]] = totals.get(r["shard"], 0) + r["size"]
+        counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+    assert set(totals) == {0, 1, 2, 3}
+    # per-group round-robin bounds the doc-count spread by n_groups and
+    # the size spread by n_groups * max_size; with 8 groups x max 1000
+    # the theoretical bound is 8000 — real spread lands far below it
+    assert max(counts.values()) - min(counts.values()) <= 8
+    assert max(totals.values()) - min(totals.values()) <= 8 * 1000
+    # deterministic: a second run yields the identical assignment
+    again = {
+        r["id"]: r["shard"]
+        for r in shard_plan(
+            docs, "doc_id", "nbytes", n_shards=4, n_groups=8
+        ).collect()
+    }
+    assert again == {r["id"]: r["shard"] for r in out}
