@@ -317,6 +317,15 @@ def pq_ivf_adc_topk(
     query drops from |C| to ~|C|*nprobe/nlist, and at cluster scale the
     codes live cell-partitioned so the join prunes partitions too.
 
+    Measured at sf0.1 (2k vectors, 5 queries, nprobe=4/nlist=16): 4.21 s
+    vs the full scan's 4.23 s — a WASH, because both plans share the
+    dominant in-plan training subtree and the pruning's 4x candidate
+    cut is offset by the added corpus cell-assignment pass. That pass
+    is one broadcast window per vector, amortized at ingest on a real
+    index (codes are stored WITH their cell); the scoring cut is the
+    term that scales with corpus size. Small-SF parity is expected,
+    not a defect.
+
     ``centroids`` / ``codes`` are injectable for the production shape
     (offline k-means, pre-encoded corpus); defaults are the
     deterministic conventions shared with ``ivf_topk`` / ``pq_encode``
