@@ -502,3 +502,71 @@ def test_exact_sum_avg_spark_duckdb_decimal_agree(spark):
     n = len(values)
     exact_a = float(decimal.Decimal((2 * sum(u4) + n) // (2 * n)) / 10000)
     assert row["a"] == da == exact_a
+
+
+# --- round 7: CDC replay is batch-split invariant -------------------------
+cdc_change = st.tuples(
+    st.integers(min_value=0, max_value=200),  # version (unique-ified below)
+    st.integers(min_value=0, max_value=5),    # key
+    st.sampled_from(["u", "u", "u", "d"]),    # op, deletes ~25%
+    st.integers(min_value=0, max_value=99),   # payload
+)
+
+
+@given(
+    st.lists(cdc_change, min_size=1, max_size=14),
+    st.lists(st.integers(min_value=1, max_value=13), max_size=3),
+)
+@SETTINGS
+def test_cdc_replay_invariant_under_batch_splits(spark, changes, cuts):
+    """THE CDC contract: replaying a change stream through
+    apply_cdc_batch must yield the same final table no matter where the
+    micro-batch boundaries fall — global last-writer-wins. Hypothesis
+    picks both the change set and the (ordered) split points; the
+    result must always equal the single-pass LWW reference."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+    from news_data_pipeline_spark.streaming.sinks import apply_cdc_batch
+
+    # unique, ordered versions: position in the list is the version
+    ordered = [
+        (i, k, op, v) for i, (_, k, op, v) in enumerate(changes)
+    ]
+    # reference: last change per key decides
+    final = {}
+    for ver, k, op, v in ordered:
+        final[k] = None if op == "d" else (ver, v)
+    expect = {k: t for k, t in final.items() if t is not None}
+
+    bounds = sorted({c for c in cuts if c < len(ordered)})
+    slices, prev = [], 0
+    for b in bounds:
+        if b > prev:
+            slices.append(ordered[prev:b])
+            prev = b
+    slices.append(ordered[prev:])
+
+    layer = VersionedLayer(tempfile.mkdtemp(prefix="cdc_prop_"))
+    for chunk in slices:
+        if not chunk:
+            continue
+        batch = spark.createDataFrame(
+            chunk, "ver bigint, k bigint, op string, payload bigint"
+        )
+        apply_cdc_batch(
+            batch,
+            layer,
+            ["k"],
+            dedup_order_col="ver",
+            op_col="op",
+            delete_value="d",
+        )
+    try:
+        got = {
+            r["k"]: (r["ver"], r["payload"])
+            for r in layer.read(spark).collect()
+        }
+    except IOError:
+        got = {}  # every key ended deleted and no batch ever upserted
+    assert got == expect
