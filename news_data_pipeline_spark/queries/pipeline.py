@@ -530,3 +530,243 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.quarantined.withColumn(
         "reason", F.array_join("reasons", "; ")
     ).drop("reasons")
+
+
+# --- round 7: driver-green rows for the "tested-only" §2 surface ----------
+# Deterministic fake API page: what the injectable fetcher returns, so
+# the S1/S2 bronze path runs end-to-end with a value-checkable result.
+_FAKE_ARTICLES = [
+    {
+        "source": {"name": "Alpha Wire"},
+        "author": "Ada",
+        "title": "Quarterly results beat estimates",
+        "description": "d1",
+        "url": "https://example.invalid/a/1",
+        "urlToImage": None,
+        "publishedAt": "2024-03-01T10:00:00Z",
+        "content": "c1",
+    },
+    {
+        "source": {"name": "Beta Daily"},
+        "author": None,
+        "title": "Storm closes northern ports",
+        "description": None,
+        "url": "https://example.invalid/b/2",
+        "urlToImage": None,
+        "publishedAt": "2024-03-01T11:30:00Z",
+        "content": "c2",
+    },
+    {
+        "source": {"name": "Alpha Wire"},
+        "author": "Bo",
+        "title": "Midweek market wrap",
+        "description": "d3",
+        "url": "https://example.invalid/a/3",
+        "urlToImage": None,
+        "publishedAt": "2024-03-02T09:15:00Z",
+        "content": "c3",
+    },
+]
+
+
+@register(
+    "rest_ingest_snapshot",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('Alpha Wire', 'Ada', 'Quarterly results beat estimates',
+         'https://example.invalid/a/1', '2024-03-01 10:00:00', 'us',
+         '2024-03-02T00:00:00'),
+        ('Beta Daily', NULL, 'Storm closes northern ports',
+         'https://example.invalid/b/2', '2024-03-01 11:30:00', 'us',
+         '2024-03-02T00:00:00'),
+        ('Alpha Wire', 'Bo', 'Midweek market wrap',
+         'https://example.invalid/a/3', '2024-03-02 09:15:00', 'us',
+         '2024-03-02T00:00:00')
+    ) AS t(source_name, author, title, url, published_at, country,
+           ingestion_time)
+    """,
+)
+def rest_ingest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bronze ingestion end-to-end (S1+S2+P2+P4:
+    sources.rest.fetch_articles with an injected fetcher ->
+    ingest_records under the declared ARTICLE_SCHEMA ->
+    with_ingestion_metadata lineage stamps -> struct flatten), with a
+    driver-verifiable VALUES oracle. The fetcher is deterministic (no
+    network in this container — and a correctness gate needs a fixed
+    page anyway); the publishedAt cast runs through the session's UTC
+    timezone and surfaces as an ISO string per the date convention."""
+    from news_data_pipeline_spark.functions.columns import flatten_structs
+    from news_data_pipeline_spark.sources.rest import (
+        fetch_articles,
+        ingest_records,
+    )
+
+    articles = fetch_articles(
+        "https://example.invalid/v2/top-headlines",
+        {"country": "us"},
+        fetcher=lambda url, params: {"articles": _FAKE_ARTICLES},
+    )
+    bronze = ingest_records(
+        spark, articles, country="us", ingestion_time="2024-03-02T00:00:00"
+    )
+    flat = flatten_structs(bronze)
+    return flat.select(
+        "source_name",
+        "author",
+        "title",
+        "url",
+        F.date_format("publishedAt", "yyyy-MM-dd HH:mm:ss").alias(
+            "published_at"
+        ),
+        "country",
+        "ingestion_time",
+    )
+
+
+@register(
+    "partitioned_layer_roundtrip",
+    # values survive the write -> register -> MSCK -> catalog-read
+    # round trip; the oracle recomputes them straight from the source
+    # table. CAST on the sum: HUGEINT discipline.
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM documents WHERE lang IN ('en', 'fr')
+    GROUP BY lang
+    """,
+)
+def partitioned_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The silver-layer write surface end-to-end (S4+S5+S7:
+    write_layer(partition_by=lang) -> CREATE TABLE ... LOCATION ->
+    MSCK partition recovery -> spark.table read with partition
+    pruning): per-language aggregates computed FROM THE REGISTERED
+    TABLE must match the source data exactly — any loss, duplication,
+    or partition-column corruption in the write/registration path
+    surfaces as a value mismatch. The partition filter prunes to the
+    two named language directories at scan time."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import (
+        write_layer_and_register,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    if not docs.head(1):
+        # an empty partitioned write leaves no data files, so the
+        # external-table registration has no schema to discover —
+        # a declared-schema empty answer, not an AnalysisException
+        return spark.createDataFrame(
+            [],
+            "lang string, n_docs bigint, total_chars bigint, "
+            "first_doc bigint, last_doc bigint",
+        )
+    path = tempfile.mkdtemp(prefix="layer_rt_") + "/silver_docs"
+    write_layer_and_register(
+        docs,
+        path,
+        "docs_roundtrip",
+        database="roundtrip_db",
+        partition_by="lang",
+        mode="overwrite",
+    )
+    back = spark.table("roundtrip_db.docs_roundtrip").where(
+        F.col("lang").isin("en", "fr")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "struct_flatten_rename_snapshot",
+    oracle="""
+    SELECT doc_id,
+           lang AS meta_info_lang,
+           n_chars AS meta_info_n_chars,
+           source AS origin_source
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def struct_flatten_rename_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The projection utilities under a driver oracle (P2+P10+P11:
+    nested struct -> flatten_structs underscore-flattening ->
+    normalize_column_names bulk rename in ONE Project ->
+    require_columns existence guard): documents are re-nested under a
+    space-bearing struct name, flattened back, and normalized; values
+    must ride through untouched and the dirty name must come out
+    canonical ("Meta Info_lang" -> meta_info_lang)."""
+    from news_data_pipeline_spark.functions.columns import (
+        flatten_structs,
+        normalize_column_names,
+        require_columns,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    nested = docs.select(
+        "doc_id",
+        F.struct(F.col("lang"), F.col("n_chars")).alias("Meta Info"),
+        F.struct(F.col("source").alias("source")).alias("origin"),
+    )
+    flat = normalize_column_names(
+        flatten_structs(nested), case="lower", space_to_underscore=True
+    )
+    missing = require_columns(
+        flat, ["doc_id", "meta_info_lang", "meta_info_n_chars", "origin_source"]
+    )
+    if missing:  # the P11 guard: fail loudly, not with a wrong Project
+        raise ValueError(f"flatten lost columns: {missing}")
+    return flat
+
+
+@register(
+    "dq_config_driven_report",
+    # config -> typed rules -> one-pass report. column_exists violations
+    # count MISSING columns (2 here) — a driver-known literal; row rules
+    # recompute from the table.
+    oracle="""
+    SELECT 'column_exists(doc_id,text,published_ts,revision)' AS rule,
+           FALSE AS passed, CAST(2 AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'not_null(lang)', count(*) FILTER (lang IS NULL) = 0,
+           count(*) FILTER (lang IS NULL)
+    FROM documents
+    UNION ALL
+    SELECT 'unique(doc_id)',
+           count(*) - count(DISTINCT doc_id) = 0,
+           CAST((SELECT coalesce(sum(c), 0) FROM (
+               SELECT count(*) AS c FROM documents
+               GROUP BY doc_id HAVING count(*) > 1) d) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'min_rows(1)', count(*) >= 1,
+           CASE WHEN count(*) >= 1 THEN 0 ELSE 1 END
+    FROM documents
+    """,
+)
+def dq_config_driven_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven DQ end-to-end (Q1+Q3+Q7: the reference's dict
+    shape -> config_to_rules -> run_dq -> report_frame): a declared
+    contract requiring two columns the table does not have
+    (published_ts, revision) plus row rules, producing the per-rule
+    pass/fail report as data. The schema rows are driver-known
+    literals; the row rules come from the engine's single annotated
+    pass — same one-aggregate contract as dq_report_documents."""
+    from news_data_pipeline_spark.dq.rules import config_to_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    config = {
+        "required_columns": ["doc_id", "text", "published_ts", "revision"],
+        "not_null": ["lang"],
+        "unique_keys": ["doc_id"],
+        "min_rows": 1,
+    }
+    result = run_dq(docs, config_to_rules(config), cache=False)
+    return result.report_frame()
