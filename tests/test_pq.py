@@ -209,3 +209,51 @@ def test_pq_ivf_rerank_orders_by_exact_cosine(spark):
         assert [p[0] for p in pairs] == list(range(1, len(pairs) + 1))
         sims = [p[1] for p in pairs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_codebook_cache_is_value_identical_and_keyed(spark):
+    # The train-once artifact must serve rows identical to a fresh
+    # train, rebuild on the calling session (no cached DataFrame), and
+    # key strictly by dataset directory.
+    from news_data_pipeline_spark.queries import corpusops as co
+
+    sf_dir = "/root/testdata/sf0.001"
+    co._PQ_CODEBOOK_ROWS.pop(sf_dir, None)
+    first = sorted(
+        tuple(r) for r in co._pq_trained_codebooks(spark, sf_dir).collect()
+    )
+    assert sf_dir in co._PQ_CODEBOOK_ROWS
+
+    calls = []
+    orig = pq_train
+
+    def counting_train(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    import news_data_pipeline_spark.operators.pq as pq_mod
+
+    pq_mod.pq_train, saved = counting_train, pq_mod.pq_train
+    try:
+        cached = sorted(
+            tuple(r)
+            for r in co._pq_trained_codebooks(spark, sf_dir).collect()
+        )
+    finally:
+        pq_mod.pq_train = saved
+    assert calls == []  # cache hit: no retrain
+    assert cached == first
+
+    from news_data_pipeline_spark.sources.catalog import load_table
+
+    fresh = sorted(
+        tuple(r)
+        for r in orig(
+            load_table(spark, sf_dir, "embeddings"),
+            m=4,
+            k=16,
+            sub_dim=16,
+            iters=1,
+        ).collect()
+    )
+    assert fresh == first
