@@ -1,4 +1,5 @@
 from news_data_pipeline_spark.streaming.ops import (
+    enrich_stream_with_dim,
     interval_join_streams,
     read_event_stream,
     session_window_counts,
@@ -20,6 +21,7 @@ from news_data_pipeline_spark.streaming.state import (
 
 __all__ = [
     "apply_cdc",
+    "enrich_stream_with_dim",
     "ingest_deduplicated",
     "interval_join_streams",
     "read_event_stream",

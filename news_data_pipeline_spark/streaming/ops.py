@@ -188,3 +188,30 @@ def interval_join_streams(
     # drop the right copy of the key (equal by the join condition) so
     # downstream column references aren't ambiguous
     return l_wm.join(r_wm, on=cond, how="inner").drop(r_wm[on])
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    on: str,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a dimension.
+
+    The canonical lookup-enrichment shape (events x customer dim,
+    documents x source dim): the static side is re-planned per
+    micro-batch, so a dim refreshed between triggers (e.g. a rewritten
+    silver table) is picked up without restarting the query — Spark's
+    answer to slowly-changing lookup data on a stream. Stateless: no
+    watermark needed, any output mode, state store untouched.
+
+    ``broadcast_dim`` (default) pins the physical strategy: dims are
+    orders of magnitude smaller than a 100-TB stream, and a per-batch
+    broadcast avoids re-shuffling every micro-batch by the join key.
+    Left join keeps stream rows with no dim match (the DQ layer, not
+    the enrichment join, decides what to do with orphans).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)

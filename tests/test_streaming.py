@@ -768,3 +768,28 @@ def test_apply_cdc_requires_order_col_with_op(spark, tmp_path):
             checkpoint=str(tmp_path / "c"),
             op_col="op",
         )
+
+
+def test_stream_static_dim_enrichment_matches_batch(spark, landing):
+    # dim covers users 10 and 12 only: 11's events must survive with a
+    # NULL segment (left join keeps orphans), 12 simply never appears.
+    dim = spark.createDataFrame(
+        [(10, "gold"), (12, "silver")], ["user_id", "segment"]
+    )
+    stream = stx.read_event_stream(spark, landing)
+    enriched = stx.enrich_stream_with_dim(stream, dim, on="user_id")
+    assert enriched.isStreaming
+    got = sorted(
+        (r["event_id"], r["segment"])
+        for r in drain_to_memory(
+            spark, enriched, "t_dim_enrich", "append"
+        ).collect()
+    )
+    batch = spark.createDataFrame(EVENTS, EVENT_SCHEMA).join(
+        dim, on="user_id", how="left"
+    )
+    assert got == sorted(
+        (r["event_id"], r["segment"]) for r in batch.collect()
+    )
+    # user 11 rows present and unenriched
+    assert (3, None) in got and (5, None) in got
