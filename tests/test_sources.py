@@ -707,3 +707,30 @@ def test_default_layer_format_detects_delta_session(spark):
     assert default_layer_format(ext) == "delta"
     assert default_layer_format(cat) == "delta"
     assert default_layer_format(_Session({})) == "parquet"
+
+
+def test_orc_layer_roundtrip_with_partition_pruning(spark, tmp_path):
+    # The layer writers take fmt generically; pin that Spark-native ORC
+    # is a working layer format end-to-end (write partitioned, read
+    # back through the _SUCCESS gate, prune on the partition column).
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.sources.writers import read_layer, write_layer
+
+    path = str(tmp_path / "orc_layer")
+    df = spark.createDataFrame(
+        [(1, "us", 10.0), (2, "de", 20.0), (3, "us", 30.0)],
+        ["id", "country", "v"],
+    )
+    write_layer(df, path, fmt="orc", partition_by="country", mode="overwrite")
+    back = read_layer(spark, path, fmt="orc")
+    assert sorted((r["id"], r["country"], r["v"]) for r in back.collect()) == [
+        (1, "us", 10.0),
+        (2, "de", 20.0),
+        (3, "us", 30.0),
+    ]
+    pruned = back.where(F.col("country") == "us")
+    assert pruned.count() == 2
+    # partition filter must reach the scan, not run as a post-filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "country" in plan.split("PartitionFilters", 1)[1][:120]
