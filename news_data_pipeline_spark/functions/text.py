@@ -224,3 +224,40 @@ def pii_count(col: Column) -> Column:
     tokens = "|".join(t for _, t in PII_PATTERNS)
     return F.regexp_count(redact_pii(col), F.lit(tokens))
 
+
+
+# The Gopher quality-rule stopword list (Rae et al. 2021 §A1.1: a
+# document must contain at least two of these to pass the rule).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(col: Column) -> dict[str, Column]:
+    """The Gopher quality-filter rules as named integer flag columns.
+
+    word count in [50, 100000]; mean word length in [3, 10]; '#'/'...'
+    symbol-to-word ratio <= 0.1; >= 2 distinct required stopwords.
+    Ratio rules compare exact integer cross-products (sum_word_chars vs
+    3*n_words, 10*n_symbols vs n_words) — no division, no float, so the
+    flags are bit-identical on any engine. All codegen'd regex/length
+    arithmetic over one projection.
+    """
+    lower = F.lower(col)
+    n_words = word_count(col).cast("long")
+    n_word_chars = F.length(F.regexp_replace(col, r"\s", "")).cast("long")
+    n_symbols = F.regexp_count(col, F.lit(r"#|\.\.\.")).cast("long")
+    n_stop = sum(
+        (F.regexp_count(lower, F.lit("\\b" + w + "\\b")) > 0).cast("int")
+        for w in GOPHER_STOPWORDS
+    )
+    f_wc = (n_words >= 50) & (n_words <= 100000)
+    f_mwl = (n_word_chars >= 3 * n_words) & (n_word_chars <= 10 * n_words)
+    f_sym = 10 * n_symbols <= n_words
+    f_stop = n_stop >= 2
+    return {
+        "n_words": n_words,
+        "flag_word_count": f_wc.cast("int"),
+        "flag_mean_word_length": f_mwl.cast("int"),
+        "flag_symbol_ratio": f_sym.cast("int"),
+        "flag_stopwords": f_stop.cast("int"),
+        "pass_gopher": (f_wc & f_mwl & f_sym & f_stop).cast("int"),
+    }

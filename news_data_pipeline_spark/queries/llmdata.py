@@ -3065,3 +3065,171 @@ def source_lang_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+# --- round 7b: named quality rules, sketches, langid evaluation -----------
+# DuckDB twin of the detected-language expression used by
+# document_language_id — kept textually in sync with that oracle (same
+# marker lists, same 2% floor, same alphabetical tie-break).
+_BB = "\\b"  # hoisted: f-string expressions can't contain backslashes
+_DUCK_LANGID_SCORES = ",\n".join(
+    f"               floor(len(regexp_extract_all(lower(text), '{_BB}({'|'.join(T.LANG_MARKERS[lang])}){_BB}'))"
+    f"\n                     / greatest({_DUCK_TOKENS}, 1)::DOUBLE * 10000 + 0.5) / 10000.0 AS s_{lang}"
+    for lang in ("de", "en", "es", "fr")
+)
+_DUCK_LANGID_CASE = """
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) < 0.02 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected_lang
+"""
+
+# DuckDB twin of functions.text.gopher_flags — keep in sync.
+GOPHER_STOPWORDS = T.GOPHER_STOPWORDS
+_DUCK_STOPWORDS_PRESENT = " + ".join(
+    "CASE WHEN len(regexp_extract_all(lower(text), "
+    f"'{_BB}{w}{_BB}')) > 0 THEN 1 ELSE 0 END"
+    for w in GOPHER_STOPWORDS
+)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id,
+               CAST({_DUCK_WORDS} AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                   AS n_word_chars,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+                   AS n_symbols,
+               {_DUCK_STOPWORDS_PRESENT} AS n_stopwords_present
+        FROM documents)
+    SELECT doc_id, n_words,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                THEN 1 ELSE 0 END AS INT) AS flag_word_count,
+           CAST(CASE WHEN n_word_chars >= 3 * n_words
+                      AND n_word_chars <= 10 * n_words
+                THEN 1 ELSE 0 END AS INT) AS flag_mean_word_length,
+           CAST(CASE WHEN 10 * n_symbols <= n_words
+                THEN 1 ELSE 0 END AS INT) AS flag_symbol_ratio,
+           CAST(CASE WHEN n_stopwords_present >= 2
+                THEN 1 ELSE 0 END AS INT) AS flag_stopwords,
+           CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                      AND n_word_chars >= 3 * n_words
+                      AND n_word_chars <= 10 * n_words
+                      AND 10 * n_symbols <= n_words
+                      AND n_stopwords_present >= 2
+                THEN 1 ELSE 0 END AS INT) AS pass_gopher
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021) as per-doc
+    integer flags: word count in [50, 100000]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#'/'...') <= 0.1; >= 2 distinct
+    required stopwords present. Ratio rules compare as exact integer
+    cross-products (n_chars vs 3*n_words, 10*n_symbols vs n_words) —
+    no division, so no float anywhere and nothing to settle. One
+    projection over the scan, every rule codegen'd regex/length
+    arithmetic; extends the reference's single quality heuristic
+    (notebooks/2_transformation_to_silver.py, mirrored by
+    functions.text.quality_score) with the named published rule set
+    (expressions in functions.text.gopher_flags)."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = T.gopher_flags(F.col("text"))
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
+    )
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_K = 4, 256, 30
+_CMS_BUCKETS = ",\n".join(
+    f"               CAST(concat('0x', substring(md5('cms{j}:' || token), 1, 8))"
+    f" AS BIGINT) % {_CMS_WIDTH} AS b{j}"
+    for j in range(_CMS_DEPTH)
+)
+_CMS_ROWS = ",\n".join(
+    f"    s{j} AS (SELECT b{j} AS bucket, CAST(sum(exact_count) AS BIGINT)"
+    f" AS c{j} FROM tb GROUP BY b{j})"
+    for j in range(_CMS_DEPTH)
+)
+_CMS_JOINS = "\n".join(
+    f"    JOIN s{j} ON tb.b{j} = s{j}.bucket" for j in range(_CMS_DEPTH)
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT w AS token
+        FROM documents, LATERAL unnest(
+            regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE length(w) > 0),
+    tc AS (SELECT token, CAST(count(*) AS BIGINT) AS exact_count
+           FROM toks GROUP BY token),
+    tb AS (
+        SELECT token, exact_count,
+{_CMS_BUCKETS}
+        FROM tc),
+{_CMS_ROWS}
+    SELECT token,
+           CAST(least({", ".join(f"c{j}" for j in range(_CMS_DEPTH))})
+               AS BIGINT) AS cms_estimate,
+           exact_count
+    FROM tb
+{_CMS_JOINS}
+    ORDER BY cms_estimate DESC, token ASC
+    LIMIT {_CMS_K}
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token heavy hitters by count-min sketch (depth 4, width 256):
+    the fixed-size mergeable-summary answer to "what are the hot
+    tokens" when the distinct-token table itself is too large to keep.
+    The sketch is 4x256 BIGINT counters — partial-aggregated map-side,
+    broadcast back for point queries — and its one-sided error is
+    auditable here because the exact count rides beside the estimate
+    (estimate >= exact always). Hashes are the repo's md5-substring
+    scheme (operators.dedup.simhash), so the oracle reproduces every
+    counter exactly."""
+    from news_data_pipeline_spark.operators.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(
+        docs, "doc_id", "text", depth=_CMS_DEPTH, width=_CMS_WIDTH, k=_CMS_K
+    )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+{_DUCK_LANGID_SCORES}
+        FROM documents),
+    d AS (
+        SELECT doc_id, lang,
+{_DUCK_LANGID_CASE}
+        FROM s)
+    SELECT lang, detected_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM d GROUP BY lang, detected_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    corpus's labeled lang column: (label, prediction, count) cells —
+    the precision/recall evidence a crawl pipeline needs before
+    trusting detected_lang for mixture math. One projection (the same
+    codegen'd marker-scan as document_language_id) plus one map-side
+    combined groupBy; output is bounded by |langs|^2."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", T.detect_language(F.col("text")).alias("detected_lang")
+        )
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -166,3 +166,56 @@ def bpe_symbol_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("weight"),
         F.countDistinct("word").alias("n_words"),
     )
+
+
+@register(
+    "bpe_document_token_counts",
+    oracle=f"""
+    WITH {_BPE_PREFIX},
+    spw AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+        FROM s{NUM_MERGES} GROUP BY word),
+    dw AS (
+        SELECT doc_id, w AS word, count(*) AS c
+        FROM documents, LATERAL unnest(
+            regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE text IS NOT NULL AND length(w) > 0
+        GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(c) AS BIGINT) AS n_words
+    FROM dw JOIN spw USING (word)
+    GROUP BY doc_id
+    """,
+)
+def bpe_document_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED at corpus granularity: BPE tokens
+    per document — the number the token-budget / packing / mixture
+    queries actually need once a real tokenizer replaces the
+    whitespace proxy. Cost stays corpus-shaped, not corpus-x-vocab:
+    per-doc word occurrences (one map-side-combined groupBy, the same
+    linear pass as any frequency query) join the vocab-sized
+    symbols-per-word table (AQE broadcasts it when small), then one
+    weighted sum per doc. No per-document re-derivation of the merge
+    algebra — the training artifact is computed once and reused."""
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+
+    _, final = _trained(spark, sf_dir)
+    spw = final.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = (
+        word_shingles(docs, "doc_id", "text", n=1, distinct=False)
+        .withColumnRenamed("shingle", "word")
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        dw.join(spw, "word")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.sum(F.col("c") * F.col("n_syms")).cast("long").alias("n_bpe_tokens"),
+            F.sum("c").cast("long").alias("n_words"),
+        )
+    )

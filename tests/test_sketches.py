@@ -1,0 +1,127 @@
+"""Count-min sketch (operators.sketches) and Gopher quality flags
+(functions.text.gopher_flags): the sketch's one-sided-error and monoid
+contracts, and each named quality rule firing on a crafted violator.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from news_data_pipeline_spark.functions.text import gopher_flags
+from news_data_pipeline_spark.operators.sketches import (
+    cms_estimates,
+    cms_heavy_hitters,
+    cms_sketch,
+)
+
+DEPTH, WIDTH = 4, 8  # tiny width so collisions actually happen
+
+
+def _counts(spark, pairs):
+    return spark.createDataFrame(pairs, "term string, n long")
+
+
+def test_cms_estimate_never_undercounts(spark):
+    # 26 terms into 8 buckets per row: collisions guaranteed, so some
+    # estimates exceed exact — but none may undercount (CMS only adds)
+    pairs = [(chr(ord("a") + i), (i % 5) + 1) for i in range(26)]
+    terms = _counts(spark, pairs)
+    sketch = cms_sketch(terms, "term", "n", depth=DEPTH, width=WIDTH)
+    est = cms_estimates(terms, "term", sketch, depth=DEPTH, width=WIDTH)
+    rows = est.collect()
+    assert len(rows) == 26
+    assert all(r.cms_estimate >= r.n for r in rows)
+    # total mass per sketch row is conserved (each term lands in
+    # exactly one bucket per row)
+    total = sum(n for _, n in pairs)
+    per_row = (
+        sketch.groupBy("row").agg(F.sum("counter").alias("s")).collect()
+    )
+    assert len(per_row) == DEPTH
+    assert all(r.s == total for r in per_row)
+
+
+def test_cms_sketch_bounded_and_mergeable(spark):
+    pairs = [(f"t{i}", i + 1) for i in range(40)]
+    whole = cms_sketch(
+        _counts(spark, pairs), "term", "n", depth=DEPTH, width=WIDTH
+    )
+    assert whole.count() <= DEPTH * WIDTH
+    # monoid: sketch(A) ++ sketch(B) regrouped == sketch(A ∪ B)
+    a = cms_sketch(
+        _counts(spark, pairs[:20]), "term", "n", depth=DEPTH, width=WIDTH
+    )
+    b = cms_sketch(
+        _counts(spark, pairs[20:]), "term", "n", depth=DEPTH, width=WIDTH
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("counter").alias("counter"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_heavy_hitters_topk(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha beta"),
+            (2, "alpha beta gamma"),
+            (3, "beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cms_heavy_hitters(
+        docs, "doc_id", "text", depth=DEPTH, width=WIDTH, k=2
+    ).collect()
+    assert [r.token for r in out] == ["alpha", "beta"]
+    assert out[0].exact_count == 4 and out[1].exact_count == 3
+    assert all(r.cms_estimate >= r.exact_count for r in out)
+
+
+GOOD = (
+    "the quick brown fox and his friend went to visit all of that "
+    "green valley with hope "  # stopwords + sane lengths
+    + "word " * 45
+)
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    sel = df.select(
+        *[c.alias(n) for n, c in gopher_flags(F.col("text")).items()]
+    )
+    return sel.collect()[0].asDict()
+
+
+def test_gopher_all_rules_pass(spark):
+    f = _flags(spark, GOOD)
+    assert f["pass_gopher"] == 1
+    assert all(v == 1 for k, v in f.items() if k.startswith("flag_"))
+
+
+def test_gopher_word_count_rule(spark):
+    f = _flags(spark, "the and of short doc")
+    assert f["flag_word_count"] == 0 and f["pass_gopher"] == 0
+
+
+def test_gopher_mean_word_length_rule(spark):
+    long_words = " ".join(["the", "and"] + ["antidisestablishment"] * 60)
+    f = _flags(spark, long_words)
+    assert f["flag_mean_word_length"] == 0 and f["pass_gopher"] == 0
+    short_words = " ".join(["the", "and"] + ["a b"] * 60)
+    f = _flags(spark, short_words)
+    assert f["flag_mean_word_length"] == 0
+
+
+def test_gopher_symbol_ratio_rule(spark):
+    f = _flags(spark, GOOD + " " + "#tag ... " * 20)
+    assert f["flag_symbol_ratio"] == 0 and f["pass_gopher"] == 0
+
+
+def test_gopher_stopword_rule(spark):
+    # 60 words, only one distinct required stopword ('the')
+    f = _flags(spark, "the " + "lorem ipsum dolor sit amet " * 12)
+    assert f["flag_stopwords"] == 0 and f["pass_gopher"] == 0
