@@ -97,6 +97,12 @@ TAIL_QUERIES = (
     "pq_ivf_adc_topk",
     "pq_ivf_rerank_topk",
     "dsir_importance_weights",
+    # round-7b additions (tail 25 -> 27): both scale linearly with the
+    # corpus scan. bpe_document_token_counts stays out for the same
+    # fixed-overhead reason as bpe_merge_table; langid_confusion is the
+    # same scan class as the headline-adjacent document_language_id.
+    "cms_heavy_hitters",
+    "gopher_quality_flags",
 )
 
 

@@ -375,3 +375,75 @@ def apply_cdc(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def maintain_cms_sketch(
+    stream: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    sketch_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain a count-min token sketch over a document stream — the
+    streaming twin of ``operators.sketches.cms_heavy_hitters``'s build
+    phase, and the reason the sketch is a monoid: each micro-batch
+    contributes its own constant-size sketch, and the current corpus
+    sketch is just the counter-sum of all of them.
+
+    Each batch writes ITS OWN sketch to a ``batch_id=N`` partition
+    (``depth * width`` rows at most, regardless of batch size), so a
+    replayed batch (crash between write and checkpoint commit)
+    overwrites its own partition instead of double-counting — the same
+    idempotence contract as ``ingest_deduplicated``. Readers merge with
+    ``read_cms_sketch``; a compaction job may fold old partitions into
+    one at any time without changing any estimate, because counter
+    addition is associative.
+    """
+    from pyspark.sql import functions as F
+
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+    from news_data_pipeline_spark.operators.sketches import cms_sketch
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        tokens = word_shingles(
+            batch, id_col, text_col, n=1, distinct=False
+        ).withColumnRenamed("shingle", "token")
+        counts = tokens.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        sketch = cms_sketch(counts, "token", "n", depth=depth, width=width)
+        write_layer(
+            sketch,
+            f"{sketch_path}/batch_id={batch_id}",
+            mode="overwrite",
+            fmt=fmt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_sketch(spark, sketch_path: str, *, fmt: str = "parquet"):
+    """Merge every per-batch sketch partition into the current corpus
+    sketch: one groupBy-sum over at most ``n_batches * depth * width``
+    rows. Point-query it with ``operators.sketches.cms_estimates``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.option("basePath", sketch_path)
+        .format(fmt)
+        .load(sketch_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("counter").cast("long").alias("counter"))
+    )

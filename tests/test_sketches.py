@@ -125,3 +125,59 @@ def test_gopher_stopword_rule(spark):
     # 60 words, only one distinct required stopword ('the')
     f = _flags(spark, "the " + "lorem ipsum dolor sit amet " * 12)
     assert f["flag_stopwords"] == 0 and f["pass_gopher"] == 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """The streamed sketch (per-batch partitions merged on read) equals
+    the batch sketch over the same corpus — the monoid contract live."""
+    import os
+
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+    from news_data_pipeline_spark.streaming import sinks as stx
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    part1 = [(1, "alpha alpha beta"), (2, "beta gamma")]
+    part2 = [(3, "alpha delta delta"), (4, "gamma gamma gamma")]
+    spark.createDataFrame(part1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "f1"))
+    spark.createDataFrame(part2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.maintain_cms_sketch(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        sketch_path=str(tmp_path / "sketch"),
+        checkpoint=str(tmp_path / "ckpt"),
+        depth=DEPTH,
+        width=WIDTH,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    streamed = stx.read_cms_sketch(spark, str(tmp_path / "sketch"))
+    all_docs = spark.createDataFrame(part1 + part2, schema)
+    counts = (
+        word_shingles(all_docs, "doc_id", "text", n=1, distinct=False)
+        .withColumnRenamed("shingle", "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch = cms_sketch(counts, "token", "n", depth=DEPTH, width=WIDTH)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # two batch partitions exist; re-merging is what keeps them honest
+    raw = spark.read.option(
+        "basePath", str(tmp_path / "sketch")
+    ).parquet(str(tmp_path / "sketch"))
+    assert raw.select("batch_id").distinct().count() == 2
