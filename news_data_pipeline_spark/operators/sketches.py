@@ -76,6 +76,13 @@ def cms_estimates(
     over-counts (hash collisions only ever add), never under-counts.
     Each row's counters arrive by a broadcast join against the
     constant-size sketch — the probe side never shuffles.
+
+    The sketch subtree re-executes once per hash row here (the same
+    measured tradeoff as tfidf_cosine_pairs' weights: persisting a
+    cheap subtree loses at local scale). On a cluster, persist or
+    pre-write the sketch first — it is <= depth * width rows, the
+    canonical "build once, probe forever" index artifact
+    (maintain_cms_sketch in streaming.sinks does exactly that).
     """
     est = terms
     for j in range(depth):
