@@ -570,3 +570,80 @@ def test_cdc_replay_invariant_under_batch_splits(spark, changes, cuts):
     except IOError:
         got = {}  # every key ended deleted and no batch ever upserted
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcxyz", min_size=1, max_size=5),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SETTINGS
+def test_cms_estimate_dominates_exact_count(spark, pairs):
+    """CMS one-sided error law on arbitrary weighted term tables: every
+    estimate >= its exact count, and a collision-free sketch (width >>
+    terms) is EXACT."""
+    from news_data_pipeline_spark.operators.sketches import (
+        cms_estimates,
+        cms_sketch,
+    )
+
+    # collapse duplicate terms (hypothesis may repeat keys)
+    agg: dict[str, int] = {}
+    for t, n in pairs:
+        agg[t] = agg.get(t, 0) + n
+    df = spark.createDataFrame(list(agg.items()), "term string, n long")
+    tight = cms_sketch(df, "term", "n", depth=2, width=4)
+    est = cms_estimates(df, "term", tight, depth=2, width=4).collect()
+    assert all(r.cms_estimate >= r.n for r in est)
+    wide = cms_sketch(df, "term", "n", depth=2, width=4096)
+    exact = cms_estimates(df, "term", wide, depth=2, width=4096).collect()
+    assert all(r.cms_estimate == r.n for r in exact)
+
+
+@given(st.lists(st.text(alphabet="ab #.", max_size=30), min_size=1, max_size=8))
+@SETTINGS
+def test_gopher_flags_match_python_model(spark, texts):
+    """Each Gopher flag equals a direct Python evaluation of its rule —
+    the regex arithmetic can't drift from the stated semantics."""
+    import re as _re
+
+    from news_data_pipeline_spark.functions.text import (
+        GOPHER_STOPWORDS,
+        gopher_flags,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[
+                c.alias(n)
+                for n, c in gopher_flags(F.col("text")).items()
+            ],
+        ).collect()
+    }
+    for i, t in rows:
+        words = [w for w in _re.split(r"\s+", t.strip()) if w]
+        n_words = len(words)
+        n_chars = len(_re.sub(r"\s", "", t))
+        n_sym = len(_re.findall(r"#|\.\.\.", t))
+        n_stop = sum(
+            1
+            for w in GOPHER_STOPWORDS
+            if _re.search(rf"\b{w}\b", t.lower())
+        )
+        got = out[i]
+        assert got["n_words"] == n_words
+        assert got["flag_word_count"] == int(50 <= n_words <= 100000)
+        assert got["flag_mean_word_length"] == int(
+            3 * n_words <= n_chars <= 10 * n_words
+        )
+        assert got["flag_symbol_ratio"] == int(10 * n_sym <= n_words)
+        assert got["flag_stopwords"] == int(n_stop >= 2)
