@@ -1081,3 +1081,93 @@ def sorted_neighborhood_pairs(
             "lev",
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """The FIX side of ``span_dedup_stats``: rewrite each document with
+    corpus-duplicated n-token spans removed, keeping the globally first
+    occurrence (ExactSubstr dedup à la Lee et al. 2022, recast at word
+    granularity so it stays a groupBy/join plan).
+
+    A span instance is an n-gram at a concrete (doc, position); of all
+    instances of the same gram, the (id, pos)-lexicographic first
+    survives and every later instance is removed — a word is dropped
+    when ANY removed instance covers it (conservative on overlaps: a
+    word shared by a surviving and a removed span still goes). Words
+    never covered by a full n-gram (doc shorter than n, trailing
+    n-1 words of unique text) are never dropped.
+
+    Scale shape: per-gram first-instance is a map-side-combinable
+    min-struct aggregate (never a window over raw occurrences — a
+    boilerplate gram's occurrences stay spread across partitions and
+    combine partially); the instance table re-joins it per gram, where
+    a hot gram is one build row against its occurrence rows — AQE
+    skew-splittable, no posting-list array ever materializes. Covered
+    positions explode at most n rows per removed instance, and the
+    rebuild is one per-doc sort_array over SURVIVING words only.
+    Returns the input frame with ``text_col`` rewritten (other columns
+    intact; null/short texts pass through unchanged).
+    """
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.posexplode(F.split(F.trim("__t"), r"\s+")).alias("pos", "w"),
+    ).where(F.length("w") > 0)
+    w = Window.partitionBy("id").orderBy("pos")
+    nexts = [F.lead("w", i).over(w).alias(f"__w{i}") for i in range(1, n)]
+    grams = (
+        words.select("id", "pos", "w", *nexts)
+        .where(F.col(f"__w{n - 1}").isNotNull())
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(
+                " ", "w", *[f"__w{i}" for i in range(1, n)]
+            ).alias("gram"),
+        )
+    )
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct("id", "pos")).alias("__first"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    removed = (
+        grams.join(firsts, "gram")
+        .where(
+            (F.col("__cnt") >= 2)
+            & (
+                F.struct("id", "pos")
+                != F.col("__first")
+            )
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = words.join(removed, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("__rebuilt")
+    )
+    out = df.join(
+        rebuilt, F.col(id_col) == rebuilt["id"], "left"
+    ).select(
+        *[c for c in df.columns if c != text_col],
+        F.when(F.col(text_col).isNull(), F.lit(None))
+        .otherwise(F.coalesce("__rebuilt", F.lit("")))
+        .alias(text_col),
+    )
+    return out.select(*df.columns)

@@ -647,3 +647,76 @@ def test_gopher_flags_match_python_model(spark, texts):
         )
         assert got["flag_symbol_ratio"] == int(10 * n_sym <= n_words)
         assert got["flag_stopwords"] == int(n_stop >= 2)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_remove_duplicated_spans_matches_python_model(spark, texts):
+    """Keep-first exact-span removal equals a direct Python replay of
+    its stated semantics (global (id,pos)-first survives; any word
+    covered by a removed instance goes)."""
+    import re as _re
+
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    n = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    words = {
+        i: [w for w in _re.split(r"\s+", t.strip()) if w] for i, t in rows
+    }
+    by_gram: dict[tuple, list] = {}
+    for i, ws in words.items():
+        for p in range(len(ws) - n + 1):
+            by_gram.setdefault(tuple(ws[p : p + n]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in words}
+    for occ in by_gram.values():
+        if len(occ) >= 2:
+            for i, p in sorted(occ)[1:]:
+                covered[i].update(range(p, p + n))
+    expected = {
+        i: " ".join(
+            w_ for q, w_ in enumerate(ws) if q not in covered[i]
+        )
+        for i, ws in words.items()
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
+
+
+def test_remove_duplicated_spans_cases(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),  # shares the leading 3-gram
+            (3, "alpha beta gamma delta"),  # exact dup of doc 1
+            (4, None),
+            (5, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1] == "alpha beta gamma delta"  # first occurrence survives
+    assert got[2] == "epsilon"  # duplicated leading span removed
+    assert got[3] == ""  # exact dup fully deduplicated
+    assert got[4] is None  # null passes through
+    assert got[5] == "tiny"  # shorter than n: untouched
