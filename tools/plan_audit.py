@@ -55,6 +55,8 @@ KNOWN_BNLJ = {
     "event_type_entropy_daily": "per-day totals (bounded by date range) broadcast into the probabilities",
     "document_bigram_lm_scores": "1-row corpus token-total broadcast into the interpolated probability",
     "tfidf_cosine_pairs": "1-row doc-count broadcast into idf; x4 because the weights subtree (which carries it) recurs under norms and both posting sides",
+    "bpe_word_encodings": "x6 = one 1-row merge-pair broadcast per replayed rank (merges.where(rank==k) over the NUM_MERGES-row local artifact; apply_pair contract)",
+    "bpe_symbol_vocab": "x6 = one 1-row merge-pair broadcast per replayed rank (same apply_merges chain as bpe_word_encodings)",
 }
 
 # Plan facts worth counting. CartesianProduct/BatchEvalPython are hard
