@@ -1,4 +1,4 @@
-"""Mergeable frequency sketches: count-min heavy hitters.
+"""Mergeable set/frequency sketches: count-min and Bloom filter.
 
 The reference pipeline reports exact token frequencies (its corpora fit
 one node); at 100 TB the exact groupBy is still linear but its full
@@ -138,3 +138,85 @@ def cms_heavy_hitters(
         .orderBy(F.col("cms_estimate").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def _bloom_bit(col, j: int, num_bits: int):
+    """Bit index of ``col`` under hash function ``j``: first 32 hash
+    bits of md5('bloom{j}:' || value) mod num_bits — the same
+    cross-engine md5-substring scheme as ``_bucket``, so every set bit
+    reproduces exactly in ANSI SQL."""
+    digest = F.md5(F.concat(F.lit(f"bloom{j}:"), col))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+        % F.lit(num_bits)
+    ).cast("long")
+
+
+def bloom_bits(
+    members: DataFrame,
+    term_col: str,
+    *,
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter of a member set as its table of set bit positions.
+
+    Each member melts into ``num_hashes`` (still codegen'd ``stack``)
+    bit indices; one distinct bounds the result at ``num_bits`` rows no
+    matter the member count — a broadcastable constant-size frame, the
+    set-membership twin of ``cms_sketch``. The filter is a monoid under
+    union+distinct (bit-OR), so per-partition / per-day / per-stream
+    filters merge without rescanning members.
+
+    Sizing is the standard calculus: false-positive rate ~
+    (1 - e^(-kn/m))^k for k hashes, n members, m bits; at 100 TB pick
+    m ~ 10n bits (k=4 gives ~2% fpp) — a 10^10-member corpus is a
+    ~12 GiB filter, which no longer broadcasts; shard it by
+    ``bit % num_shards`` and probe with a co-partitioned join instead.
+    """
+    term = F.col(term_col)
+    stack_args: list = []
+    for j in range(num_hashes):
+        stack_args.append(_bloom_bit(term, j, num_bits))
+    melted = members.select(
+        F.stack(F.lit(num_hashes), *stack_args).alias("bit")
+    )
+    return melted.distinct()
+
+
+def bloom_probe(
+    df: DataFrame,
+    term_col: str,
+    bits: DataFrame,
+    *,
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Membership-test every row against a Bloom filter: adds
+    ``maybe_member`` (1 = possibly in the set, 0 = DEFINITELY not).
+
+    No false negatives ever — a true member's bits are all set by
+    construction; collisions only flip non-members to 1. Each of the
+    ``num_hashes`` checks is a broadcast LEFT join against the
+    constant-size bit table (probe side never shuffles), and the flag
+    is the AND of the per-hash hits. The canonical 100-TB use: probe a
+    new batch's fingerprints against the historical corpus filter and
+    fully process only the definite-new rows — the expensive exact
+    anti-join then runs on the ~fpp-sized maybe set, not the batch.
+    """
+    probed = df
+    hit_cols = []
+    for j in range(num_hashes):
+        bit_j = F.col(f"__bit{j}")
+        probed = probed.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"__bit{j}"))),
+            _bloom_bit(F.col(term_col), j, num_bits) == bit_j,
+            how="left",
+        )
+        hit_cols.append(bit_j.isNotNull())
+    all_hit = hit_cols[0]
+    for h in hit_cols[1:]:
+        all_hit = all_hit & h
+    return probed.withColumn(
+        "maybe_member", all_hit.cast("int")
+    ).drop(*[f"__bit{j}" for j in range(num_hashes)])

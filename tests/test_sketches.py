@@ -181,3 +181,100 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
         "basePath", str(tmp_path / "sketch")
     ).parquet(str(tmp_path / "sketch"))
     assert raw.select("batch_id").distinct().count() == 2
+
+
+def test_bloom_no_false_negatives(spark):
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(50)], "fp string"
+    )
+    # tiny filter: collisions guaranteed, yet every member MUST hit
+    bits = bloom_bits(members, "fp", num_bits=32, num_hashes=3)
+    probed = bloom_probe(
+        members, "fp", bits, num_bits=32, num_hashes=3
+    ).collect()
+    assert len(probed) == 50  # left joins preserve the probe rows
+    assert all(r.maybe_member == 1 for r in probed)
+
+
+def test_bloom_definite_negatives_and_size(spark):
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(10)], "fp string"
+    )
+    bits = bloom_bits(members, "fp", num_bits=4096, num_hashes=4)
+    n_bits = bits.count()
+    assert n_bits <= 40  # at most k*n distinct positions
+    # fpp at n=10, m=4096, k=4 is ~1e-8; these fixed probes are
+    # deterministic (md5), so a pass today is a pass forever
+    others = spark.createDataFrame(
+        [(f"novel-{i}",) for i in range(20)], "fp string"
+    )
+    probed = bloom_probe(others, "fp", bits, num_bits=4096, num_hashes=4)
+    assert all(r.maybe_member == 0 for r in probed.collect())
+
+
+def test_bloom_mergeable(spark):
+    from news_data_pipeline_spark.operators.sketches import bloom_bits
+
+    rows = [(f"x{i}",) for i in range(30)]
+    whole = bloom_bits(
+        spark.createDataFrame(rows, "fp string"),
+        "fp", num_bits=64, num_hashes=4,
+    )
+    a = bloom_bits(
+        spark.createDataFrame(rows[:15], "fp string"),
+        "fp", num_bits=64, num_hashes=4,
+    )
+    b = bloom_bits(
+        spark.createDataFrame(rows[15:], "fp string"),
+        "fp", num_bits=64, num_hashes=4,
+    )
+    merged = a.unionByName(b).distinct()
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in whole.collect()
+    )
+
+
+def test_bloom_prefilters_exact_antijoin(spark):
+    """The 100-TB composition: probe new fingerprints against the
+    corpus filter; definite-new rows skip the exact anti-join entirely
+    and the final new-set equals the plain anti-join's answer."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(40)], "fp string"
+    )
+    batch = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(30, 50)]  # 10 dups, 10 new
+        + [("doc-35",)],  # duplicate within the overlap
+        "fp string",
+    )
+    bits = bloom_bits(corpus, "fp", num_bits=64, num_hashes=3)
+    probed = bloom_probe(batch, "fp", bits, num_bits=64, num_hashes=3)
+    definite_new = probed.where(F.col("maybe_member") == 0).drop(
+        "maybe_member"
+    )
+    maybe = probed.where(F.col("maybe_member") == 1).drop("maybe_member")
+    resolved_new = maybe.join(corpus, "fp", "left_anti")
+    got = sorted(
+        r.fp for r in definite_new.unionByName(resolved_new).collect()
+    )
+    want = sorted(r.fp for r in batch.join(corpus, "fp", "left_anti").collect())
+    assert got == want
+    # and every true member was routed to the maybe side
+    overlap = {f"doc-{i}" for i in range(30, 40)}
+    assert overlap <= {r.fp for r in maybe.collect()}
