@@ -447,3 +447,63 @@ def read_cms_sketch(spark, sketch_path: str, *, fmt: str = "parquet"):
         .groupBy("row", "bucket")
         .agg(F.sum("counter").cast("long").alias("counter"))
     )
+
+
+def maintain_bloom_filter(
+    stream: DataFrame,
+    *,
+    term_col: str,
+    filter_path: str,
+    checkpoint: str,
+    num_bits: int = 4096,
+    num_hashes: int = 4,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain a Bloom membership filter over a stream — the
+    set-membership twin of ``maintain_cms_sketch``, and the live half
+    of the incremental-dedup contract: new batches probe the merged
+    filter (``operators.sketches.bloom_probe``) and only
+    ``maybe_member`` rows pay the exact anti-join against history.
+
+    Each batch writes ITS OWN bit set to a ``batch_id=N`` partition
+    (at most ``num_bits`` rows regardless of batch size); a replayed
+    batch overwrites its partition, and since the merge is
+    union+distinct (bit-OR — idempotent, unlike CMS counter addition),
+    even a duplicated partition could never corrupt the filter. A
+    compaction job may fold old partitions into one at any time.
+    """
+    from news_data_pipeline_spark.operators.sketches import bloom_bits
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        bits = bloom_bits(
+            batch, term_col, num_bits=num_bits, num_hashes=num_hashes
+        )
+        write_layer(
+            bits,
+            f"{filter_path}/batch_id={batch_id}",
+            mode="overwrite",
+            fmt=fmt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_filter(spark, filter_path: str, *, fmt: str = "parquet"):
+    """Merge every per-batch bit partition into the current corpus
+    filter: one distinct over at most ``n_batches * num_bits`` rows.
+    Probe it with ``operators.sketches.bloom_probe``."""
+    return (
+        spark.read.option("basePath", filter_path)
+        .format(fmt)
+        .load(filter_path)
+        .select("bit")
+        .distinct()
+    )

@@ -278,3 +278,58 @@ def test_bloom_prefilters_exact_antijoin(spark):
     # and every true member was routed to the maybe side
     overlap = {f"doc-{i}" for i in range(30, 40)}
     assert overlap <= {r.fp for r in maybe.collect()}
+
+
+def test_streaming_bloom_matches_batch_filter(spark, tmp_path):
+    """The streamed filter (per-batch bit partitions merged on read)
+    equals the batch filter over the same members — and probing it
+    routes every historical member to the maybe side."""
+    import os
+
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+    from news_data_pipeline_spark.streaming import sinks as stx
+
+    landing = tmp_path / "fp_in"
+    os.makedirs(landing)
+    schema = "fp string"
+    part1 = [(f"doc-{i}",) for i in range(12)]
+    part2 = [(f"doc-{i}",) for i in range(12, 25)]
+    spark.createDataFrame(part1, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "f1"))
+    spark.createDataFrame(part2, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.maintain_bloom_filter(
+        stream,
+        term_col="fp",
+        filter_path=str(tmp_path / "bloom"),
+        checkpoint=str(tmp_path / "ckpt"),
+        num_bits=64,
+        num_hashes=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    streamed = stx.read_bloom_filter(spark, str(tmp_path / "bloom"))
+    batch = bloom_bits(
+        spark.createDataFrame(part1 + part2, schema),
+        "fp", num_bits=64, num_hashes=3,
+    )
+    assert sorted(r.bit for r in streamed.collect()) == sorted(
+        r.bit for r in batch.collect()
+    )
+    probed = bloom_probe(
+        spark.createDataFrame(part1 + part2, schema),
+        "fp", streamed, num_bits=64, num_hashes=3,
+    )
+    assert all(r.maybe_member == 1 for r in probed.collect())
