@@ -435,3 +435,85 @@ def tfidf_cosine_pairs(
     return scored.where(F.col("cosine") >= float(min_cosine)).select(
         "id_a", "id_b", "n_shared_terms", "cosine"
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    buckets: int = 3,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style quality buckets: rank every document by LM score
+    WITHIN its language and split each language into ``buckets`` equal
+    tiers — CCNet's head/middle/tail, with the unigram LM standing in
+    for KenLM (``unigram_logprob_scores``). Head = most fluent
+    (highest avg log-prob = lowest perplexity).
+
+    Exact tiering is ``ntile`` over (score DESC, id) — deterministic
+    under ties — which funnels each language through ONE window task.
+    Fine up to ~10^8 docs per language; past that, use
+    ``perplexity_bucket_cuts`` + a broadcast threshold join instead:
+    approximate cuts, but no per-language global sort.
+
+    Returns (id, lang, n_tokens, avg_logprob, bucket_idx, bucket).
+    """
+    if len(labels) != buckets:
+        labels = tuple(f"b{i}" for i in range(1, buckets + 1))
+    scores = unigram_logprob_scores(df, id_col, text_col)
+    docs = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("id")
+    )
+    label = F.array(*[F.lit(x) for x in labels])
+    return (
+        scores.join(docs, on="id")
+        .withColumn("bucket_idx", F.ntile(buckets).over(w))
+        .withColumn("bucket", F.element_at(label, F.col("bucket_idx")))
+        .select("id", "lang", "n_tokens", "avg_logprob", "bucket_idx", "bucket")
+    )
+
+
+def perplexity_bucket_cuts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    *,
+    buckets: int = 3,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-language LM-score cut points for threshold-based bucketing —
+    the 100-TB path around ``perplexity_buckets``' per-language window.
+
+    One groupBy(lang) of ``percentile_approx`` (a mergeable t-digest-
+    style sketch: map-side partial aggregation, no global sort) yields
+    ``buckets - 1`` interior quantile cuts per language. The result is
+    a languages-count-sized frame; broadcast-join it back and assign
+    ``bucket_idx = 1 + how many cuts the score falls at-or-below``
+    (the quantile value itself belongs to the deeper tier). Tier
+    populations are approximate at the cut boundary (sketch error +
+    tied scores land whole), which is exactly the tolerance CCNet
+    itself accepts for its head/middle/tail thresholds.
+
+    Returns (lang, cuts array<double> DESC — cuts[0] is the
+    head/middle boundary).
+    """
+    scores = unigram_logprob_scores(df, id_col, text_col)
+    docs = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    )
+    qs = [1.0 - i / buckets for i in range(1, buckets)]
+    return (
+        scores.join(docs, on="id")
+        .groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "avg_logprob", qs, accuracy
+            ).alias("cuts")
+        )
+    )

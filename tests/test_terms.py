@@ -283,3 +283,85 @@ def test_bigram_lam_one_is_pure_conditional(spark):
     expect = math.floor((2 * lp(2 / 3) + lp(1 / 3)) / 3 * 1e4 + 0.5) / 1e4
     assert row2["n_bigrams"] == 3
     assert abs(row2["avg_logprob"] - expect) < 1e-9
+
+
+def _bucket_corpus(spark):
+    # two languages; within each, docs graded from common-token (head)
+    # to rare-token (tail) so LM scores are strictly ordered
+    rows = []
+    doc_id = 0
+    for lang in ("en", "de"):
+        for grade in range(6):
+            # more 'common' repetitions -> higher avg logprob
+            text = " ".join(
+                ["common"] * (8 - grade) + [f"rare{lang}{grade}"] * (1 + grade)
+            )
+            rows.append((doc_id, text, lang))
+            doc_id += 1
+    return spark.createDataFrame(rows, ["doc_id", "body", "lang"])
+
+
+def test_perplexity_buckets_balanced_and_ordered(spark):
+    from news_data_pipeline_spark.operators.terms import perplexity_buckets
+
+    df = _bucket_corpus(spark)
+    out = perplexity_buckets(df, "doc_id", "body", "lang").collect()
+    assert len(out) == 12
+    for lang in ("en", "de"):
+        tiers = {}
+        for r in out:
+            if r.lang == lang:
+                tiers.setdefault(r.bucket, []).append(r.avg_logprob)
+        # ntile balance: 6 docs over 3 tiers = 2 each
+        assert {k: len(v) for k, v in tiers.items()} == {
+            "head": 2, "middle": 2, "tail": 2
+        }
+        # rank order: every head score >= every middle >= every tail
+        assert min(tiers["head"]) >= max(tiers["middle"])
+        assert min(tiers["middle"]) >= max(tiers["tail"])
+
+
+def test_perplexity_buckets_label_fallback(spark):
+    from news_data_pipeline_spark.operators.terms import perplexity_buckets
+
+    df = _bucket_corpus(spark)
+    out = perplexity_buckets(df, "doc_id", "body", "lang", buckets=2)
+    assert sorted(set(r.bucket for r in out.collect())) == ["b1", "b2"]
+
+
+def test_perplexity_bucket_cuts_threshold_path(spark):
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.terms import (
+        perplexity_bucket_cuts,
+        perplexity_buckets,
+        unigram_logprob_scores,
+    )
+
+    df = _bucket_corpus(spark)
+    cuts = perplexity_bucket_cuts(df, "doc_id", "body", "lang")
+    rows = {r.lang: r.cuts for r in cuts.collect()}
+    assert set(rows) == {"en", "de"}
+    for lang, c in rows.items():
+        assert len(c) == 2 and c[0] >= c[1]  # descending interior cuts
+    # threshold assignment reproduces the exact tiers here (scores are
+    # distinct and accuracy exceeds the corpus size, so the approx
+    # quantiles are exact order statistics)
+    scores = unigram_logprob_scores(df, "doc_id", "body").join(
+        df.select(F.col("doc_id").alias("id"), "lang"), on="id"
+    )
+    joined = scores.join(F.broadcast(cuts), on="lang")
+    by_cut = joined.withColumn(
+        "bucket_idx",
+        1
+        + F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("avg_logprob") <= c, 1).otherwise(0),
+        ),
+    ).select("id", "bucket_idx")
+    exact = perplexity_buckets(df, "doc_id", "body", "lang").select(
+        "id", F.col("bucket_idx").alias("want")
+    )
+    cmp = by_cut.join(exact, on="id").collect()
+    assert all(r.bucket_idx == r.want for r in cmp)
