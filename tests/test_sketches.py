@@ -333,3 +333,20 @@ def test_streaming_bloom_matches_batch_filter(spark, tmp_path):
         "fp", streamed, num_bits=64, num_hashes=3,
     )
     assert all(r.maybe_member == 1 for r in probed.collect())
+
+
+def test_bloom_empty_member_set(spark):
+    """An empty member set yields an empty filter; every probe is a
+    definite negative (no bits set) and no row is lost."""
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    members = spark.createDataFrame([], "fp string")
+    bits = bloom_bits(members, "fp", num_bits=64, num_hashes=3)
+    assert bits.count() == 0
+    probes = spark.createDataFrame([("a",), ("b",)], "fp string")
+    out = bloom_probe(probes, "fp", bits, num_bits=64, num_hashes=3).collect()
+    assert len(out) == 2
+    assert all(r.maybe_member == 0 for r in out)

@@ -365,3 +365,18 @@ def test_perplexity_bucket_cuts_threshold_path(spark):
     )
     cmp = by_cut.join(exact, on="id").collect()
     assert all(r.bucket_idx == r.want for r in cmp)
+
+
+def test_perplexity_buckets_empty_and_single(spark):
+    from news_data_pipeline_spark.operators.terms import (
+        perplexity_bucket_cuts,
+        perplexity_buckets,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, body string, lang string")
+    assert perplexity_buckets(empty, "doc_id", "body", "lang").count() == 0
+    assert perplexity_bucket_cuts(empty, "doc_id", "body", "lang").count() == 0
+    one = spark.createDataFrame([(1, "a b c", "en")], ["doc_id", "body", "lang"])
+    rows = perplexity_buckets(one, "doc_id", "body", "lang").collect()
+    # a single doc is its language's head — ntile(3) of one row is tier 1
+    assert len(rows) == 1 and rows[0].bucket == "head"
