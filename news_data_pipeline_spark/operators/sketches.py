@@ -173,12 +173,16 @@ def bloom_bits(
     m ~ 10n bits (k=4 gives ~2% fpp) — a 10^10-member corpus is a
     ~12 GiB filter, which no longer broadcasts; shard it by
     ``bit % num_shards`` and probe with a co-partitioned join instead.
+
+    NULL members are excluded (md5(NULL) is NULL, which would emit a
+    meaningless NULL "bit"); symmetrically a NULL probe value matches
+    no bit and reports ``maybe_member = 0`` — NULL is never a member.
     """
     term = F.col(term_col)
     stack_args: list = []
     for j in range(num_hashes):
         stack_args.append(_bloom_bit(term, j, num_bits))
-    melted = members.select(
+    melted = members.where(term.isNotNull()).select(
         F.stack(F.lit(num_hashes), *stack_args).alias("bit")
     )
     return melted.distinct()

@@ -720,3 +720,57 @@ def test_remove_duplicated_spans_cases(spark):
     assert got[3] == ""  # exact dup fully deduplicated
     assert got[4] is None  # null passes through
     assert got[5] == "tiny"  # shorter than n: untouched
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcxyz-", min_size=0, max_size=6),
+        min_size=0,
+        max_size=12,
+    ),
+    st.lists(
+        st.text(alphabet="abcxyz-", min_size=0, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_bloom_matches_python_model(spark, members, probes):
+    """Bloom bits and probe verdicts on arbitrary member/probe sets
+    equal a direct Python model of the same md5 hashing — and the
+    no-false-negative law holds by construction."""
+    import hashlib
+
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    num_bits, num_hashes = 16, 3  # tiny: collisions exercised
+
+    def bit(value: str, j: int) -> int:
+        h = hashlib.md5(f"bloom{j}:{value}".encode()).hexdigest()
+        return int(h[:8], 16) % num_bits
+
+    model_bits = {bit(m, j) for m in set(members) for j in range(num_hashes)}
+    mdf = spark.createDataFrame(
+        [(m,) for m in members] or [(None,)], "fp string"
+    )
+    bits = bloom_bits(mdf, "fp", num_bits=num_bits, num_hashes=num_hashes)
+    assert {r.bit for r in bits.collect()} == model_bits
+
+    pdf = spark.createDataFrame([(p,) for p in probes], "fp string")
+    got = {
+        r.fp: r.maybe_member
+        for r in bloom_probe(
+            pdf.distinct(), "fp", bits,
+            num_bits=num_bits, num_hashes=num_hashes,
+        ).collect()
+    }
+    for p in set(probes):
+        want = int(
+            all(bit(p, j) in model_bits for j in range(num_hashes))
+        )
+        assert got[p] == want
+        if p in set(members):
+            assert got[p] == 1  # never a false negative
