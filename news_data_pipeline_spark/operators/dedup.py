@@ -1171,3 +1171,149 @@ def remove_duplicated_spans(
         .alias(text_col),
     )
     return out.select(*df.columns)
+
+
+def top_ngram_char_fraction(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Gopher repetition rule, short-gram half (Rae et al. 2021, A1.1):
+    fraction of a document's characters contained in its single most
+    frequent word n-gram (count * gram chars / doc chars). Gopher
+    thresholds: reject if > 0.20 / 0.18 / 0.16 for n = 2 / 3 / 4.
+
+    Char accounting is on the whitespace-normalized text: doc chars =
+    sum(len(word)) + (n_words - 1) single separators; the gram's
+    ``length(gram)`` counts its internal single spaces the same way, so
+    numerator and denominator are consistent BIGINTs and the fraction
+    is a settled integer ratio (the cross-engine-stable class). One
+    per-doc window for the grams, two map-side-combinable groupBys —
+    no cross-document work; linear at any corpus size.
+
+    Returns (id, top_gram, top_gram_count, rep_chars, total_chars,
+    top_ngram_char_frac); docs with no full n-gram (< n words) report
+    count 0 and fraction 0.0.
+    """
+    words = word_shingles(df, id_col, text_col, n=1, distinct=False)
+    totals = words.groupBy("id").agg(
+        (
+            F.sum(F.length("shingle"))
+            + F.count(F.lit(1))
+            - F.lit(1)
+        ).alias("total_chars")
+    )
+    grams = word_shingles(df, id_col, text_col, n=n, distinct=False)
+    # word_shingles pads docs shorter than n with the available words;
+    # keep only full n-grams (exactly n-1 separators)
+    full = grams.where(
+        F.size(F.split(F.col("shingle"), " ")) == n
+    )
+    counted = full.groupBy("id", "shingle").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = counted.groupBy("id").agg(
+        F.max(
+            F.struct(
+                "cnt",
+                # ties at the max count resolve to the LONGEST gram
+                # (the worst offender for a char-fraction rule), then
+                # lexicographically last — fully deterministic
+                F.length("shingle").alias("__len"),
+                F.col("shingle").alias("top_gram"),
+            )
+        ).alias("__top")
+    ).select(
+        "id",
+        F.col("__top.top_gram").alias("top_gram"),
+        F.col("__top.cnt").alias("top_gram_count"),
+    )
+    return (
+        totals.join(top, on="id", how="left")
+        .select(
+            "id",
+            "top_gram",
+            F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+            (
+                F.coalesce("top_gram_count", F.lit(0))
+                * F.coalesce(F.length("top_gram"), F.lit(0))
+            ).cast("long").alias("rep_chars"),
+            F.col("total_chars").cast("long"),
+        )
+        .withColumn(
+            "top_ngram_char_frac",
+            settled_round(
+                F.col("rep_chars") / F.col("total_chars").cast("double"), 4
+            ),
+        )
+    )
+
+
+def dup_ngram_char_coverage(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 5
+) -> DataFrame:
+    """Gopher repetition rule, long-gram half (Rae et al. 2021, A1.1):
+    fraction of a document's word characters covered by n-grams that
+    occur MORE THAN ONCE within the document — position-coverage, so
+    overlapping duplicate grams never double-count a character. Gopher
+    thresholds: reject if > 0.15 ... 0.10 for n = 5 ... 10.
+
+    Shape: per-doc positioned grams (one window over (id, pos) — the
+    per-document key keeps every partition balanced), within-doc
+    counts by (id, gram) — map-side combinable, never a corpus-wide
+    gram key — then each duplicated instance explodes its <= n covered
+    positions and a distinct-union joins back to the word table.
+    Numerator = sum(len(word)) over covered positions; denominator =
+    sum(len(word)) over all positions (separators excluded on BOTH
+    sides — a whole-word coverage convention, stated here because
+    Gopher's prose doesn't pin separator accounting). All-BIGINT until
+    the one settled ratio.
+
+    Returns (id, covered_chars, word_chars, dup_ngram_char_frac).
+    """
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    words = fan_out(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select(
+        "id",
+        F.posexplode(F.split(F.trim("__t"), r"\s+")).alias("pos", "w"),
+    ).where(F.length("w") > 0)
+    w = Window.partitionBy("id").orderBy("pos")
+    nexts = [F.lead("w", i).over(w).alias(f"__w{i}") for i in range(1, n)]
+    grams = (
+        words.select("id", "pos", "w", *nexts)
+        .where(F.col(f"__w{n - 1}").isNotNull())
+        .select(
+            "id",
+            "pos",
+            F.concat_ws(" ", "w", *[f"__w{i}" for i in range(1, n)]).alias(
+                "gram"
+            ),
+        )
+    )
+    dup_counts = grams.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    ).where(F.col("__cnt") >= 2)
+    covered = (
+        grams.join(dup_counts, ["id", "gram"], "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    per_doc = words.join(
+        covered.withColumn("__covered", F.lit(1)), ["id", "pos"], "left"
+    ).groupBy("id").agg(
+        F.sum(
+            F.when(F.col("__covered") == 1, F.length("w")).otherwise(0)
+        ).cast("long").alias("covered_chars"),
+        F.sum(F.length("w")).cast("long").alias("word_chars"),
+    )
+    return per_doc.withColumn(
+        "dup_ngram_char_frac",
+        settled_round(
+            F.col("covered_chars") / F.col("word_chars").cast("double"), 4
+        ),
+    )

@@ -674,3 +674,83 @@ def test_remove_duplicated_spans_on_corpus(spark):
 
     before, after = dup_mass(docs), dup_mass(out)
     assert after < before * 0.2
+
+
+def test_top_ngram_char_fraction_hand_computed(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        top_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # "ab cd" x2 + "xy": top 2-gram "ab cd" (5 chars) count 2;
+            # normalized text "ab cd ab cd xy" = 14 chars
+            (1, "ab cd ab cd xy"),
+            (2, "one two"),       # every 2-gram unique: count 1
+            (3, "solo"),          # < 2 words: no full 2-gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: r.asDict()
+        for r in top_ngram_char_fraction(df, "doc_id", "text", n=2).collect()
+    }
+    assert got[1]["top_gram"] == "ab cd"
+    assert got[1]["top_gram_count"] == 2
+    assert got[1]["rep_chars"] == 10 and got[1]["total_chars"] == 14
+    assert got[1]["top_ngram_char_frac"] == round(10 / 14, 4)
+    assert got[2]["top_gram_count"] == 1
+    assert got[2]["top_ngram_char_frac"] == round(7 / 7, 4) * 1.0
+    assert got[3]["top_gram_count"] == 0
+    assert got[3]["top_ngram_char_frac"] == 0.0
+
+
+def test_top_ngram_tie_prefers_longest(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        top_ngram_char_fraction,
+    )
+
+    # "aa b" and "b cccc" both occur twice; the longer gram wins
+    df = spark.createDataFrame(
+        [(1, "aa b cccc z aa b cccc")], ["doc_id", "text"]
+    )
+    row = top_ngram_char_fraction(df, "doc_id", "text", n=2).collect()[0]
+    assert row.top_gram == "b cccc"
+    assert row.rep_chars == 12
+
+
+def test_dup_ngram_char_coverage_hand_computed(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        dup_ngram_char_coverage,
+    )
+
+    # doc 1: "a b c a b c x" with n=3 -> gram "a b c" at pos 0 and 3
+    # (count 2, duplicated); covered positions {0,1,2,3,4,5}; covered
+    # word chars = 6, total word chars = 7
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c x"),
+            (2, "p q r s t"),  # all 3-grams unique -> coverage 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.id: r.asDict()
+        for r in dup_ngram_char_coverage(df, "doc_id", "text", n=3).collect()
+    }
+    assert got[1]["covered_chars"] == 6 and got[1]["word_chars"] == 7
+    assert got[1]["dup_ngram_char_frac"] == round(6 / 7, 4)
+    assert got[2]["covered_chars"] == 0 and got[2]["dup_ngram_char_frac"] == 0.0
+
+
+def test_dup_ngram_coverage_overlaps_never_double_count(spark):
+    from news_data_pipeline_spark.operators.dedup import (
+        dup_ngram_char_coverage,
+    )
+
+    # "a a a a a": every 2-gram is "a a" (4 instances); overlapping
+    # coverage is the whole doc, fraction exactly 1 — not > 1
+    df = spark.createDataFrame([(1, "a a a a a")], ["doc_id", "text"])
+    row = dup_ngram_char_coverage(df, "doc_id", "text", n=2).collect()[0]
+    assert row.covered_chars == 5 and row.word_chars == 5
+    assert row.dup_ngram_char_frac == 1.0
