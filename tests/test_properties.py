@@ -774,3 +774,83 @@ def test_bloom_matches_python_model(spark, members, probes):
         assert got[p] == want
         if p in set(members):
             assert got[p] == 1  # never a false negative
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+@SETTINGS
+def test_repetition_char_rules_match_python_model(spark, docs, n):
+    """Both Gopher char-fraction rules on arbitrary word lists equal a
+    direct Python model: top-gram char mass and duplicated-gram
+    position coverage."""
+    import math
+
+    from news_data_pipeline_spark.operators.dedup import (
+        dup_ngram_char_coverage,
+        top_ngram_char_fraction,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def settle(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    # ---- model ----
+    top_want, cov_want = {}, {}
+    for i, ws in enumerate(docs):
+        grams = [
+            " ".join(ws[p : p + n]) for p in range(len(ws) - n + 1)
+        ]
+        total_chars = sum(len(w) for w in ws) + max(len(ws) - 1, 0)
+        if grams:
+            counts = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            best = max(counts, key=lambda g: (counts[g], len(g), g))
+            top_want[i] = (
+                counts[best],
+                counts[best] * len(best),
+                total_chars,
+                settle(counts[best] * len(best) / total_chars),
+            )
+        elif ws:
+            top_want[i] = (0, 0, total_chars, 0.0)
+        # else: empty doc -> no words -> absent from both outputs
+        covered = set()
+        for p in range(len(ws) - n + 1):
+            g = " ".join(ws[p : p + n])
+            if grams.count(g) >= 2:
+                covered.update(range(p, p + n))
+        if ws:
+            wc = sum(len(w) for w in ws)
+            cc = sum(len(ws[p]) for p in covered)
+            cov_want[i] = (cc, wc, settle(cc / wc))
+
+    got_top = {
+        r.id: (
+            r.top_gram_count,
+            r.rep_chars,
+            r.total_chars,
+            r.top_ngram_char_frac,
+        )
+        for r in top_ngram_char_fraction(
+            df, "doc_id", "text", n=n
+        ).collect()
+    }
+    assert got_top == top_want
+    got_cov = {
+        r.id: (r.covered_chars, r.word_chars, r.dup_ngram_char_frac)
+        for r in dup_ngram_char_coverage(df, "doc_id", "text", n=n).collect()
+    }
+    assert got_cov == cov_want
