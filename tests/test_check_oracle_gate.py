@@ -73,3 +73,34 @@ def test_rows_equal_counts_every_rescued_cell():
     b = [(("f", 1.000000001), ("f", 2.0)), (("f", 3.0), ("f", 4.000000001))]
     ok, why, rescued = co.rows_equal(a, b)
     assert not ok and rescued == 2
+
+
+def test_dtype_kind_mismatch_detector():
+    """int64-vs-float64 divergence is the r5/r6 driver red class: values
+    compare equal locally (42 == 42.0) but the driver stringifies
+    through pandas ('42' vs '42.0') and the hash fails. The gate must
+    flag kind mismatches even when every value matches."""
+    import pandas as pd
+
+    s_int = pd.DataFrame({"a": [1, 2], "b": [1.5, 2.5]})
+    d_float = pd.DataFrame({"a": [1.0, 2.0], "b": [1.5, 2.5]})
+    got = co.dtype_kind_mismatches(s_int, d_float)
+    assert len(got) == 1 and got[0].startswith("a ")
+    # same kinds on both sides: clean
+    assert co.dtype_kind_mismatches(s_int, s_int.copy()) == []
+    # null-bearing int coerces to float64 on BOTH sides -> same kind
+    s_null = pd.DataFrame({"a": [1.0, None]})
+    d_null = pd.DataFrame({"a": [1.0, None]})
+    assert co.dtype_kind_mismatches(s_null, d_null) == []
+    # object/decimal vs float is NOT the class (stringifies identically)
+    import decimal
+
+    s_dec = pd.DataFrame({"a": [decimal.Decimal("1.5")]})
+    d_flt = pd.DataFrame({"a": [1.5]})
+    assert co.dtype_kind_mismatches(s_dec, d_flt) == []
+    # empty frames carry no dtype evidence
+    assert co.dtype_kind_mismatches(s_int.iloc[:0], d_float.iloc[:0]) == []
+    # bool vs int is not flagged (different failure surface, not seen)
+    s_b = pd.DataFrame({"a": [True, False]})
+    d_i = pd.DataFrame({"a": [1, 0]})
+    assert co.dtype_kind_mismatches(s_b, d_i) == []

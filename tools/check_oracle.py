@@ -75,6 +75,33 @@ def frame_to_multiset(df) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
+# the one registered query whose int/float divergence is the POINT
+# (live driver diagnostic for the HUGEINT red class — see
+# queries/probes.py; retire with the probe)
+DTYPE_MISMATCH_DELIBERATE = {"probe_hugeint_sum_raw"}
+
+
+def dtype_kind_mismatches(sdf, ddf) -> list[str]:
+    """Columns where one engine materializes integer-kind and the other
+    float-kind pandas dtypes. Values can still compare equal here (the
+    int/float crossover in ``cell_exact``), but the DRIVER stringifies
+    through pandas — int64 42 renders '42', float64 renders '42.0' —
+    so a kind mismatch is a future driver hash-FAIL even when every
+    value matches. Null-bearing int columns coerce to float64 on BOTH
+    sides (same data, same nulls), so they never false-positive; empty
+    frames carry no evidence and are skipped."""
+    if len(sdf) == 0 or len(ddf) == 0:
+        return []
+    out = []
+    for c in sdf.columns:
+        if c not in ddf.columns:
+            continue
+        ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+        if {ks, kd} <= {"i", "u", "f"} and (ks == "f") != (kd == "f"):
+            out.append(f"{c} (spark {sdf[c].dtype} vs duckdb {ddf[c].dtype})")
+    return out
+
+
 def cell_exact(a, b) -> bool:
     """Exact match, allowing int/float tag crossover ONLY when the values
     are bit-equal — DuckDB HUGEINT arrives in pandas as float64 while
@@ -208,6 +235,16 @@ def check_one(spark, duck_local, sf_dir, name, fn, oracle):
     dcols, drows = frame_to_multiset(ddf)
     if scols != dcols:
         return (f"FAIL {name}: columns {scols} vs {dcols}", True, 0)
+    mismatched = dtype_kind_mismatches(sdf, ddf)
+    if mismatched and name not in DTYPE_MISMATCH_DELIBERATE:
+        return (
+            f"FAIL {name}: int-vs-float dtype divergence on "
+            f"{mismatched} — values may stringify differently at the "
+            "driver ('42' vs '42.0', the r5/r6 HUGEINT red class); "
+            "CAST the oracle column so both engines agree on kind",
+            True,
+            0,
+        )
     ok, why, rescued = rows_equal(srows, drows)
     if not ok:
         return (f"FAIL {name}: {why}", True, rescued)
