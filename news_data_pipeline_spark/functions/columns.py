@@ -58,3 +58,70 @@ def require_columns(df: DataFrame, required: list[str]) -> list[str]:
     (reference ``check_column_exists``, ``_lib_dq_helpers.py:133-136``)."""
     have = set(df.columns)
     return [c for c in required if c not in have]
+
+
+# Widening lattice for union_evolved: integrals widen among themselves,
+# any float presence widens numerics to double, date widens to
+# timestamp, and a genuine type conflict falls back to string (the one
+# cast every type supports losslessly-enough to keep rows flowing; the
+# DQ layer can quarantine on it downstream).
+_INTEGRAL_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FLOATY = {"float", "double"}
+
+
+def _widen(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _INTEGRAL_RANK and b in _INTEGRAL_RANK:
+        return a if _INTEGRAL_RANK[a] >= _INTEGRAL_RANK[b] else b
+    numerics = _FLOATY | set(_INTEGRAL_RANK) | {"decimal"}
+    if a.split("(")[0] in numerics and b.split("(")[0] in numerics:
+        return "double"
+    if {a, b} == {"date", "timestamp"}:
+        return "timestamp"
+    return "string"
+
+
+def union_evolved(frames: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted apart — the FIX side of
+    ``dq.drift.schema_drift`` (detect) for the multi-batch ingestion
+    case: yesterday's export has ``int`` ids and no ``lang``; today's
+    has ``bigint`` ids and the new column. The result carries the
+    UNION of all columns (first-seen order), each at the widest type
+    observed (int family by rank; any float → double; date+timestamp →
+    timestamp; true conflicts → string), with typed NULLs where a
+    frame lacks a column.
+
+    Scale shape: pure per-frame Projects feeding one unionByName — no
+    shuffle, no data movement beyond the casts, exactly what
+    ``mergeSchema`` does inside the parquet reader but applicable to
+    frames from ANY source (REST batches, JDBC extracts, per-day
+    layers already loaded). Not for silently papering over real schema
+    breaks: pair with ``schema_drift_report`` so the widenings are
+    observed, not accidental.
+    """
+    if not frames:
+        raise ValueError("union_evolved needs at least one frame")
+    target: dict[str, str] = {}
+    for df in frames:
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            target[f.name] = (
+                _widen(target[f.name], t) if f.name in target else t
+            )
+    aligned = []
+    for df in frames:
+        have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        cols = []
+        for name, t in target.items():
+            if name not in have:
+                cols.append(F.lit(None).cast(t).alias(name))
+            elif have[name] != t:
+                cols.append(F.col(name).cast(t).alias(name))
+            else:
+                cols.append(F.col(name))
+        aligned.append(df.select(*cols))
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -262,3 +262,65 @@ def test_compression_ratio_separates_repetition_from_prose(spark):
     assert empty is None and null is None
     with pytest.raises(ValueError, match="level"):
         compression_ratio(F.col("t"), level=0)
+
+
+def test_union_evolved_widens_and_fills(spark):
+    import datetime
+
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha", datetime.date(2024, 1, 1))],
+        "id int, title string, seen date",
+    )
+    day2 = spark.createDataFrame(
+        [(2**40, "beta", datetime.datetime(2024, 1, 2, 3, 4, 5), "en")],
+        "id long, title string, seen timestamp, lang string",
+    )
+    out = union_evolved([day1, day2])
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {
+        "id": "bigint",
+        "title": "string",
+        "seen": "timestamp",
+        "lang": "string",
+    }
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].lang is None  # missing column -> typed NULL
+    assert rows[1].seen == datetime.datetime(2024, 1, 1, 0, 0)  # date widened
+    assert rows[2**40].lang == "en"
+    # column order is first-seen
+    assert out.columns == ["id", "title", "seen", "lang"]
+
+
+def test_union_evolved_conflict_falls_back_to_string(spark):
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    a = spark.createDataFrame([(1, True)], "id int, flag boolean")
+    b = spark.createDataFrame([(2, 7)], "id int, flag long")
+    out = union_evolved([a, b])
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["flag"] == "string"
+    got = {r.id: r.flag for r in out.collect()}
+    assert got == {1: "true", 2: "7"}
+
+
+def test_union_evolved_single_and_empty(spark):
+    import pytest
+
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    df = spark.createDataFrame([(1,)], "id int")
+    assert union_evolved([df]).collect() == df.collect()
+    with pytest.raises(ValueError):
+        union_evolved([])
+
+
+def test_union_evolved_mixed_numeric_to_double(spark):
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    a = spark.createDataFrame([(1, 5)], "id int, v long")
+    b = spark.createDataFrame([(2, 2.5)], "id int, v double")
+    out = union_evolved([a, b])
+    assert dict(out.dtypes)["v"] == "double"
+    assert {r.v for r in out.collect()} == {5.0, 2.5}
