@@ -98,7 +98,9 @@ def union_evolved(frames: list[DataFrame]) -> DataFrame:
     frames from ANY source (REST batches, JDBC extracts, per-day
     layers already loaded). Not for silently papering over real schema
     breaks: pair with ``schema_drift_report`` so the widenings are
-    observed, not accidental.
+    observed, not accidental. Struct columns whose inner fields drift
+    fall to the string conflict branch (structs don't widen here) —
+    ``flatten_structs`` first, then union, is the supported route.
     """
     if not frames:
         raise ValueError("union_evolved needs at least one frame")

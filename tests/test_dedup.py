@@ -754,3 +754,36 @@ def test_dup_ngram_coverage_overlaps_never_double_count(spark):
     row = dup_ngram_char_coverage(df, "doc_id", "text", n=2).collect()[0]
     assert row.covered_chars == 5 and row.word_chars == 5
     assert row.dup_ngram_char_frac == 1.0
+
+
+def test_bloom_dedup_against_corpus_matches_exact(spark):
+    """Bloom-prefiltered incremental dedup keeps EXACTLY the rows the
+    plain anti-join keeps — on a deliberately tiny filter where false
+    positives are guaranteed, and with null texts surviving."""
+    from news_data_pipeline_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, f"doc number {i}") for i in range(30, 50)]
+        + [(200, None), (201, "")],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        r.doc_id
+        for r in dedup.exact_dedup_against_corpus(
+            batch, corpus, "text"
+        ).collect()
+    )
+    for bits in (16, 1 << 12):  # collision-heavy and roomy
+        got = sorted(
+            r.doc_id
+            for r in dedup.bloom_dedup_against_corpus(
+                batch, corpus, "text", num_bits=bits, num_hashes=3
+            ).collect()
+        )
+        assert got == want
+    # schema preserved
+    out = dedup.bloom_dedup_against_corpus(batch, corpus, "text")
+    assert out.columns == batch.columns
