@@ -153,6 +153,8 @@ def ingest_deduplicated(
     shingle_n: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
 ) -> StreamingQuery:
     """Continuously ingest documents, deduplicating each micro-batch
     against everything already accepted — the streaming twin of
@@ -160,9 +162,15 @@ def ingest_deduplicated(
 
     Per batch: batch-internal exact dedup first (deterministic
     keep-lowest-id — a batch can carry its own duplicates), then the
-    against-corpus probe (``method='exact'`` fingerprint anti-join, or
-    ``'lsh'`` MinHash band-bucket probe for near-dups), and survivors
-    append to the corpus as their own ``batch_id=N`` partition.
+    against-corpus probe (``method='exact'`` fingerprint anti-join,
+    ``'lsh'`` MinHash band-bucket probe for near-dups, or ``'bloom'``
+    — identical keep/drop to ``'exact'``, but a Bloom filter maintained
+    under ``{corpus_path}/_bloom`` routes definite-new rows past the
+    corpus anti-join entirely), and survivors append to the corpus as
+    their own ``batch_id=N`` partition. The ``_bloom`` side table is
+    invisible to corpus readers (Spark's file index skips
+    underscore-prefixed paths) and each batch writes only its own
+    survivors' bits — replay overwrites both partitions together.
 
     Idempotence: a replayed batch (crash between write and checkpoint
     commit) overwrites its own partition, and the corpus read EXCLUDES
@@ -175,19 +183,25 @@ def ingest_deduplicated(
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
+    from news_data_pipeline_spark.functions.text import fingerprint
     from news_data_pipeline_spark.operators.dedup import (
+        bloom_dedup_against_corpus,
         exact_dedup_against_corpus,
         fingerprint_dedup,
         lsh_dedup_against_corpus,
     )
+    from news_data_pipeline_spark.operators.sketches import bloom_bits
 
-    if method not in ("exact", "lsh"):
-        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    if method not in ("exact", "lsh", "bloom"):
+        raise ValueError(
+            f"method must be 'exact', 'lsh' or 'bloom', got {method!r}"
+        )
     if "batch_id" in stream.columns:
         raise ValueError(
             "ingest_deduplicated reserves 'batch_id' for the corpus "
             "partition column; rename it first"
         )
+    bloom_path = f"{corpus_path}/_bloom"
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -213,6 +227,29 @@ def ingest_deduplicated(
                 deduped = exact_dedup_against_corpus(
                     deduped, corpus, text_col
                 )
+            elif method == "bloom":
+                try:
+                    bits = (
+                        spark.read.option("basePath", bloom_path)
+                        .format(fmt)
+                        .load(bloom_path)
+                        .where(F.col("batch_id") != batch_id)
+                        .select("bit")
+                        .distinct()
+                    )
+                    bits.schema
+                except AnalysisException:
+                    # corpus predates the filter (or first bloom batch
+                    # over an exact-built corpus): build bits inline
+                    bits = None
+                deduped = bloom_dedup_against_corpus(
+                    deduped,
+                    corpus,
+                    text_col,
+                    num_bits=num_bits,
+                    num_hashes=num_hashes,
+                    corpus_bits=bits,
+                )
             else:
                 deduped = lsh_dedup_against_corpus(
                     deduped,
@@ -223,12 +260,35 @@ def ingest_deduplicated(
                     bands=bands,
                     rows_per_band=rows_per_band,
                 )
-        write_layer(
-            deduped,
-            f"{corpus_path}/batch_id={batch_id}",
-            mode="overwrite",
-            fmt=fmt,
-        )
+        if method == "bloom":
+            # survivors feed two writes (corpus + filter bits): compute
+            # the dedup lineage once per batch
+            deduped.persist()
+        try:
+            write_layer(
+                deduped,
+                f"{corpus_path}/batch_id={batch_id}",
+                mode="overwrite",
+                fmt=fmt,
+            )
+            if method == "bloom":
+                surv_fp = deduped.select(
+                    fingerprint(F.col(text_col)).alias("__fp")
+                )
+                write_layer(
+                    bloom_bits(
+                        surv_fp,
+                        "__fp",
+                        num_bits=num_bits,
+                        num_hashes=num_hashes,
+                    ),
+                    f"{bloom_path}/batch_id={batch_id}",
+                    mode="overwrite",
+                    fmt=fmt,
+                )
+        finally:
+            if method == "bloom":
+                deduped.unpersist()
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

@@ -793,3 +793,72 @@ def test_stream_static_dim_enrichment_matches_batch(spark, landing):
     )
     # user 11 rows present and unenriched
     assert (3, None) in got and (5, None) in got
+
+
+def test_ingest_deduplicated_bloom_matches_exact(spark, tmp_path):
+    """method='bloom' accepts EXACTLY the documents method='exact'
+    accepts (no false negatives -> same anti-join verdicts), maintains
+    its filter under _bloom without polluting the corpus read, and the
+    filter equals the bits of the accepted survivors."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha document"), (2, "beta document"), (3, "Alpha DOCUMENT")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f1"))
+    spark.createDataFrame(
+        [(10, "alpha document"), (11, "gamma document")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(landing / "f2"))
+
+    def run(method, out):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=str(tmp_path / out),
+            checkpoint=str(tmp_path / f"ckpt_{out}"),
+            method=method,
+            num_bits=64,  # tiny: force false positives through the
+            num_hashes=3,  # maybe-path resolution join
+            available_now=True,
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(tmp_path / out))
+
+    exact = run("exact", "corpus_exact")
+    bloom = run("bloom", "corpus_bloom")
+    assert sorted(
+        map(tuple, exact.select("doc_id", "text").collect())
+    ) == sorted(map(tuple, bloom.select("doc_id", "text").collect()))
+    # the _bloom side table exists but is invisible to the corpus read
+    assert os.path.isdir(tmp_path / "corpus_bloom" / "_bloom")
+    assert "bit" not in bloom.columns
+    # the maintained filter == bits of the accepted survivors' prints
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.text import fingerprint
+    from news_data_pipeline_spark.operators.sketches import bloom_bits
+
+    streamed = (
+        spark.read.option(
+            "basePath", str(tmp_path / "corpus_bloom" / "_bloom")
+        )
+        .parquet(str(tmp_path / "corpus_bloom" / "_bloom"))
+        .select("bit")
+        .distinct()
+    )
+    want = bloom_bits(
+        bloom.select(fingerprint(F.col("text")).alias("__fp")),
+        "__fp", num_bits=64, num_hashes=3,
+    )
+    assert sorted(r.bit for r in streamed.collect()) == sorted(
+        r.bit for r in want.collect()
+    )
