@@ -261,6 +261,68 @@ class VersionedLayer:
             spark, f"{self.path}/{version}", fmt=self.fmt, require_success=True
         )
 
+    def diff(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        *,
+        v_old: str,
+        v_new: str | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two retained versions: one row per
+        key whose content differs, ``change`` in {'added', 'removed',
+        'changed'} — what a reviewer asks of any versioned table
+        ("what did the last refresh actually do?") and the audit twin
+        of time travel. ``v_new=None`` diffs against the current
+        version.
+
+        Content equality is an md5 over the JSON of the sorted non-key
+        columns COMMON to both versions — a column added or dropped
+        between versions is a schema change, reported by
+        ``dq.drift.schema_drift_report``, not silently folded into
+        row-change verdicts. Keys must be non-null (a null key never
+        joins and would surface as an added+removed pair).
+
+        Scale shape: each side reduces to (keys, hash) before the one
+        full-outer sort-merge join on the key — the same single-join
+        plan as ``merge_upsert``; unchanged rows drop before any
+        wide-row materialization.
+        """
+        import pyspark.sql.functions as F
+
+        new = self.read(spark, version=v_new)
+        old = self.read(spark, version=v_old)
+        common = sorted(
+            (set(old.columns) & set(new.columns)) - set(keys)
+        )
+
+        def hashed(df: DataFrame, alias: str) -> DataFrame:
+            # fully-keyed layer (no non-key columns): content is the
+            # key itself, so only added/removed verdicts are possible
+            content = (
+                F.to_json(F.struct(*[F.col(c) for c in common]))
+                if common
+                else F.lit("")
+            )
+            return df.select(*keys, F.md5(content).alias(alias))
+
+        joined = hashed(old, "__h_old").join(
+            hashed(new, "__h_new"), on=keys, how="full_outer"
+        )
+        change = (
+            F.when(F.col("__h_old").isNull(), F.lit("added"))
+            .when(F.col("__h_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+        )
+        return (
+            joined.where(
+                F.col("__h_old").isNull()
+                | F.col("__h_new").isNull()
+                | (F.col("__h_old") != F.col("__h_new"))
+            )
+            .select(*keys, change.alias("change"))
+        )
+
     def vacuum(
         self, spark: SparkSession, *, keep: int = 2, min_age_seconds: float = 3600.0
     ) -> list[str]:

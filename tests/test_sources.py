@@ -734,3 +734,55 @@ def test_orc_layer_roundtrip_with_partition_pruning(spark, tmp_path):
     # partition filter must reach the scan, not run as a post-filter
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "country" in plan.split("PartitionFilters", 1)[1][:120]
+
+
+def test_versioned_layer_diff(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "dim"))
+    v1_rows = [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)]
+    layer.overwrite(
+        spark.createDataFrame(v1_rows, "id long, name string, score long")
+    )
+    v1 = layer.current_version(spark)
+    v2_rows = [(1, "alpha", 10), (2, "beta", 25), (4, "delta", 40)]
+    layer.overwrite(
+        spark.createDataFrame(v2_rows, "id long, name string, score long")
+    )
+    got = {
+        r.id: r.change
+        for r in layer.diff(spark, ["id"], v_old=v1).collect()
+    }
+    # 1 unchanged (absent), 2 changed, 3 removed, 4 added
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+    # explicit v_new == v_old: empty diff
+    assert layer.diff(spark, ["id"], v_old=v1, v_new=v1).count() == 0
+
+
+def test_versioned_layer_diff_ignores_schema_only_columns(spark, tmp_path):
+    """A column present in only one version is schema drift, not row
+    change: rows identical on the COMMON columns don't show up."""
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "dim"))
+    layer.overwrite(spark.createDataFrame([(1, "a")], "id long, name string"))
+    v1 = layer.current_version(spark)
+    layer.overwrite(
+        spark.createDataFrame(
+            [(1, "a", "en")], "id long, name string, lang string"
+        )
+    )
+    assert layer.diff(spark, ["id"], v_old=v1).count() == 0
+
+
+def test_versioned_layer_diff_fully_keyed(spark, tmp_path):
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    layer = VersionedLayer(str(tmp_path / "set"))
+    layer.overwrite(spark.createDataFrame([(1,), (2,)], "id long"))
+    v1 = layer.current_version(spark)
+    layer.overwrite(spark.createDataFrame([(2,), (3,)], "id long"))
+    got = {
+        r.id: r.change for r in layer.diff(spark, ["id"], v_old=v1).collect()
+    }
+    assert got == {1: "removed", 3: "added"}
