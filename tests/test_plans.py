@@ -110,3 +110,75 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_new_library_ops_plan_contracts(spark):
+    """The §4 scale contract, extended to the round-7c library surface
+    (these ops aren't registered yet, so the registry-wide
+    parametrization above doesn't reach them): no cartesian products,
+    no row-wise Python, no unpartitioned windows — and the Bloom probe
+    really plans broadcast joins (the probe side must never shuffle)."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.functions.columns import union_evolved
+    from news_data_pipeline_spark.operators.dedup import (
+        bloom_dedup_against_corpus,
+        dup_ngram_char_coverage,
+        top_ngram_char_fraction,
+    )
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+    from news_data_pipeline_spark.operators.terms import (
+        perplexity_bucket_cuts,
+        perplexity_buckets,
+    )
+    from news_data_pipeline_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fps = docs.select(F.md5("text").alias("fp"))
+    bits = bloom_bits(fps, "fp", num_bits=256, num_hashes=3)
+    frames = {
+        "bloom_probe": bloom_probe(
+            fps, "fp", bits, num_bits=256, num_hashes=3
+        ),
+        "bloom_dedup_against_corpus": bloom_dedup_against_corpus(
+            docs.where(F.col("doc_id") % 4 != 0),
+            docs.where(F.col("doc_id") % 4 == 0),
+            "text",
+            num_bits=256,
+            num_hashes=3,
+        ),
+        "perplexity_buckets": perplexity_buckets(
+            docs, "doc_id", "text", "lang"
+        ),
+        "perplexity_bucket_cuts": perplexity_bucket_cuts(
+            docs, "doc_id", "text", "lang"
+        ),
+        "top_ngram_char_fraction": top_ngram_char_fraction(
+            docs, "doc_id", "text", n=2
+        ),
+        "dup_ngram_char_coverage": dup_ngram_char_coverage(
+            docs, "doc_id", "text", n=3
+        ),
+        "union_evolved": union_evolved(
+            [
+                docs.select("doc_id", "text"),
+                docs.select(
+                    F.col("doc_id").cast("int").alias("doc_id"), "lang"
+                ),
+            ]
+        ),
+    }
+    for name, df in frames.items():
+        plan = plan_of(spark, df)
+        for marker in FORBIDDEN:
+            assert marker not in plan, f"{name}: {marker} in plan"
+        m = GLOBAL_WINDOW.search(plan)
+        assert m is None, f"{name}: unpartitioned window\n{m.group(0)}"
+    # the Bloom probe's bit-table joins must be broadcasts
+    probe_plan = plan_of(spark, frames["bloom_probe"])
+    assert probe_plan.count("BroadcastHashJoin") >= 3, probe_plan
+    # union_evolved must be Project+Union only — zero exchanges
+    assert "Exchange" not in plan_of(spark, frames["union_evolved"])
