@@ -137,10 +137,11 @@ def test_no_oracle_emits_hugeint():
     as exact Python ints and passes, but the DRIVER's pandas
     materialization renders it float64 ("42.0" vs Spark's int64 "42")
     and the value hash fails — this was exactly and only the three
-    r5/r6 driver reds. Statically pin every oracle's DuckDB result
+    r5/r6 driver reds (confirmed through the driver by the since-
+    retired probe_hugeint_sum_raw/_cast differential pair in
+    CORRECTNESS_r07). Statically pin every oracle's DuckDB result
     type so the class cannot re-enter; integer sums must CAST back to
-    BIGINT. probe_hugeint_sum_raw is the deliberate one-round
-    diagnostic exercising the failure through the driver."""
+    BIGINT."""
     import os
 
     import duckdb
@@ -158,10 +159,9 @@ def test_no_oracle_emits_hugeint():
             con.sql(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
-    DELIBERATE = {"probe_hugeint_sum_raw"}
     offenders = []
     for name, q in QUERIES.items():
-        if not q.oracle or name in DELIBERATE:
+        if not q.oracle:
             continue
         try:
             types = [str(t) for t in con.sql(q.oracle).types]

@@ -75,10 +75,9 @@ def frame_to_multiset(df) -> tuple[list[str], list[tuple]]:
     return cols, rows
 
 
-# the one registered query whose int/float divergence is the POINT
-# (live driver diagnostic for the HUGEINT red class — see
-# queries/probes.py; retire with the probe)
-DTYPE_MISMATCH_DELIBERATE = {"probe_hugeint_sum_raw"}
+# queries allowed to diverge int-kind vs float-kind (none since the
+# r7 HUGEINT diagnostic probe was retired in r8; see queries/probes.py)
+DTYPE_MISMATCH_DELIBERATE: set = set()
 
 
 def dtype_kind_mismatches(sdf, ddf) -> list[str]:
