@@ -61,12 +61,35 @@ def require_columns(df: DataFrame, required: list[str]) -> list[str]:
 
 
 # Widening lattice for union_evolved: integrals widen among themselves,
-# any float presence widens numerics to double, date widens to
-# timestamp, and a genuine type conflict falls back to string (the one
-# cast every type supports losslessly-enough to keep rows flowing; the
-# DQ layer can quarantine on it downstream).
+# decimal pairs (and decimal+integral) widen to the covering decimal
+# (max integer digits + max scale) while it fits Spark's 38-digit cap,
+# any float presence (or a decimal overflow past 38) widens numerics to
+# double, date widens to timestamp, and a genuine type conflict falls
+# back to string (the one cast every type supports losslessly-enough to
+# keep rows flowing; the DQ layer can quarantine on it downstream).
 _INTEGRAL_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
 _FLOATY = {"float", "double"}
+# max base-10 digits each integral can need when represented as
+# decimal(digits, 0) — bigint's 9223372036854775807 is 19 digits, but
+# unsigned-looking 20-digit strings upcast through bigint never occur
+# in Spark, so 19 is exact for every value the type can hold
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+
+
+def _decimal_shape(t: str) -> "tuple[int, int] | None":
+    """(integer_digits, scale) for types that widen into decimal
+    EXACTLY (decimal itself and the integrals); None for float/double,
+    whose values a decimal cannot cover exactly."""
+    import re
+
+    base = t.split("(")[0]
+    if base == "decimal":
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        p, s = (int(m.group(1)), int(m.group(2))) if m else (10, 0)
+        return p - s, s
+    if base in _INT_DIGITS:
+        return _INT_DIGITS[base], 0
+    return None
 
 
 def _widen(a: str, b: str) -> str:
@@ -74,8 +97,21 @@ def _widen(a: str, b: str) -> str:
         return a
     if a in _INTEGRAL_RANK and b in _INTEGRAL_RANK:
         return a if _INTEGRAL_RANK[a] >= _INTEGRAL_RANK[b] else b
-    numerics = _FLOATY | set(_INTEGRAL_RANK) | {"decimal"}
-    if a.split("(")[0] in numerics and b.split("(")[0] in numerics:
+    abase, bbase = a.split("(")[0], b.split("(")[0]
+    if "decimal" in (abase, bbase):
+        da, db = _decimal_shape(a), _decimal_shape(b)
+        if da is not None and db is not None:
+            # covering decimal: every value of either input type is
+            # exactly representable iff it fits the 38-digit cap;
+            # double would silently round past ~15-16 significant
+            # digits (e.g. decimal(38,18) vs decimal(38,10))
+            ints = max(da[0], db[0])
+            scale = max(da[1], db[1])
+            if ints + scale <= 38:
+                return f"decimal({ints + scale},{scale})"
+        return "double"
+    numerics = _FLOATY | set(_INTEGRAL_RANK)
+    if abase in numerics and bbase in numerics:
         return "double"
     if {a, b} == {"date", "timestamp"}:
         return "timestamp"
@@ -88,9 +124,11 @@ def union_evolved(frames: list[DataFrame]) -> DataFrame:
     case: yesterday's export has ``int`` ids and no ``lang``; today's
     has ``bigint`` ids and the new column. The result carries the
     UNION of all columns (first-seen order), each at the widest type
-    observed (int family by rank; any float → double; date+timestamp →
-    timestamp; true conflicts → string), with typed NULLs where a
-    frame lacks a column.
+    observed (int family by rank; decimal pairs and decimal+integral →
+    the covering decimal(max int digits + max scale) while that fits
+    the 38-digit cap, double past it; any float → double;
+    date+timestamp → timestamp; true conflicts → string), with typed
+    NULLs where a frame lacks a column.
 
     Scale shape: pure per-frame Projects feeding one unionByName — no
     shuffle, no data movement beyond the casts, exactly what

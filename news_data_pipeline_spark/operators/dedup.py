@@ -1153,6 +1153,17 @@ def remove_duplicated_spans(
         .distinct()
     )
     kept = words.join(removed, ["id", "pos"], "left_anti")
+    # alias the rebuilt frame's key to a reserved name before joining
+    # back: with id_col == 'id' (or any other df column named 'id')
+    # both the join condition and the df.columns select below would
+    # otherwise be ambiguous references
+    reserved = {"__rds_id", "__rebuilt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"remove_duplicated_spans reserves {sorted(reserved)}; "
+            f"input uses {sorted(clash)} — rename those columns first"
+        )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
             " ",
@@ -1161,9 +1172,9 @@ def remove_duplicated_spans(
                 lambda s: s["w"],
             ),
         ).alias("__rebuilt")
-    )
+    ).select(F.col("id").alias("__rds_id"), "__rebuilt")
     out = df.join(
-        rebuilt, F.col(id_col) == rebuilt["id"], "left"
+        rebuilt, F.col(id_col) == F.col("__rds_id"), "left"
     ).select(
         *[c for c in df.columns if c != text_col],
         F.when(F.col(text_col).isNull(), F.lit(None))
@@ -1190,17 +1201,27 @@ def top_ngram_char_fraction(
     no cross-document work; linear at any corpus size.
 
     Returns (id, top_gram, top_gram_count, rep_chars, total_chars,
-    top_ngram_char_frac); docs with no full n-gram (< n words) report
+    top_ngram_char_frac); docs with no full n-gram (< n words —
+    including empty/whitespace-only texts, which report total_chars 0)
     count 0 and fraction 0.0.
     """
     words = word_shingles(df, id_col, text_col, n=1, distinct=False)
-    totals = words.groupBy("id").agg(
-        (
-            F.sum(F.length("shingle"))
-            + F.count(F.lit(1))
-            - F.lit(1)
-        ).alias("total_chars")
-    )
+    # left-join word totals back onto the distinct input ids: a
+    # zero-word document produces no word rows, and starting from the
+    # word table alone would drop it from the output instead of
+    # emitting the documented (0, 0, 0.0) row (ADVICE r7)
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    totals = ids.join(
+        words.groupBy("id").agg(
+            (
+                F.sum(F.length("shingle"))
+                + F.count(F.lit(1))
+                - F.lit(1)
+            ).alias("__tc")
+        ),
+        "id",
+        "left",
+    ).select("id", F.coalesce("__tc", F.lit(0)).alias("total_chars"))
     grams = word_shingles(df, id_col, text_col, n=n, distinct=False)
     # word_shingles pads docs shorter than n with the available words;
     # keep only full n-grams (exactly n-1 separators)
@@ -1240,8 +1261,13 @@ def top_ngram_char_fraction(
         )
         .withColumn(
             "top_ngram_char_frac",
-            settled_round(
-                F.col("rep_chars") / F.col("total_chars").cast("double"), 4
+            # zero-word docs: 0/0 would be NaN; the documented value is 0.0
+            F.when(F.col("total_chars") == 0, F.lit(0.0)).otherwise(
+                settled_round(
+                    F.col("rep_chars")
+                    / F.col("total_chars").cast("double"),
+                    4,
+                )
             ),
         )
     )

@@ -90,11 +90,17 @@ def cms_estimates(
             sketch.where(F.col("row") == j)
             .select("bucket", F.col("counter").alias(f"__c{j}"))
         )
+        # left join + coalesce(0): a term whose hashed bucket has no
+        # counter row in the sketch was never seen at build time — it
+        # must report estimate 0, not vanish from the output
         est = est.join(
             F.broadcast(row_j),
             _bucket(F.col(term_col), j, width) == F.col("bucket"),
+            "left",
         ).drop("bucket")
-    estimate = F.least(*[F.col(f"__c{j}") for j in range(depth)])
+    estimate = F.least(
+        *[F.coalesce(F.col(f"__c{j}"), F.lit(0)) for j in range(depth)]
+    )
     return est.withColumn("cms_estimate", estimate.cast("long")).drop(
         *[f"__c{j}" for j in range(depth)]
     )

@@ -140,6 +140,24 @@ def publish_snapshots(
     return writer.start()
 
 
+def _batch_partition_ids(spark, path: str) -> set:
+    """``batch_id`` partition values present under ``path`` — a
+    driver-side directory listing (O(#batches), no data scan), empty if
+    the path does not exist. Used to prove the ``_bloom`` side table
+    covers every corpus partition before trusting it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return set()
+    out = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
 def ingest_deduplicated(
     stream: DataFrame,
     *,
@@ -171,6 +189,12 @@ def ingest_deduplicated(
     invisible to corpus readers (Spark's file index skips
     underscore-prefixed paths) and each batch writes only its own
     survivors' bits — replay overwrites both partitions together.
+    Before trusting the filter, each trigger compares the corpus and
+    ``_bloom`` partition listings and backfills bits for any corpus
+    partition that lacks them (e.g. partitions ingested earlier via
+    ``method='exact'``) — a filter that misses corpus partitions would
+    produce Bloom false negatives against the real corpus and append
+    true duplicates, breaking the exact-parity contract.
 
     Idempotence: a replayed batch (crash between write and checkpoint
     commit) overwrites its own partition, and the corpus read EXCLUDES
@@ -228,6 +252,35 @@ def ingest_deduplicated(
                     deduped, corpus, text_col
                 )
             elif method == "bloom":
+                # The filter is only trustworthy if it covers EVERY
+                # corpus partition: a corpus written (partly) by
+                # method='exact'/'lsh' has partitions with no bits, and
+                # probing a filter that misses them yields Bloom false
+                # negatives against the real corpus — appending true
+                # duplicates. Compare partition listings each trigger
+                # (O(#batches) driver-side) and backfill any corpus
+                # partition that lacks bits before probing.
+                corpus_parts = _batch_partition_ids(spark, corpus_path)
+                bloom_parts = _batch_partition_ids(spark, bloom_path)
+                corpus_parts.discard(batch_id)
+                bloom_parts.discard(batch_id)
+                for missing in sorted(corpus_parts - bloom_parts):
+                    part_fp = (
+                        spark.read.format(fmt)
+                        .load(f"{corpus_path}/batch_id={missing}")
+                        .select(fingerprint(F.col(text_col)).alias("__fp"))
+                    )
+                    write_layer(
+                        bloom_bits(
+                            part_fp,
+                            "__fp",
+                            num_bits=num_bits,
+                            num_hashes=num_hashes,
+                        ),
+                        f"{bloom_path}/batch_id={missing}",
+                        mode="overwrite",
+                        fmt=fmt,
+                    )
                 try:
                     bits = (
                         spark.read.option("basePath", bloom_path)
@@ -239,8 +292,8 @@ def ingest_deduplicated(
                     )
                     bits.schema
                 except AnalysisException:
-                    # corpus predates the filter (or first bloom batch
-                    # over an exact-built corpus): build bits inline
+                    # corpus predates the filter entirely and had no
+                    # partitions to backfill: build bits inline
                     bits = None
                 deduped = bloom_dedup_against_corpus(
                     deduped,

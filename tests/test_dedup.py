@@ -705,6 +705,59 @@ def test_top_ngram_char_fraction_hand_computed(spark):
     assert got[3]["top_ngram_char_frac"] == 0.0
 
 
+def test_top_ngram_char_fraction_keeps_zero_word_docs(spark):
+    """Empty and whitespace-only documents must emit (0, 0, 0.0) rows,
+    not vanish: the totals aggregate is built from word rows, which a
+    zero-word doc has none of (ADVICE r7)."""
+    from news_data_pipeline_spark.operators.dedup import (
+        top_ngram_char_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r.id: r.asDict()
+        for r in top_ngram_char_fraction(
+            df, "doc_id", "text", n=2
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for i in (2, 3):
+        assert got[i]["top_gram"] is None
+        assert got[i]["top_gram_count"] == 0
+        assert got[i]["rep_chars"] == 0
+        assert got[i]["total_chars"] == 0
+        assert got[i]["top_ngram_char_frac"] == 0.0
+    assert got[1]["top_gram"] == "ab cd"
+
+
+def test_remove_duplicated_spans_id_col_named_id(spark):
+    """id_col='id' (or any input column literally named 'id') used to
+    collide with the rebuilt frame's internal key and raise an
+    ambiguous-reference error on the rejoin (ADVICE r7)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sits"),
+        ],
+        ["id", "text"],
+    )
+    out = dedup.remove_duplicated_spans(df, "id", "text", n=3)
+    got = {r.id: r.text for r in out.collect()}
+    # doc 1 keeps the first occurrence of "the quick brown"; doc 2
+    # loses those three words (covered by a removed span instance)
+    assert got[1] == "the quick brown fox jumps"
+    assert got[2] == "cat sits"
+    # reserved internal names are guarded, not silently shadowed
+    import pytest
+
+    with pytest.raises(ValueError, match="reserves"):
+        dedup.remove_duplicated_spans(
+            df.withColumn("__rds_id", F.lit(1)), "id", "text", n=3
+        )
+
+
 def test_top_ngram_tie_prefers_longest(spark):
     from news_data_pipeline_spark.operators.dedup import (
         top_ngram_char_fraction,

@@ -305,6 +305,58 @@ def test_union_evolved_conflict_falls_back_to_string(spark):
     assert got == {1: "true", 2: "7"}
 
 
+def test_union_evolved_decimal_pairs_widen_to_covering_decimal(spark):
+    """decimal/decimal drift keeps exact decimal arithmetic: the
+    covering decimal(max int digits + max scale) represents every
+    value of both inputs, where the old double fallback silently
+    rounded past ~15-16 significant digits (ADVICE r7)."""
+    from decimal import Decimal
+
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    a = spark.createDataFrame(
+        [(Decimal("12345678901234567890.123456789012345678"),)],
+        "v decimal(38,18)",
+    )
+    b = spark.createDataFrame(
+        [(Decimal("9.9999999999"),)], "v decimal(20,10)"
+    )
+    out = union_evolved([a, b])
+    assert out.schema["v"].dataType.simpleString() == "decimal(38,18)"
+    got = sorted(r.v for r in out.collect())
+    # exactness: the 38-digit value survives bit-for-bit (double would
+    # have rounded it)
+    assert got == [
+        Decimal("9.9999999999"),
+        Decimal("12345678901234567890.123456789012345678"),
+    ]
+    # decimal + integral also covers exactly: bigint needs 19 integer
+    # digits, so decimal(10,4) + bigint -> decimal(23,4)
+    c = spark.createDataFrame([(Decimal("1.5000"),)], "v decimal(10,4)")
+    d = spark.createDataFrame([(9223372036854775807,)], "v bigint")
+    out2 = union_evolved([c, d])
+    assert out2.schema["v"].dataType.simpleString() == "decimal(23,4)"
+    assert sorted(r.v for r in out2.collect()) == [
+        Decimal("1.5000"),
+        Decimal("9223372036854775807.0000"),
+    ]
+    # past the 38-digit cap the covering decimal does not exist:
+    # documented double fallback, and float/decimal mixes stay double
+    e = spark.createDataFrame(
+        [(Decimal("1"),)], "v decimal(38,0)"
+    )
+    f = spark.createDataFrame([(Decimal("1.5"),)], "v decimal(2,1)")
+    assert (
+        union_evolved([e, f]).schema["v"].dataType.simpleString()
+        == "double"
+    )
+    g = spark.createDataFrame([(1.5,)], "v double")
+    assert (
+        union_evolved([f, g]).schema["v"].dataType.simpleString()
+        == "double"
+    )
+
+
 def test_union_evolved_single_and_empty(spark):
     import pytest
 

@@ -41,6 +41,28 @@ def test_cms_estimate_never_undercounts(spark):
     assert all(r.s == total for r in per_row)
 
 
+def test_cms_estimate_unseen_term_is_zero(spark):
+    """A term absent from the sketch build must report estimate 0, not
+    vanish: with a sparse sketch (few built terms, wide rows) an unseen
+    term's bucket usually has NO counter row, and an inner join would
+    silently drop it from the output (ADVICE r7)."""
+    built = _counts(spark, [("alpha", 3), ("beta", 2)])
+    sketch = cms_sketch(built, "term", "n", depth=DEPTH, width=WIDTH)
+    probe = spark.createDataFrame(
+        [("alpha",), ("never_seen_term",)], "term string"
+    )
+    est = {
+        r.term: r.cms_estimate
+        for r in cms_estimates(
+            probe, "term", sketch, depth=DEPTH, width=WIDTH
+        ).collect()
+    }
+    assert set(est) == {"alpha", "never_seen_term"}
+    assert est["alpha"] >= 3
+    # one-sided error still holds: 0 unless EVERY depth row collides
+    assert est["never_seen_term"] >= 0
+
+
 def test_cms_sketch_bounded_and_mergeable(spark):
     pairs = [(f"t{i}", i + 1) for i in range(40)]
     whole = cms_sketch(

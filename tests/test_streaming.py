@@ -862,3 +862,77 @@ def test_ingest_deduplicated_bloom_matches_exact(spark, tmp_path):
     assert sorted(r.bit for r in streamed.collect()) == sorted(
         r.bit for r in want.collect()
     )
+
+
+def test_ingest_deduplicated_bloom_covers_exact_era_partitions(
+    spark, tmp_path
+):
+    """Switching an existing corpus from method='exact' to 'bloom' must
+    not trust a filter that lacks bits for the exact-era partitions.
+    Regression: after the FIRST bloom batch the ``_bloom`` path exists,
+    so a later bloom batch would read an incomplete filter, get a
+    false negative for a fingerprint that lives only in an exact-era
+    partition, and append a true duplicate. The fix backfills bits for
+    every corpus partition the filter is missing before probing."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+
+    def run(method):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=str(tmp_path / "ckpt"),
+            method=method,
+            num_bits=64,
+            num_hashes=3,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    # exact-era corpus: two partitions, no _bloom side table
+    write("f1", [(1, "alpha document"), (2, "beta document")])
+    write("f2", [(3, "gamma document")])
+    run("exact")
+    assert not os.path.isdir(tmp_path / "corpus" / "_bloom")
+
+    # first bloom batch creates the filter — it must backfill bits for
+    # exact-era partitions 0 and 1, not just write its own
+    write("f3", [(4, "delta document")])
+    run("bloom")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+    assert sorted(
+        d for d in os.listdir(bloom_dir) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+
+    # second bloom batch carries a duplicate of an EXACT-era document:
+    # with an incomplete filter this was a Bloom false negative and the
+    # duplicate was appended
+    write("f4", [(5, "alpha document"), (6, "epsilon document")])
+    run("bloom")
+    got = sorted(
+        map(tuple, spark.read.parquet(corpus_path)
+            .select("doc_id", "text").collect())
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (3, "gamma document"),
+        (4, "delta document"),
+        (6, "epsilon document"),
+    ]
