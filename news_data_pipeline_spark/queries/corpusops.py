@@ -1173,3 +1173,49 @@ def token_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("size").alias("total_chars"),
     )
+
+
+# --- versioned-layer diff (round 8) ---------------------------------------
+@register(
+    "versioned_layer_diff",
+    # the oracle recomputes what the diff MUST report from the version
+    # definitions alone: v0 = custkey % 4 != 3, v1 = custkey % 4 != 0
+    # with acctbal shifted for custkey % 8 == 1. added = in v1 only,
+    # removed = in v0 only, changed = common key whose content moved.
+    # The layer's md5(to_json(...)) content hash never leaves Spark —
+    # only its equality verdicts are observable, so the SQL needs no
+    # hash reproduction, just the same set algebra.
+    oracle="""
+    SELECT c_custkey, 'added' AS change FROM customer
+    WHERE c_custkey % 4 = 3
+    UNION ALL
+    SELECT c_custkey, 'removed' FROM customer WHERE c_custkey % 4 = 0
+    UNION ALL
+    SELECT c_custkey, 'changed' FROM customer WHERE c_custkey % 8 = 1
+    """,
+)
+def versioned_layer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff between two retained versions
+    (sources.writers.VersionedLayer.diff — the audit twin of time
+    travel): version 0 drops every 4th customer, version 1 restores
+    them, drops a different residue class and shifts some balances;
+    the diff reports exactly the added / removed / changed keys. Each
+    side reduces to (key, md5-of-content) BEFORE the one full-outer
+    join, so unchanged rows never materialize wide — the same single-
+    join plan as merge_upsert, at any layer size."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import VersionedLayer
+
+    cust = load_table(spark, sf_dir, "customer")
+    v0_frame = cust.where(F.col("c_custkey") % 4 != 3)
+    v1_frame = cust.where(F.col("c_custkey") % 4 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 8 == 1, F.col("c_acctbal") + F.lit(1.0)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    layer = VersionedLayer(tempfile.mkdtemp(prefix="vdiff_q_"))
+    v0 = layer.overwrite(v0_frame)
+    layer.overwrite(v1_frame)
+    return layer.diff(spark, ["c_custkey"], v_old=v0)

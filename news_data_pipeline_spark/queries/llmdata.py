@@ -3233,3 +3233,335 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "detected_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- CCNet perplexity tiers (round 8) -------------------------------------
+
+# The unigram-LM score pipeline, shared verbatim by the bucket queries
+# below and pre-verified cross-engine in tests/test_r8_candidate_oracles
+# at sf0.001/0.01/0.1 before registration.
+_DUCK_LM_SCORE_CTES = """
+    toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY id, term),
+    vocab AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY term),
+    total AS (SELECT sum(ctf) AS total_tokens FROM vocab),
+    lp AS (
+        SELECT tf.id, tf.tf, tf.tf * ln(ctf / total_tokens) AS lp
+        FROM tf JOIN vocab USING (term) CROSS JOIN total),
+    scores AS (
+        SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               floor(sum(CAST(floor(lp * 1000000 + 0.5) AS BIGINT))
+                     / 1000000.0 / sum(tf) * 10000 + 0.5) / 10000.0
+                   AS avg_logprob
+        FROM lp GROUP BY id)"""
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH {_DUCK_LM_SCORE_CTES},
+    tiers AS (
+        SELECT s.id, d.lang, s.n_tokens, s.avg_logprob,
+               CAST(ntile(3) OVER (
+                   PARTITION BY d.lang
+                   ORDER BY s.avg_logprob DESC, s.id) AS INT)
+                   AS bucket_idx
+        FROM scores s JOIN (SELECT doc_id AS id, lang FROM documents) d
+          USING (id))
+    SELECT id, lang, n_tokens, avg_logprob, bucket_idx,
+           CASE bucket_idx WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM tiers
+    """,
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers
+    (operators.terms.perplexity_buckets): every document ranked by its
+    unigram-LM score WITHIN its language, each language split into
+    three equal ntile tiers — deterministic under ties via the
+    (score DESC, id) order. The exact path funnels each language
+    through one window task (fine to ~10^8 docs/lang); the registered
+    ``perplexity_bucket_cuts`` is the threshold-join escape hatch past
+    that."""
+    from news_data_pipeline_spark.operators.terms import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "doc_id", "text", "lang")
+
+
+@register(
+    "perplexity_bucket_cuts",
+    # Spark's percentile_approx in EXACT mode (accuracy >= n) returns
+    # the element at ascending rank ceil(q*n), with q*n computed in
+    # IEEE doubles — probed at n = 5..60001. DuckDB's quantile_disc
+    # uses a DIFFERENT rank convention at integer boundaries (at
+    # n=75, q=1-2/3 it picks rank 25 where Spark's ceil of
+    # 25.000000000000004 picks 26), so the oracle spells the rank pick
+    # explicitly with the operator's exact q expressions: 1.0 - i/3
+    # differs from i/3's complement by 1 ulp, enough to flip ceil when
+    # q*n lands on an integer.
+    oracle=f"""
+    WITH {_DUCK_LM_SCORE_CTES},
+    ranked AS (
+        SELECT d.lang, s.avg_logprob,
+               row_number() OVER (
+                   PARTITION BY d.lang ORDER BY s.avg_logprob) AS rn,
+               count(*) OVER (PARTITION BY d.lang) AS n
+        FROM scores s JOIN (SELECT doc_id AS id, lang FROM documents) d
+          USING (id))
+    SELECT lang, CAST(0 AS INT) AS cut_idx, avg_logprob AS cut
+    FROM ranked WHERE rn = CAST(ceil((1.0 - 1.0/3.0) * n) AS BIGINT)
+    UNION ALL
+    SELECT lang, CAST(1 AS INT), avg_logprob
+    FROM ranked WHERE rn = CAST(ceil((1.0 - 2.0/3.0) * n) AS BIGINT)
+    """,
+)
+def perplexity_bucket_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language LM-score cut points — the 100-TB path around
+    ``perplexity_buckets``' per-language window
+    (operators.terms.perplexity_bucket_cuts): one groupBy(lang) of
+    percentile_approx (mergeable sketch, map-side partials, no global
+    sort) yields the head/middle and middle/tail boundaries; broadcast
+    the languages-count-sized result back and bucket by threshold.
+    accuracy=10^6 makes the sketch EXACT at driver scale (rank error
+    n/accuracy < 1), which is what lets an approx-by-design operator
+    carry an exact oracle; production keeps the default accuracy and
+    accepts CCNet's boundary tolerance. Cuts posexplode to rows (the
+    driver canonicalizer takes no top-level arrays)."""
+    from news_data_pipeline_spark.operators.terms import (
+        perplexity_bucket_cuts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = perplexity_bucket_cuts(
+        docs, "doc_id", "text", "lang", accuracy=1_000_000
+    )
+    return cuts.select(
+        "lang", F.posexplode("cuts").alias("cut_idx", "cut")
+    ).select("lang", F.col("cut_idx").cast("int").alias("cut_idx"), "cut")
+
+
+# --- Gopher character-fraction repetition rules (round 8) ------------------
+
+
+@register(
+    "top_ngram_char_fraction",
+    # drives from documents (LEFT JOIN the word totals) so zero-word
+    # docs emit the documented (0, 0, 0.0) row on both engines
+    oracle="""
+    WITH w AS (
+        SELECT doc_id AS id, u.w
+        FROM documents,
+             LATERAL unnest(regexp_split_to_array(trim(text), '\\s+'))
+                 AS u(w)
+        WHERE length(u.w) > 0),
+    totals AS (
+        SELECT d.doc_id AS id,
+               CAST(coalesce(t.tc, 0) AS BIGINT) AS total_chars
+        FROM documents d LEFT JOIN (
+            SELECT id, sum(length(w)) + count(*) - 1 AS tc
+            FROM w GROUP BY id) t ON d.doc_id = t.id),
+    grams AS (
+        SELECT id, concat_ws(' ', ws[i], ws[i+1]) AS g
+        FROM (SELECT doc_id AS id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws,
+                     unnest(range(1,
+                         greatest(len(regexp_split_to_array(
+                             trim(text), '\\s+')) - 1, 1) + 1)) AS i
+              FROM documents) t
+        WHERE len(string_split(concat_ws(' ', ws[i], ws[i+1]), ' ')) = 2),
+    counted AS (
+        SELECT id, g, count(*) AS c FROM grams GROUP BY id, g),
+    top AS (
+        SELECT id, g AS top_gram, c AS top_gram_count FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY id
+                ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+            FROM counted) r
+        WHERE rn = 1)
+    SELECT t.id, top.top_gram,
+           CAST(coalesce(top.top_gram_count, 0) AS BIGINT)
+               AS top_gram_count,
+           CAST(coalesce(top.top_gram_count, 0)
+                * coalesce(length(top.top_gram), 0) AS BIGINT)
+               AS rep_chars,
+           t.total_chars,
+           CASE WHEN t.total_chars = 0 THEN 0.0
+                ELSE floor(coalesce(top.top_gram_count, 0)
+                     * coalesce(length(top.top_gram), 0)
+                     / CAST(t.total_chars AS DOUBLE) * 10000 + 0.5)
+                   / 10000.0 END AS top_ngram_char_frac
+    FROM totals t LEFT JOIN top ON t.id = top.id
+    """,
+)
+def top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule, short-gram half (Rae et al. 2021 A1.1;
+    operators.dedup.top_ngram_char_fraction): fraction of each
+    document's characters inside its single most frequent word bigram.
+    All-BIGINT char accounting over the whitespace-normalized text, one
+    settled 4dp ratio at the end — the cross-engine-stable class. Ties
+    at the max count break to the longest gram (worst offender), then
+    lexicographically last."""
+    from news_data_pipeline_spark.operators.dedup import (
+        top_ngram_char_fraction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngram_char_fraction(docs, "doc_id", "text", n=2)
+
+
+@register(
+    "dup_ngram_char_coverage",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents),
+    w AS (
+        SELECT id,
+               row_number() OVER (PARTITION BY id ORDER BY i) - 1
+                   AS pos,
+               ws[i] AS wd
+        FROM (SELECT id, ws,
+                     unnest(range(1, len(ws) + 1)) AS i FROM raw) t
+        WHERE length(ws[i]) > 0),
+    g AS (
+        SELECT id, pos,
+               concat_ws(' ', wd,
+                         lead(wd, 1) OVER win,
+                         lead(wd, 2) OVER win) AS gram,
+               lead(wd, 2) OVER win IS NOT NULL AS is_full
+        FROM w WINDOW win AS (PARTITION BY id ORDER BY pos)),
+    dups AS (
+        SELECT id, gram FROM g WHERE is_full
+        GROUP BY id, gram HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT g.id, g.pos + u.k AS pos
+        FROM g JOIN dups USING (id, gram),
+             LATERAL unnest(range(0, 3)) AS u(k)
+        WHERE g.is_full)
+    SELECT w.id,
+           CAST(sum(CASE WHEN cov.pos IS NOT NULL
+                    THEN length(w.wd) ELSE 0 END) AS BIGINT)
+               AS covered_chars,
+           CAST(sum(length(w.wd)) AS BIGINT) AS word_chars,
+           floor(sum(CASE WHEN cov.pos IS NOT NULL
+                    THEN length(w.wd) ELSE 0 END)
+                 / CAST(sum(length(w.wd)) AS DOUBLE) * 10000 + 0.5)
+               / 10000.0 AS dup_ngram_char_frac
+    FROM w LEFT JOIN cov ON w.id = cov.id AND w.pos = cov.pos
+    GROUP BY w.id
+    """,
+)
+def dup_ngram_char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule, long-gram half (Rae et al. 2021 A1.1;
+    operators.dedup.dup_ngram_char_coverage): fraction of each
+    document's WORD characters covered by trigram instances that occur
+    more than once within the document — position-coverage, so
+    overlapping duplicates never double-count a character. Per-doc
+    windows only (the (id, pos) key keeps partitions balanced), within-
+    doc gram counts, one settled 4dp ratio."""
+    from news_data_pipeline_spark.operators.dedup import (
+        dup_ngram_char_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_char_coverage(docs, "doc_id", "text", n=3)
+
+
+# --- Bloom filter membership + prefiltered incremental dedup (round 8) -----
+
+
+def _duck_bloom_bit(j: int, col: str, num_bits: int) -> str:
+    """The CMS hex-cast idiom: the same md5-prefix bucket Spark's
+    operators.sketches._bloom_bit computes, SQL-reproducible on both
+    engines."""
+    return (
+        f"CAST(concat('0x', substring(md5('bloom{j}:' || {col}), 1, 8))"
+        f" AS BIGINT) % {num_bits}"
+    )
+
+
+@register(
+    "bloom_probe",
+    oracle=f"""
+    WITH mem AS (
+        SELECT md5(text) AS fp FROM documents WHERE doc_id < 300),
+    bits AS (
+        SELECT DISTINCT
+            CASE u.j WHEN 0 THEN {_duck_bloom_bit(0, "fp", 256)}
+                     WHEN 1 THEN {_duck_bloom_bit(1, "fp", 256)}
+                     ELSE {_duck_bloom_bit(2, "fp", 256)} END AS bit
+        FROM mem, LATERAL unnest(range(0, 3)) AS u(j)),
+    pr AS (SELECT doc_id, md5(text) AS fp FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN {" AND ".join(f"({_duck_bloom_bit(j, 'fp', 256)}) IN (SELECT bit FROM bits)" for j in range(3))}
+                THEN 1 ELSE 0 END AS INT)
+               AS maybe_member
+    FROM pr
+    """,
+)
+def bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership flags (operators.sketches.bloom_bits +
+    bloom_probe): the corpus slice doc_id < 300 builds a 256-bit / 3-
+    hash filter (small enough that collisions actually exercise the
+    false-positive path), every document probes it. The no-false-
+    negative contract is driver-checked through the value hash: every
+    true member MUST carry maybe_member = 1. The filter is a <=
+    num_bits-row broadcast frame — the 100-TB probe side never
+    shuffles."""
+    from news_data_pipeline_spark.operators.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_fp = docs.where(F.col("doc_id") < 300).select(
+        F.md5("text").alias("fp")
+    )
+    probes = docs.select("doc_id", F.md5("text").alias("fp"))
+    bits = bloom_bits(corpus_fp, "fp", num_bits=256, num_hashes=3)
+    return bloom_probe(
+        probes, "fp", bits, num_bits=256, num_hashes=3
+    ).select("doc_id", "maybe_member")
+
+
+@register(
+    "bloom_dedup_incremental",
+    # the SAME oracle as dedup_incremental_exact: the Bloom prefilter
+    # is an access path, never a verdict change (no-false-negative
+    # contract), so the keep-set must hash-match the plain anti-join
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, source, lang,
+               md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+        FROM documents),
+    corpus AS (SELECT f FROM fp WHERE doc_id % 4 = 0)
+    SELECT b.doc_id, b.source, b.lang
+    FROM fp b
+    WHERE b.doc_id % 4 <> 0
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = b.f)
+    """,
+)
+def bloom_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental exact dedup
+    (operators.dedup.bloom_dedup_against_corpus): same corpus/batch
+    split as ``dedup_incremental_exact``, but the batch first probes a
+    constant-size Bloom filter of the corpus fingerprints — definite-
+    new rows (maybe_member = 0) skip the anti-join entirely; only the
+    ~fpp-sized maybe set pays it. At 100 TB the corpus side of each
+    ingest shrinks from a full shuffle to a broadcast bit table plus a
+    small resolution join. num_bits=512 keeps the false-positive path
+    genuinely exercised at every SF."""
+    from news_data_pipeline_spark.operators import dedup as ddp
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 4 == 0)
+    batch = docs.where(F.col("doc_id") % 4 != 0)
+    return ddp.bloom_dedup_against_corpus(
+        batch, corpus, "text", num_bits=512, num_hashes=3
+    ).select("doc_id", "source", "lang")

@@ -770,3 +770,58 @@ def dq_config_driven_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     result = run_dq(docs, config_to_rules(config), cache=False)
     return result.report_frame()
+
+
+# --- schema-drift union (round 8) -----------------------------------------
+@register(
+    "union_evolved_orders",
+    # mirrors the widening lattice decision for this drift: okey int +
+    # bigint -> bigint; price decimal(12,2) + decimal(18,4) -> the
+    # covering decimal(18,4) (max integer digits 14 + max scale 4 —
+    # EXACT, where a double fallback would round); each side's missing
+    # column fills with a typed NULL. Decimals built by casting an
+    # integral column — int -> decimal is exact on both engines,
+    # unlike double -> decimal whose rounding mode differs.
+    # price ships as CAST(decimal(18,4) AS STRING) — '85.0000' carries
+    # the widened type's exact scale through the driver, where a raw
+    # DECIMAL column would fall to float64 in DuckDB's pandas
+    # materialization (the HUGEINT-class stringify hazard)
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           CAST(CAST(CAST(o_custkey AS DECIMAL(12,2)) AS DECIMAL(18,4))
+               AS VARCHAR) AS price,
+           o_orderpriority AS priority,
+           CAST(NULL AS VARCHAR) AS status
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT),
+           CAST(CAST(o_custkey AS DECIMAL(18,4)) AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def union_evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union (functions.columns.union_evolved): two order
+    extracts whose schemas drifted — yesterday's has int keys,
+    decimal(12,2) prices and a priority column; today's has bigint
+    keys, decimal(18,4) prices and a status column instead. The union
+    carries every column at the widest observed type with typed NULLs
+    for the gaps: pure per-frame Projects into one unionByName, zero
+    shuffle at any corpus size."""
+    from news_data_pipeline_spark.functions.columns import union_evolved
+
+    orders = load_table(spark, sf_dir, "orders")
+    yesterday = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("okey"),
+        F.col("o_custkey").cast("decimal(12,2)").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    today = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").cast("decimal(18,4)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    out = union_evolved([yesterday, today])
+    assert dict(out.dtypes)["price"] == "decimal(18,4)"
+    return out.withColumn("price", F.col("price").cast("string"))

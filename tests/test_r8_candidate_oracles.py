@@ -1,17 +1,18 @@
 """Cross-engine pre-verification of the round-8 registration candidates.
 
-The round-7 registry is budget-capped (49 non-current entries exactly
-fill the driver's 50-query sample), so this session's new operators
-ship library-only. These tests pin each candidate's FUTURE DuckDB
-oracle against the Spark operator NOW, through the same comparator the
-oracle gate uses (value multiset + the int-vs-float dtype guard) —
-when round 8 registers them, the SQL below lifts verbatim with the
-cross-engine risk already retired.
+Round 7 held these operators library-only (the registry's non-current
+backlog exactly filled the driver's 50-query sample) and pinned each
+candidate's FUTURE DuckDB oracle against the Spark operator through
+the gate's own comparator. Round 8 registered them all; the SQL lifted
+verbatim (perplexity_bucket_cuts needed a rank-pick rewrite — DuckDB's
+quantile_disc rank convention diverges from Spark's ceil(q*n) at IEEE
+integer boundaries). These tests remain as the fast unit-level pin of
+the same comparisons at sf0.001; the registered oracles are the
+authoritative copies, re-verified per-round by the driver.
 
 Runs at sf0.001 (500 documents) so the whole file stays in unit-test
-time; verified once at sf0.01 AND sf0.1 too (scale-dependent rounding
-flips are the known hazard class) via
-``R8_DRAFT_SF=/root/testdata/sf0.1 pytest tests/test_r8_candidate_oracles.py``.
+time; ``R8_DRAFT_SF=/root/testdata/sf0.1 pytest
+tests/test_r8_candidate_oracles.py`` sweeps a bigger SF.
 """
 
 from __future__ import annotations
