@@ -1252,3 +1252,183 @@ def cdc_apply_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+# --- streamed sketch maintenance twins (round 8) ---------------------------
+
+_SK_DEPTH, _SK_WIDTH = 4, 256
+_SK_MELT = "\n        UNION ALL ".join(
+    f"SELECT CAST({j} AS INT) AS row, b{j} AS bucket, n FROM tb"
+    for j in range(_SK_DEPTH)
+)
+_SK_BUCKETS = ",\n".join(
+    f"               CAST(concat('0x', substring(md5('cms{j}:' || token),"
+    f" 1, 8)) AS BIGINT) % {_SK_WIDTH} AS b{j}"
+    for j in range(_SK_DEPTH)
+)
+
+
+@register(
+    "streamed_cms_sketch",
+    # the oracle builds the BATCH sketch of the whole corpus; the Spark
+    # side streams the corpus through maintain_cms_sketch in three
+    # availableNow micro-batches and merges the per-batch partitions
+    # with read_cms_sketch — counter addition is associative, so the
+    # streamed merge must equal the batch build cell-for-cell
+    oracle=f"""
+    WITH toks AS (
+        SELECT w AS token
+        FROM documents, LATERAL unnest(
+            regexp_split_to_array(trim(text), '\\s+')) AS t(w)
+        WHERE length(w) > 0),
+    tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+           FROM toks GROUP BY token),
+    tb AS (
+        SELECT token, n,
+{_SK_BUCKETS}
+        FROM tc),
+    melt AS (
+        {_SK_MELT})
+    SELECT row, bucket, CAST(sum(n) AS BIGINT) AS counter
+    FROM melt GROUP BY row, bucket
+    """,
+)
+def streamed_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming sketch-maintenance loop end-to-end
+    (streaming.sinks.maintain_cms_sketch + read_cms_sketch): documents
+    land as three parquet files, a real availableNow stream consumes
+    them one file per trigger, each micro-batch writes its own
+    constant-size sketch partition, and the reader's groupBy-sum merge
+    must equal the batch-built corpus sketch EXACTLY — the mergeable-
+    monoid contract that makes a CMS maintainable over an unbounded
+    stream without ever rescanning history."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.streaming.sinks import (
+        maintain_cms_sketch,
+        read_cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cms_stream_q_")
+    landing = os.path.join(root, "landing")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = maintain_cms_sketch(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        sketch_path=os.path.join(root, "sketch"),
+        checkpoint=os.path.join(root, "ckpt"),
+        depth=_SK_DEPTH,
+        width=_SK_WIDTH,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_cms_sketch(spark, os.path.join(root, "sketch"))
+
+
+@register(
+    "streamed_bloom_filter",
+    # batch-built filter of every fingerprint == distinct-merged union
+    # of the per-batch bit partitions (bit-OR is idempotent AND
+    # associative — the stronger half of the sketch-monoid family)
+    oracle="""
+    WITH mem AS (SELECT md5(text) AS fp FROM documents),
+    bits AS (
+        SELECT DISTINCT
+            CASE u.j
+                 WHEN 0 THEN CAST(concat('0x', substring(
+                     md5('bloom0:' || fp), 1, 8)) AS BIGINT) % 256
+                 WHEN 1 THEN CAST(concat('0x', substring(
+                     md5('bloom1:' || fp), 1, 8)) AS BIGINT) % 256
+                 ELSE CAST(concat('0x', substring(
+                     md5('bloom2:' || fp), 1, 8)) AS BIGINT) % 256
+            END AS bit
+        FROM mem, LATERAL unnest(range(0, 3)) AS u(j))
+    SELECT bit FROM bits
+    """,
+)
+def streamed_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming Bloom-filter maintenance loop end-to-end
+    (streaming.sinks.maintain_bloom_filter + read_bloom_filter): text
+    fingerprints stream through three availableNow micro-batches, each
+    writing its own bit partition; the distinct-merged filter must
+    equal the batch-built filter of the whole corpus bit-for-bit. The
+    filter is the live half of the incremental-dedup contract — probe
+    it before paying the exact anti-join against history."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.streaming.sinks import (
+        maintain_bloom_filter,
+        read_bloom_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    root = tempfile.mkdtemp(prefix="bloom_stream_q_")
+    landing = os.path.join(root, "landing")
+    for i in range(3):
+        fps.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = maintain_bloom_filter(
+        stream,
+        term_col="fp",
+        filter_path=os.path.join(root, "filter"),
+        checkpoint=os.path.join(root, "ckpt"),
+        num_bits=256,
+        num_hashes=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_bloom_filter(spark, os.path.join(root, "filter"))
+
+
+@register(
+    "stream_dim_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment
+    (streaming.ops.enrich_stream_with_dim): every event picks up its
+    customer's market segment through a broadcast left join — the
+    exact function the streaming path applies per micro-batch
+    (stateless, so batch and streaming semantics are identical; the
+    stream-side plumbing is pinned by tests/test_streaming.py).
+    Broadcast pins the physical strategy: the dim is orders of
+    magnitude smaller than a 100-TB stream, and a per-batch broadcast
+    avoids re-shuffling every micro-batch by the join key. Orphan
+    events keep flowing with a NULL segment — the DQ layer decides
+    their fate, not the join."""
+    from news_data_pipeline_spark.streaming.ops import (
+        enrich_stream_with_dim,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return enrich_stream_with_dim(events, dim, on="user_id")
