@@ -296,6 +296,60 @@ def audio_features(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+def text_embeddings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width_col: str,
+    height_col: str,
+    *,
+    dim: int = 16,
+) -> DataFrame:
+    """Text tower of the deterministic joint text<->image space:
+    (id, embedding), the CLIP-text-encoder stand-in paired with
+    ``image_embeddings`` as the vision tower.
+
+    The alignment contract a trained CLIP provides ("a caption and its
+    image land near each other") is here BY CONSTRUCTION: the text
+    tower runs the same iterated-md5 pixel chain that
+    ``fake_image_bytes`` renders and histograms it into the same
+    ``dim`` intensity bins — so a text and the image rendered from it
+    embed identically, texts sharing visual statistics land close, and
+    cross-modal retrieval is exactly nearest-neighbor search in the
+    shared space. No image payload ever exists on this path: text goes
+    straight to the joint space, which is the point of the two-tower
+    layout. Swap the body for a real text encoder under the same
+    mapInPandas shape; the (id, embedding) contract and downstream
+    ANN operators don't change. ``width_col``/``height_col`` carry the
+    render geometry (the joint-space "projection config") so both
+    towers agree on it per id.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for i, t, w, h in zip(
+                pdf[id_col], pdf[text_col], pdf[width_col], pdf[height_col]
+            ):
+                px = fake_image_bytes(t or "", int(w), int(h))[12:]
+                hist = [0] * dim
+                for byte in px:
+                    hist[byte * dim // 256] += 1
+                total = max(len(px), 1)
+                ids.append(i)
+                vecs.append(
+                    [
+                        math.floor(hv / total * 1e6 + 0.5) / 1e6
+                        for hv in hist
+                    ]
+                )
+            yield pd.DataFrame({"id": ids, "embedding": vecs})
+
+    return fan_out(
+        df.select(id_col, text_col, width_col, height_col)
+    ).mapInPandas(embed, "id long, embedding array<double>")
+
+
 def image_embeddings(
     df: DataFrame, id_col: str, payload_col: str, *, dim: int = 16
 ) -> DataFrame:

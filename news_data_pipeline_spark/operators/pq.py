@@ -301,6 +301,7 @@ def pq_ivf_adc_topk(
     nprobe: int = 4,
     centroids: DataFrame | None = None,
     codes: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IndexIVFPQ: the coarse quantizer prunes WHICH codes each query
     scores, ADC compresses HOW they are scored — the composition every
@@ -351,12 +352,43 @@ def pq_ivf_adc_topk(
     centroids = centroids.withColumn(
         "c2", dot(F.col("c_vec"), F.col("c_vec"))
     )
-    corpus_cells = _assign_cells(
-        corpus, centroids, id_col, vec_col, "neighbor_id", 1
-    ).select("neighbor_id", "cid")
+    # cells injectable for the production shape: on a real index the
+    # cell id is assigned once at ingest and stored WITH the code, so
+    # the per-query path pays no corpus-wide assignment pass (the
+    # measured crossover vs the flat scan moves by ~one corpus scan —
+    # see SCALE.md "IVF x PQ crossover")
+    if cells is not None:
+        corpus_cells = cells.select("neighbor_id", "cid")
+    else:
+        corpus_cells = _assign_cells(
+            corpus, centroids, id_col, vec_col, "neighbor_id", 1
+        ).select("neighbor_id", "cid")
     query_cells = _assign_cells(
         queries, centroids, id_col, vec_col, "query_id", nprobe
     ).select("query_id", "cid")
+    if codes is None:
+        codes = pq_encode(
+            corpus, codebooks, id_col=id_col, vec_col=vec_col, sub_dim=sub_dim
+        )
+    lut = _adc_lut(queries, codebooks, id_col, vec_col, sub_dim)
+    if "cid" in codes.columns:
+        # production layout: the cell id is STORED with the code (one
+        # ingest-time join, amortized forever), so pruning is a pure
+        # broadcast filter on the big table — query_cells is
+        # q * nprobe rows, and the only exchange left is the partial
+        # aggregation. This is the arm whose cost is
+        # ~ nprobe/nlist of the flat scan with NO big-side shuffle;
+        # the cand-then-codes join below pays a corpus-sized
+        # sort-merge shuffle instead, which local measurement shows
+        # erases the pruning win at every tested size (SCALE.md).
+        scored = (
+            codes.join(F.broadcast(query_cells), on="cid")
+            .where(F.col("query_id") != F.col("id"))
+            .join(F.broadcast(lut), on=["query_id", "sub", "code"])
+            .groupBy("query_id", F.col("id").alias("neighbor_id"))
+            .agg((F.sum("__u") / 1e6).alias("adc_dist"))
+        )
+        return _rank_adc(scored, k)
     # candidate pruning: each corpus vector lives in exactly one cell,
     # so the equi-join yields each (query, neighbor) at most once
     cand = (
@@ -364,11 +396,6 @@ def pq_ivf_adc_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    if codes is None:
-        codes = pq_encode(
-            corpus, codebooks, id_col=id_col, vec_col=vec_col, sub_dim=sub_dim
-        )
-    lut = _adc_lut(queries, codebooks, id_col, vec_col, sub_dim)
     scored = (
         cand.join(codes, on=[cand.neighbor_id == codes.id])
         .join(F.broadcast(lut), on=["query_id", "sub", "code"])

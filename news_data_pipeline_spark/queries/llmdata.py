@@ -3565,3 +3565,224 @@ def bloom_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddp.bloom_dedup_against_corpus(
         batch, corpus, "text", num_bits=512, num_hashes=3
     ).select("doc_id", "source", "lang")
+
+
+# --- CLIP-style cross-modal retrieval (round 8) ----------------------------
+
+# One-Lloyd-iteration PQ training + encoding over the 16-dim joint
+# image/text embedding space (m=4 subspaces x sub_dim=4), the
+# sub_dim-4 sibling of corpusops._PQ_PREFIX. Starts from ``emb``
+# (defined by _DUCK_IMG_EMB).
+_PQ4_PREFIX = """
+    v AS (SELECT doc_id AS id, e FROM emb),
+    comp AS (
+        SELECT id,
+               CAST(floor((u.p - 1) / 4.0) AS INT) AS sub,
+               (u.p - 1) % 4 + 1 AS j,
+               e[u.p] AS x
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)),
+    cb0 AS (
+        SELECT sub, CAST(id AS INT) AS cid, j, x AS value
+        FROM comp WHERE id < 16),
+    c2_0 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb0 GROUP BY sub, cid),
+    dots0 AS (
+        SELECT comp.id, comp.sub, cb0.cid,
+               sum(CAST(floor(comp.x * cb0.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM comp JOIN cb0 ON comp.sub = cb0.sub AND comp.j = cb0.j
+        GROUP BY comp.id, comp.sub, cb0.cid),
+    assign0 AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots0 d JOIN c2_0 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1),
+    means1 AS (
+        SELECT comp.sub, a.code AS cid, comp.j,
+               floor(sum(CAST(floor(comp.x * 10000000000 + 0.5) AS BIGINT))
+                     / 10000000000.0 / count(*) * 1000000 + 0.5)
+                   / 1000000.0 AS value
+        FROM comp JOIN assign0 a ON comp.id = a.id AND comp.sub = a.sub
+        GROUP BY comp.sub, a.code, comp.j),
+    cb1 AS (
+        SELECT cb0.sub, cb0.cid, cb0.j, coalesce(m.value, cb0.value) AS value
+        FROM cb0 LEFT JOIN means1 m
+          ON cb0.sub = m.sub AND cb0.cid = m.cid AND cb0.j = m.j),
+    c2_1 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb1 GROUP BY sub, cid),
+    dots1 AS (
+        SELECT comp.id, comp.sub, cb1.cid,
+               sum(CAST(floor(comp.x * cb1.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM comp JOIN cb1 ON comp.sub = cb1.sub AND comp.j = cb1.j
+        GROUP BY comp.id, comp.sub, cb1.cid),
+    codes AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots1 d JOIN c2_1 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1)
+"""
+
+
+@register(
+    "multimodal_crossmodal_topk",
+    # the text tower embeds text IDENTICALLY to the image tower's
+    # embedding of that text's rendering (joint space by construction),
+    # so the oracle scores queries from the image-side CTE — the Spark
+    # side still runs the genuine two-tower path (text never renders a
+    # payload). Structure mirrors pq_ivf_rerank_topk's oracle at
+    # sub_dim=4 over the image space.
+    oracle=f"""
+    {_DUCK_IMG_EMB},
+    {_PQ4_PREFIX},
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    corpus_assign AS (
+        SELECT id AS neighbor_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT id AS query_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM query_probe q JOIN corpus_assign c ON q.cell = c.cell
+        WHERE q.query_id <> c.neighbor_id),
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM cand
+        JOIN codes cd ON cd.id = cand.neighbor_id
+        JOIN qlut l ON l.query_id = cand.query_id
+                   AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY cand.query_id, cand.neighbor_id),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc) t
+        WHERE rn <= 20)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round(list_dot_product(q.e, n.e)
+                                  / (sqrt(list_dot_product(q.e, q.e))
+                                     * sqrt(list_dot_product(n.e, n.e))), 6)
+                            DESC,
+                            s.neighbor_id) AS rn
+        FROM shortlist s
+        JOIN v q ON q.id = s.query_id
+        JOIN v n ON n.id = s.neighbor_id) t
+    WHERE rn <= 5
+    """,
+)
+def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style cross-modal retrieval, end to end: text queries
+    against an image corpus through an IndexIVFPQ + exact-rerank stack,
+    every stage the production shape.
+
+    Corpus side (vision tower): every document renders to a fake image
+    payload (mapInPandas) and embeds as a 16-bin intensity histogram
+    (operators.multimodal.image_embeddings). Query side (text tower):
+    the first five documents' TEXTS embed directly into the same joint
+    space (operators.multimodal.text_embeddings) — no image payload
+    ever exists on the query path; the towers are aligned by
+    construction, standing in for CLIP's contrastive training. The
+    index is the real ANN stack reused whole: PQ codebooks trained
+    in-plan on the image corpus (m=4 x sub_dim=4, one Lloyd pass),
+    IVF cells prune candidates, ADC shortlists 20, exact cosine
+    re-ranks to top-5 (operators.pq.pq_ivf_rerank_topk). Swapping the
+    towers for real encoders changes no operator, schema, or plan."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.pq import (
+        pq_ivf_rerank_topk,
+        pq_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(
+                            t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    images = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
+    corpus = mm.image_embeddings(images, "doc_id", "payload", dim=16)
+    cb = pq_train(corpus, id_col="id", m=4, k=16, sub_dim=4, iters=1)
+    queries = mm.text_embeddings(
+        docs.where(F.col("doc_id") < 5)
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 8).cast("int"))
+        .withColumn("h", (F.lit(4) + F.col("doc_id") % 4).cast("int")),
+        "doc_id",
+        "text",
+        "w",
+        "h",
+        dim=16,
+    )
+    return pq_ivf_rerank_topk(
+        queries,
+        corpus,
+        cb,
+        id_col="id",
+        sub_dim=4,
+        k=5,
+        rerank=20,
+        nlist=16,
+        nprobe=4,
+    )

@@ -153,6 +153,64 @@ def test_pq_ivf_adc_matches_full_scan_on_probed_cells(spark):
         assert full[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
 
 
+def test_pq_ivf_stored_cells_path_matches_inline(spark):
+    """The production layout (cell id stored WITH the code) must be a
+    pure access-path change: identical (pair, score, rank) output to
+    the inline-assignment path at every nprobe, while its plan prunes
+    via a broadcast of the probed cells instead of shuffling the code
+    table."""
+    from news_data_pipeline_spark.operators.pq import pq_ivf_adc_topk
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    vecs = _vectors(spark)
+    cb = pq_train(vecs, m=2, k=2, sub_dim=2, iters=2)
+    codes = pq_encode(vecs, cb, sub_dim=2)
+    centroids = (
+        vecs.orderBy("vec_id")
+        .limit(2)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    cells = _assign_cells(
+        vecs, centroids, "vec_id", "embedding", "neighbor_id", 1
+    ).select("neighbor_id", "cid")
+    codes_cid = codes.join(
+        cells, codes.id == F.col("neighbor_id")
+    ).select("id", "sub", "code", "cid")
+    for nprobe in (1, 2):
+        inline = sorted(
+            map(
+                tuple,
+                pq_ivf_adc_topk(
+                    vecs, vecs, cb, sub_dim=2, k=10, nlist=2,
+                    nprobe=nprobe,
+                ).collect(),
+            )
+        )
+        stored = sorted(
+            map(
+                tuple,
+                pq_ivf_adc_topk(
+                    vecs, vecs, cb, sub_dim=2, k=10, nlist=2,
+                    nprobe=nprobe, codes=codes_cid,
+                    centroids=centroids.drop("c2"),
+                ).collect(),
+            )
+        )
+        assert stored == inline
+    plan = pq_ivf_adc_topk(
+        vecs, vecs, cb, sub_dim=2, k=10, nlist=2, nprobe=1,
+        codes=codes_cid, centroids=centroids.drop("c2"),
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_ivf_adc_prunes_cross_cell_candidates(spark):
     """With nprobe=1 and the two clusters in separate cells, a query
     only scores its own cell's members — the cross-cluster pairs the

@@ -5,6 +5,15 @@ winnowing, SimHash, cluster-representative dedup, and (optionally,
 ``--pairs``) the quadratic-output pair enumeration for contrast.
 
     python tools/scale_probe.py [--docs 100000] [--pairs]
+
+``--pq N1,N2,...`` runs the IVF x PQ crossover sweep instead: at each
+synthetic corpus size (dim-64 vectors, codebooks trained once on a
+fixed sample, corpus pre-encoded — the index-build steps a real system
+amortizes at ingest), times the flat ADC scan vs IVF cell pruning with
+the assignment pass inline vs IVF with pre-assigned cells. Results
+feed SCALE.md "IVF x PQ crossover".
+
+    python tools/scale_probe.py --pq 2000,10000,50000,200000
 """
 
 from __future__ import annotations
@@ -21,14 +30,136 @@ from news_data_pipeline_spark.operators import dedup  # noqa: E402
 from news_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def pq_sweep(spark, sizes: list[int]) -> None:
+    """Measure where IVF cell pruning beats the flat ADC scan.
+
+    Synthetic dim-64 vectors from a 16-cluster mixture (cluster center
+    + deterministic per-coordinate jitter) so the IVF cells are
+    non-degenerate. Codebooks train once on a fixed 2k sample and the
+    corpus is encoded + persisted untimed at every size — those are
+    index-BUILD costs a real system pays at ingest. Three timed arms
+    per size, 5 queries each, k=10, m=4 subspaces, nprobe/nlist=4/16:
+
+    - flat:        pq_adc_topk over all codes
+    - ivf_inline:  pq_ivf_adc_topk assigning corpus cells in-query
+    - ivf_stored:  pq_ivf_adc_topk with pre-assigned cells (the
+                   production layout: cell stored with the code)
+    """
+    from news_data_pipeline_spark.operators import pq  # noqa: E402
+    from news_data_pipeline_spark.operators.similarity import (  # noqa: E402
+        _assign_cells,
+        dot,
+    )
+
+    dim, sub_dim, nlist, nprobe, k = 64, 16, 16, 4, 10
+
+    def vectors(n: int):
+        # cluster = id % 16; coord c = center(cluster, c) + jitter(id, c)
+        cols = [
+            (
+                ((F.col("id") % nlist) * F.lit(17 + c) % 29).cast("double")
+                + ((F.col("id") * F.lit(31 + c) % 97) / 97.0)
+            )
+            for c in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*cols).alias("embedding")
+        )
+
+    train = vectors(2_000)
+    codebooks = pq.pq_train(train, sub_dim=sub_dim).persist()
+    codebooks.count()
+    queries = vectors(200_005).where(F.col("vec_id") >= 200_000)
+
+    def timed(name, thunk):
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            n = thunk().count()
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        print(
+            f"  {name}: median {reps[1]:.2f}s "
+            f"(min {reps[0]:.2f} max {reps[2]:.2f}, {n} rows)"
+        )
+
+    for n in sizes:
+        corpus = vectors(n).persist()
+        corpus.count()
+        codes = pq.pq_encode(corpus, codebooks, sub_dim=sub_dim).persist()
+        codes.count()
+        centroids = (
+            corpus.orderBy("vec_id")
+            .limit(nlist)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").cast("array<double>").alias("c_vec"),
+            )
+            .withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+            .persist()
+        )
+        cells = _assign_cells(
+            corpus, centroids, "vec_id", "embedding", "neighbor_id", 1
+        ).select("neighbor_id", "cid").persist()
+        cells.count()
+        # production layout: cell id stored WITH the code (ingest-time
+        # join, amortized) — lets the query plan prune via a broadcast
+        # of the probed cells instead of shuffling the code table
+        codes_cid = (
+            codes.join(cells, codes.id == F.col("neighbor_id"))
+            .select("id", "sub", "code", "cid")
+            .persist()
+        )
+        codes_cid.count()
+        print(f"corpus n={n}:")
+        timed(
+            "flat",
+            lambda: pq.pq_adc_topk(
+                queries, codes, codebooks, sub_dim=sub_dim, k=k
+            ),
+        )
+        timed(
+            "ivf_inline",
+            lambda: pq.pq_ivf_adc_topk(
+                queries, corpus, codebooks, sub_dim=sub_dim, k=k,
+                nlist=nlist, nprobe=nprobe, codes=codes,
+            ),
+        )
+        timed(
+            "ivf_joincells",
+            lambda: pq.pq_ivf_adc_topk(
+                queries, corpus, codebooks, sub_dim=sub_dim, k=k,
+                nlist=nlist, nprobe=nprobe, codes=codes,
+                centroids=centroids.drop("c2"), cells=cells,
+            ),
+        )
+        timed(
+            "ivf_stored",
+            lambda: pq.pq_ivf_adc_topk(
+                queries, corpus, codebooks, sub_dim=sub_dim, k=k,
+                nlist=nlist, nprobe=nprobe, codes=codes_cid,
+                centroids=centroids.drop("c2"),
+            ),
+        )
+        for frame in (codes_cid, cells, centroids, codes, corpus):
+            frame.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
     ap.add_argument("--pairs", action="store_true",
                     help="also run pair enumeration (quadratic output)")
+    ap.add_argument("--pq", type=str, default=None,
+                    help="comma-separated corpus sizes: run the IVF x PQ "
+                         "crossover sweep instead of the dedup probe")
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
+    if args.pq:
+        pq_sweep(spark, [int(x) for x in args.pq.split(",")])
+        spark.stop()
+        return
     # ~40 words/doc from a 200-word vocabulary; doc ids repeat text every
     # 200 ids -> a 500-way-duplicated corpus at the default size, the
     # adversarial case for pair-based dedup.
