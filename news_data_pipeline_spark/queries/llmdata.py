@@ -3786,3 +3786,167 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=16,
         nprobe=4,
     )
+
+
+# --- ANN index diagnostics (round 8) ---------------------------------------
+
+_DUCK_IVF_ASSIGN = """
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 16),
+    corpus_assign AS (
+        SELECT vec_id AS neighbor_id, e, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1)"""
+
+
+@register(
+    "ivf_cell_sizes",
+    oracle=f"""
+    WITH {_DUCK_IVF_ASSIGN}
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM corpus_assign GROUP BY cid
+    """,
+)
+def ivf_cell_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance diagnostic: vectors per coarse cell under the
+    family's shared assignment rule (operators.similarity._assign_cells,
+    nlist=16 first-by-id centroids). At 100 TB this is the histogram
+    you read BEFORE trusting nprobe-based latency math — a hot cell
+    (skewed data, bad centroids) makes every query probing it pay a
+    scan far above the |corpus|/nlist estimate, and the fix (re-train
+    centroids, split the cell, or AQE skew-join the probe) starts from
+    this exact frame. One broadcast of 16 centroids + one map-side-
+    combined count: linear, no shuffle of the corpus."""
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    cells = _assign_cells(
+        emb, centroids, "vec_id", "embedding", "neighbor_id", 1
+    )
+    return cells.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+@register(
+    "ann_recall_at_k",
+    # recall@5 of the IVF probe against the exact scan, per query: the
+    # eval artifact that justifies (or vetoes) an index rollout. Both
+    # arms reuse the family's pinned conventions (6dp cosine,
+    # neighbor-id tie-break, self-pairs excluded), so the intersection
+    # is well-defined cross-engine.
+    oracle=f"""
+    WITH {_DUCK_IVF_ASSIGN},
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qe, v.e)
+                                      / (sqrt(list_dot_product(q.qe, q.qe))
+                                         * sqrt(list_dot_product(v.e, v.e))),
+                                      6) DESC,
+                                v.vec_id) AS rank
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) t
+        WHERE rank <= 5),
+    query_probe AS (
+        SELECT vec_id AS query_id, e AS qe, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id < 10) t
+        WHERE r <= 4),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_dot_product(p.qe, c.e)
+                                      / (sqrt(list_dot_product(p.qe, p.qe))
+                                         * sqrt(list_dot_product(c.e, c.e))),
+                                      6) DESC,
+                                c.neighbor_id) AS rank
+            FROM query_probe p JOIN corpus_assign c ON p.cid = c.cid
+            WHERE p.query_id <> c.neighbor_id) t
+        WHERE rank <= 5)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           floor(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000.0
+               AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against the exact scan
+    (operators.similarity.ivf_topk vs cosine_topk): per query, how many
+    of the true top-5 neighbors the nprobe=4/nlist=16 probe recovers.
+    This is the go/no-go eval for any ANN rollout — IVF's speedup is
+    only worth the recall it keeps, and the number is corpus-dependent
+    (cell sizes, query-to-centroid geometry), so it must be measured on
+    THIS corpus, not quoted from a paper. The exact arm is the cost you
+    pay once per eval, not per query, and both arms share the family's
+    deterministic tie-break conventions so the set intersection is
+    reproducible cross-engine."""
+    exact = similarity.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10),
+        id_col="vec_id",
+        k=5,
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 10),
+        k=5,
+        nlist=16,
+        nprobe=4,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("__hit")
+    )
+    joined = exact.join(
+        approx,
+        on=[
+            exact.query_id == approx.query_id,
+            exact.neighbor_id == approx.__hit,
+        ],
+        how="left",
+    ).select(exact.query_id, "neighbor_id", "__hit")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.sum(
+            F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hits"),
+        settled_round(
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("recall_at_5"),
+    )
