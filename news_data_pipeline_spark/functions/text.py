@@ -261,3 +261,33 @@ def gopher_flags(col: Column) -> dict[str, Column]:
         "flag_stopwords": f_stop.cast("int"),
         "pass_gopher": (f_wc & f_mwl & f_sym & f_stop).cast("int"),
     }
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a crawled URL — the key under which a crawl
+    pipeline deduplicates fetches: lowercase + trim, fragment dropped,
+    tracking parameters (``utm_*`` prefix) removed with the remaining
+    query-string order preserved, dangling ``?`` and a trailing path
+    ``/`` stripped.
+
+    Pure Catalyst (regexp_replace / split / filter / array_join) —
+    a 100-TB URL column canonicalizes as a narrow map with no Python.
+    The prefix test is ``substring(p, 1, 4) == 'utm_'`` rather than a
+    LIKE pattern so the SQL oracle mirrors it without underscore-
+    wildcard escaping hazards.
+    """
+    u = F.lower(F.trim(url))
+    u = F.regexp_replace(u, r"#.*", "")
+    base = F.regexp_replace(
+        F.regexp_replace(u, r"\?.*", ""), r"/$", ""
+    )
+    query = F.regexp_extract(u, r"\?(.*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & (F.substring(p, 1, 4) != F.lit("utm_")),
+    )
+    canon_q = F.array_join(kept, "&")
+    return F.when(
+        F.length(canon_q) > 0, F.concat(base, F.lit("?"), canon_q)
+    ).otherwise(base)

@@ -101,6 +101,70 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lo: float = 0.5,
+    hi: float = 0.95,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` corpus vectors whose cosine falls in ``[lo, hi)`` — close
+    enough to be informative negatives, below the near-duplicate band
+    where a "negative" is really an unlabeled positive (the classic
+    false-negative trap in DPR/E5-style training data).
+
+    Same conventions as ``cosine_topk`` (6dp cosine, neighbor-id
+    tie-break, self-pairs excluded, null/zero-norm vectors drop), so
+    the mined pairs and the retrieval eval share one geometry. The
+    band bounds compare against the ROUNDED score — deterministic
+    cross-engine, no half-open boundary drift.
+
+    Scale shape: identical to ``cosine_topk`` — queries broadcast, one
+    corpus scan, partial top-k per partition. At billions of vectors,
+    mine from an ANN shortlist instead (``pq_ivf_rerank_topk`` with a
+    large ``rerank``, then band-filter): the band's upper cut makes
+    recall loss harmless, since any neighbor the index misses is by
+    construction far from the decision boundary.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("q_vec"),
+    ).withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    c = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("c_vec"),
+        )
+    ).withColumn("c_nrm", l2_norm(F.col("c_vec")))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(
+            (F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def sign_bucket(vec: Column, m: int = 8) -> Column:
     """Bucket key = sign bits of the first ``m`` components.
 

@@ -3950,3 +3950,201 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall_at_5"),
     )
+
+
+# --- contrastive-pair mining, corpus datasheet, URL canonicalization -------
+
+
+@register(
+    "hard_negative_mining",
+    # band [0.2, 0.4) on THIS corpus's geometry (cosines concentrate
+    # around 0; the near-dup tail sits above 0.4): informative
+    # negatives below the unlabeled-positive zone
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               round(list_dot_product(q.qe, v.e)
+                     / nullif(sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(v.e, v.e)), 0.0),
+                     6) AS cosine_sim
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+        WHERE cosine_sim >= 0.2 AND cosine_sim < 0.4) t
+    WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators.similarity.hard_negatives): per
+    query, the top-5 corpus vectors with cosine in [0.2, 0.4) — close
+    enough to teach a contrastive model something, below the band where
+    a "negative" is plausibly an unlabeled positive. The construction
+    step of DPR/E5-style training data, sharing the cosine_topk
+    family's exact conventions so mined pairs and retrieval evals live
+    in one geometry."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        lo=0.2,
+        hi=0.4,
+        k=5,
+    )
+
+
+@register(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, n_chars,
+               CAST({_DUCK_WORDS} AS BIGINT) AS n_words,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+                                            'g'))
+               END AS fp
+        FROM documents),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(count(fp) AS BIGINT) AS n_fp,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+        FROM base)
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM agg
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM agg
+    UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM agg
+    UNION ALL SELECT 'total_words', CAST(total_words AS DOUBLE) FROM agg
+    UNION ALL SELECT 'mean_words_per_doc',
+        floor(total_words / CAST(n_docs AS DOUBLE) * 10000 + 0.5)
+        / 10000.0 FROM agg
+    UNION ALL SELECT 'dup_doc_fraction',
+        floor((n_fp - n_distinct_fp) / CAST(n_docs AS DOUBLE) * 10000
+              + 0.5) / 10000.0 FROM agg
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-frame corpus datasheet: the numbers a data card quotes
+    and a pipeline gatekeeps on — doc/source/language counts, total
+    chars and whitespace tokens, mean document length, and the exact-
+    duplicate fraction under the normalization fingerprint. One
+    aggregate pass (Spark expands the multi-distinct internally, all
+    map-side combinable) unpivoted to (metric, value) rows; counts ride
+    as doubles (exact to 2^53) so one column serves every metric."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(T.word_count(F.col("text"))).alias("total_words"),
+        F.count(T.fingerprint(F.col("text"))).alias("n_fp"),
+        F.countDistinct(T.fingerprint(F.col("text"))).alias(
+            "n_distinct_fp"
+        ),
+    )
+    mean_words = settled_round(
+        F.col("total_words") / F.col("n_docs").cast("double"), 4
+    )
+    dup_frac = settled_round(
+        (F.col("n_fp") - F.col("n_distinct_fp"))
+        / F.col("n_docs").cast("double"),
+        4,
+    )
+    return agg.select(
+        F.stack(
+            F.lit(7),
+            F.lit("n_docs"), F.col("n_docs").cast("double"),
+            F.lit("n_sources"), F.col("n_sources").cast("double"),
+            F.lit("n_langs"), F.col("n_langs").cast("double"),
+            F.lit("total_chars"), F.col("total_chars").cast("double"),
+            F.lit("total_words"), F.col("total_words").cast("double"),
+            F.lit("mean_words_per_doc"), mean_words,
+            F.lit("dup_doc_fraction"), dup_frac,
+        ).alias("metric", "value")
+    )
+
+
+@register(
+    "url_canonicalization",
+    # two synthesized variants per doc (clean + tracking-polluted) must
+    # collapse to ONE canonical key; the oracle rebuilds the query
+    # string by position (unnest + string_agg ORDER BY i) because
+    # list_filter lambdas are banned from oracles
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id, u.variant,
+               CASE u.variant
+                    WHEN 0 THEN 'https://' || source || '.example.com/'
+                         || lang || '/article-' || doc_id || '?id='
+                         || doc_id
+                    ELSE 'https://' || source || '.example.com/' || lang
+                         || '/article-' || doc_id || '?utm_source=feed&id='
+                         || doc_id || '&utm_campaign=x#frag'
+               END AS url
+        FROM documents, LATERAL unnest(range(0, 2)) AS u(variant)),
+    stripped AS (
+        SELECT doc_id, variant,
+               regexp_replace(lower(trim(url)), '#.*', '') AS u
+        FROM raw),
+    split_q AS (
+        SELECT doc_id, variant,
+               regexp_replace(regexp_replace(u, '\\?.*', ''), '/$', '')
+                   AS base,
+               string_split(regexp_extract(u, '\\?(.*)', 1), '&') AS ps
+        FROM stripped),
+    kept AS (
+        SELECT doc_id, variant, base, ps[i] AS part, i
+        FROM split_q, LATERAL unnest(range(1, len(ps) + 1)) AS u(i)
+        WHERE length(ps[i]) > 0 AND substring(ps[i], 1, 4) <> 'utm_'),
+    canon AS (
+        SELECT doc_id, variant,
+               CASE WHEN count(part) > 0
+                    THEN any_value(base) || '?'
+                         || string_agg(part, '&' ORDER BY i)
+                    ELSE any_value(base) END AS canonical_url
+        FROM kept GROUP BY doc_id, variant)
+    SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.text.canonicalize_url) as the
+    crawl-dedup key: each document synthesizes two URL variants — a
+    clean one and one polluted with utm_* tracking params plus a
+    fragment — and canonicalization must collapse every pair to one
+    key with the meaningful ``id`` param preserved. Output is the
+    canonical-key histogram (every count must be 2). Narrow map only:
+    at crawl scale this runs inside the fetch-dedup scan with no
+    shuffle before the final groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/article-"),
+        F.col("doc_id").cast("string"),
+    )
+    clean = F.concat(
+        base, F.lit("?id="), F.col("doc_id").cast("string")
+    )
+    polluted = F.concat(
+        base, F.lit("?utm_source=feed&id="),
+        F.col("doc_id").cast("string"), F.lit("&utm_campaign=x#frag"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(F.array(clean, polluted)).alias("url"),
+    )
+    return (
+        urls.select(T.canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+    )

@@ -414,3 +414,31 @@ def test_union_evolved_mixed_numeric_to_double(spark):
     out = union_evolved([a, b])
     assert dict(out.dtypes)["v"] == "double"
     assert {r.v for r in out.collect()} == {5.0, 2.5}
+
+
+def test_canonicalize_url_edges(spark):
+    from news_data_pipeline_spark.functions.text import canonicalize_url
+
+    cases = [
+        # fragment + utm stripped, real param kept
+        ("https://A.example.com/p?utm_s=1&id=2#frag",
+         "https://a.example.com/p?id=2"),
+        # all params are tracking -> no dangling '?'
+        ("https://a.example.com/p?utm_a=1&utm_b=2",
+         "https://a.example.com/p"),
+        # no query at all; trailing slash stripped
+        ("https://a.example.com/p/", "https://a.example.com/p"),
+        # utm mid-string; order of kept params preserved
+        ("https://a.example.com/p?id=1&utm_x=9&q=2",
+         "https://a.example.com/p?id=1&q=2"),
+        # 'utmost' is not a tracking prefix match victim
+        ("https://a.example.com/p?utmost=1",
+         "https://a.example.com/p?utmost=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(
+            canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]

@@ -457,3 +457,34 @@ def test_skew_report_rejects_reserved_key_names(spark):
     df = spark.createDataFrame([(1, 2)], ["n_rows", "ok"])
     with pytest.raises(ValueError, match="reserves column names"):
         skew_report(df, "n_rows")
+
+
+def test_hard_negatives_band_and_conventions(spark):
+    """Band filtering on the ROUNDED cosine, self-pair exclusion, and
+    cosine_topk's tie-break carry over; neighbors above hi (near-dup
+    zone) and below lo (uninformative) are both excluded."""
+    from news_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),       # query
+        (1, [1.0, 0.001]),     # ~1.0: near-dup, above hi
+        (2, [1.0, 0.5]),       # ~0.894: inside [0.5, 0.95)
+        (3, [1.0, 1.0]),       # ~0.707: inside
+        (4, [-1.0, 0.0]),      # -1.0: below lo
+        (5, [0.0, 1.0]),       # 0.0: below lo
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    got = hard_negatives(emb, q, lo=0.5, hi=0.95, k=5).collect()
+    assert [(r.neighbor_id, r.rank) for r in got] == [(2, 1), (3, 2)]
+    # scores equal the exact cosine_topk scores for the same pairs
+    full = {
+        r.neighbor_id: r.cosine_sim
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    for r in got:
+        assert r.cosine_sim == full[r.neighbor_id]
+        assert 0.5 <= r.cosine_sim < 0.95

@@ -19,6 +19,7 @@ feed SCALE.md "IVF x PQ crossover".
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -69,7 +70,10 @@ def pq_sweep(spark, sizes: list[int]) -> None:
     train = vectors(2_000)
     codebooks = pq.pq_train(train, sub_dim=sub_dim).persist()
     codebooks.count()
-    queries = vectors(200_005).where(F.col("vec_id") >= 200_000)
+    n_queries = int(os.environ.get("PQ_SWEEP_QUERIES", "5"))
+    queries = vectors(200_000 + n_queries).where(
+        F.col("vec_id") >= 200_000
+    )
 
     def timed(name, thunk):
         reps = []
