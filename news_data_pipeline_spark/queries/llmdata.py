@@ -4148,3 +4148,86 @@ def url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canonical_url")
         .agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    # resized pixel (x, y) = original ((2y) * width + 2x): the oracle
+    # rebuilds the downsampled hex string by position (string_agg
+    # ORDER BY y, x) from the same md5 pixel chain and recomputes
+    # dims / mean / hash — the resize kernel itself is verified, not
+    # just the plumbing. width // 2 is spelled floor(w / 2.0): DuckDB's
+    # integer '//' changed semantics across releases.
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               4 + doc_id % 8 AS w, 4 + doc_id % 4 AS h
+        FROM documents),
+    c1 AS (SELECT doc_id, w, h, md5(t) AS h1 FROM p),
+    c2 AS (SELECT *, md5(h1) AS h2 FROM c1),
+    c3 AS (SELECT *, md5(h2) AS h3 FROM c2),
+    c4 AS (SELECT *, md5(h3) AS h4 FROM c3),
+    c5 AS (SELECT *, md5(h4) AS h5 FROM c4),
+    px AS (
+        SELECT doc_id, w, h,
+               substring(h1 || h2 || h3 || h4 || h5, 1, 2 * w * h) AS hx
+        FROM c5),
+    dims AS (
+        SELECT doc_id, w, hx,
+               greatest(CAST(floor(w / 2.0) AS INT), 1) AS nw,
+               greatest(CAST(floor(h / 2.0) AS INT), 1) AS nh
+        FROM px),
+    rs AS (
+        SELECT d.doc_id, d.nw, d.nh,
+               string_agg(
+                   substring(d.hx, 2 * ((uy.y * 2) * d.w + ux.x * 2) + 1,
+                             2),
+                   '' ORDER BY uy.y, ux.x) AS rhx
+        FROM dims d,
+             LATERAL unnest(range(0, d.nh)) AS uy(y),
+             LATERAL unnest(range(0, d.nw)) AS ux(x)
+        GROUP BY d.doc_id, d.nw, d.nh),
+    vals AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(rhx, 2 * i - 1, 2)) AS INT) AS v
+        FROM rs, LATERAL unnest(range(1, nw * nh + 1)) AS u(i)),
+    sums AS (SELECT doc_id, sum(v) AS sumpx FROM vals GROUP BY doc_id)
+    SELECT r.doc_id AS id, r.nw AS width, r.nh AS height,
+           floor(sumpx / (r.nw * r.nh)::DOUBLE * 10000 + 0.5) / 10000
+               AS mean_pixel,
+           md5(rhx) AS pixel_hash
+    FROM rs r JOIN sums USING (doc_id)
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize end-to-end (operators.multimodal.resize_images,
+    scale=2 nearest-neighbor): synthesized payloads resize inside the
+    fake container and re-decode to typed features — the decoded dims,
+    mean intensity, and pixel hash of the RESIZED image are all
+    oracle-recomputed, so the kernel's exact pixel selection is what
+    the driver hash pins. Two chained Arrow mapInPandas stages with
+    scalar columns between them: the decode fan-out composes without
+    any raw-pixel shuffle widening."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(
+                            t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    images = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
+    resized = mm.resize_images(images, "doc_id", "payload", scale=2)
+    return mm.decode_images(resized, "id", "payload")
