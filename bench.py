@@ -103,6 +103,16 @@ TAIL_QUERIES = (
     # same scan class as the headline-adjacent document_language_id.
     "cms_heavy_hitters",
     "gopher_quality_flags",
+    # round-8 additions (tail 27 -> 30): crossmodal is the heaviest new
+    # composition (two embedding towers + in-plan PQ train + IVF +
+    # rerank); perplexity_buckets tracks the per-language window
+    # funnel; dup_ngram_char_coverage is the new heaviest per-doc
+    # window + coverage-join scan. Streamed twins stay out (their
+    # wall-clock is checkpoint/temp-dir plumbing, not a data-scaling
+    # signal).
+    "multimodal_crossmodal_topk",
+    "perplexity_buckets",
+    "dup_ngram_char_coverage",
 )
 
 

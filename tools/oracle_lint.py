@@ -87,6 +87,14 @@ ALLOW: dict[str, str] = {
     "doc_length_zscores": "z from exact integer moment sums; sqrt "
     "irrational",
     "minhash_lsh_pairs": "no round — listed defensively",
+    # round-8 ANN/crossmodal family: same dot-product cosine class
+    "multimodal_crossmodal_topk": "-2*dot IVF cell distances + "
+    "dot-product cosine rerank; ADC sums are floor-settled",
+    "ivf_cell_sizes": "-2*dot IVF cell distances (measure-zero "
+    "half-ways)",
+    "ann_recall_at_k": "dot-product cosine + -2*dot cell distances; "
+    "the recall ratio itself is floor-settled",
+    "hard_negative_mining": "dot-product cosine",
 }
 
 INT_RATIO_SIG = re.compile(
