@@ -550,15 +550,28 @@ def maintain_cms_sketch(
 def read_cms_sketch(spark, sketch_path: str, *, fmt: str = "parquet"):
     """Merge every per-batch sketch partition into the current corpus
     sketch: one groupBy-sum over at most ``n_batches * depth * width``
-    rows. Point-query it with ``operators.sketches.cms_estimates``."""
+    rows. Point-query it with ``operators.sketches.cms_estimates``.
+
+    A sketch path no batch has written yet (empty stream, fresh
+    deployment) reads as the EMPTY sketch — the monoid identity — not
+    an error: every estimate against it is 0, which is the true count
+    of everything an empty stream has seen."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
-    return (
-        spark.read.option("basePath", sketch_path)
-        .format(fmt)
-        .load(sketch_path)
-        .groupBy("row", "bucket")
-        .agg(F.sum("counter").cast("long").alias("counter"))
+    try:
+        raw = (
+            spark.read.option("basePath", sketch_path)
+            .format(fmt)
+            .load(sketch_path)
+        )
+        raw.schema
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "row int, bucket bigint, counter bigint"
+        )
+    return raw.groupBy("row", "bucket").agg(
+        F.sum("counter").cast("long").alias("counter")
     )
 
 
@@ -612,11 +625,20 @@ def maintain_bloom_filter(
 def read_bloom_filter(spark, filter_path: str, *, fmt: str = "parquet"):
     """Merge every per-batch bit partition into the current corpus
     filter: one distinct over at most ``n_batches * num_bits`` rows.
-    Probe it with ``operators.sketches.bloom_probe``."""
-    return (
-        spark.read.option("basePath", filter_path)
-        .format(fmt)
-        .load(filter_path)
-        .select("bit")
-        .distinct()
-    )
+    Probe it with ``operators.sketches.bloom_probe``.
+
+    A filter path no batch has written yet reads as the EMPTY filter
+    (no bits set — every probe reports definitely-not-a-member, which
+    is true of an empty corpus), not an error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = (
+            spark.read.option("basePath", filter_path)
+            .format(fmt)
+            .load(filter_path)
+        )
+        raw.schema
+    except AnalysisException:
+        return spark.createDataFrame([], "bit bigint")
+    return raw.select("bit").distinct()

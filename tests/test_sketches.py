@@ -372,3 +372,21 @@ def test_bloom_empty_member_set(spark):
     out = bloom_probe(probes, "fp", bits, num_bits=64, num_hashes=3).collect()
     assert len(out) == 2
     assert all(r.maybe_member == 0 for r in out)
+
+
+def test_sketch_readers_on_unwritten_paths(spark, tmp_path):
+    """A sketch/filter path no batch has written yet reads as the
+    monoid identity (empty sketch -> every estimate 0; empty filter ->
+    every probe definitely-not-a-member), not an AnalysisException —
+    the fresh-deployment / empty-stream frontier."""
+    from news_data_pipeline_spark.streaming.sinks import (
+        read_bloom_filter,
+        read_cms_sketch,
+    )
+
+    sk = read_cms_sketch(spark, str(tmp_path / "never_written_sketch"))
+    assert sk.columns == ["row", "bucket", "counter"]
+    assert sk.count() == 0
+    bf = read_bloom_filter(spark, str(tmp_path / "never_written_filter"))
+    assert bf.columns == ["bit"]
+    assert bf.count() == 0

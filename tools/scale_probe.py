@@ -52,7 +52,11 @@ def pq_sweep(spark, sizes: list[int]) -> None:
         dot,
     )
 
-    dim, sub_dim, nlist, nprobe, k = 64, 16, 16, 4, 10
+    dim, nlist, nprobe, k = 64, 16, 4, 10
+    # m = dim / sub_dim subspaces; ADC cost per candidate scales with
+    # m, so PQ_SWEEP_SUBDIM=4 (m=16, the FAISS-typical setting) makes
+    # scoring dominate the scan and is where pruning earns its keep
+    sub_dim = int(os.environ.get("PQ_SWEEP_SUBDIM", "16"))
 
     def vectors(n: int):
         # cluster = id % 16; coord c = center(cluster, c) + jitter(id, c)
