@@ -318,14 +318,19 @@ def pq_ivf_adc_topk(
     query drops from |C| to ~|C|*nprobe/nlist, and at cluster scale the
     codes live cell-partitioned so the join prunes partitions too.
 
-    Measured at sf0.1 (2k vectors, 5 queries, nprobe=4/nlist=16): 4.21 s
-    vs the full scan's 4.23 s — a WASH, because both plans share the
-    dominant in-plan training subtree and the pruning's 4x candidate
-    cut is offset by the added corpus cell-assignment pass. That pass
-    is one broadcast window per vector, amortized at ingest on a real
-    index (codes are stored WITH their cell); the scoring cut is the
-    term that scales with corpus size. Small-SF parity is expected,
-    not a defect.
+    Measured (SCALE.md round-8 sweep, synthetic 64-dim corpora to 4M
+    vectors, q up to 50, m up to 16): on a single node with the code
+    table IN MEMORY, the flat scan matches or beats every pruned arm
+    at every tested size — pruning's 4x aggregation cut never outruns
+    its extra broadcast probe when the scan itself is free. The
+    measured conclusion is that IVF's corpus-scale win is I/O pruning,
+    not compute pruning: with codes stored cell-partitioned (pass
+    ``codes`` carrying a ``cid`` column — the stored-cells fast path
+    below), probing 4 of 16 cells means 3/4 of the table is never
+    read. That is a scan-level property a cluster exhibits and an
+    in-memory bench structurally cannot. The stored-cells path is
+    also the best pruned arm locally (it removes the corpus-sized
+    candidate shuffle: 2.53 -> 1.95 s at n=1M/q=5).
 
     ``centroids`` / ``codes`` are injectable for the production shape
     (offline k-means, pre-encoded corpus); defaults are the

@@ -824,9 +824,11 @@ def test_repetition_char_rules_match_python_model(spark, docs, n):
                 total_chars,
                 settle(counts[best] * len(best) / total_chars),
             )
-        elif ws:
+        else:
+            # zero-gram docs report count 0; zero-WORD docs now also
+            # emit a (0, 0, 0, 0.0) row instead of vanishing (r8 fix
+            # of the ADVICE r7 dropped-row finding)
             top_want[i] = (0, 0, total_chars, 0.0)
-        # else: empty doc -> no words -> absent from both outputs
         covered = set()
         for p in range(len(ws) - n + 1):
             g = " ".join(ws[p : p + n])
