@@ -825,3 +825,53 @@ def union_evolved_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = union_evolved([yesterday, today])
     assert dict(out.dtypes)["price"] == "decimal(18,4)"
     return out.withColumn("price", F.col("price").cast("string"))
+
+
+# --- ORC format round trip (round 8) --------------------------------------
+@register(
+    "orc_layer_roundtrip",
+    # same shape as partitioned_layer_roundtrip, through Spark's
+    # built-in ORC format instead of parquet: the oracle recomputes
+    # the aggregate from the source table, so a value that fails to
+    # survive the ORC write/read (type mapping, partition column
+    # reconstruction, predicate pushdown on the partition key) breaks
+    # the hash
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM documents WHERE lang IN ('en', 'de')
+    GROUP BY lang
+    """,
+)
+def orc_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC layer round trip (sources.writers.write_layer /
+    read_layer with fmt='orc'): the second columnar format the layer
+    machinery supports end-to-end — write partitioned by lang, read
+    back through the ``_SUCCESS`` gate, aggregate, and match the
+    oracle's recomputation from the source rows. Everything the
+    parquet path guarantees (atomic ``_SUCCESS`` visibility, partition
+    pruning on ``lang``, column pruning to the 3 read columns) holds
+    identically: the format is a leaf concern, which is the point of
+    routing every write through ``write_layer``."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import (
+        read_layer,
+        write_layer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("en", "de")
+    )
+    path = tempfile.mkdtemp(prefix="orc_layer_q_") + "/docs"
+    write_layer(
+        docs, path, partition_by="lang", mode="overwrite", fmt="orc"
+    )
+    back = read_layer(spark, path, fmt="orc")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
