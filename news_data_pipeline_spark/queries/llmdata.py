@@ -4052,13 +4052,12 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_fp"
         ),
     )
-    mean_words = settled_round(
-        F.col("total_words") / F.col("n_docs").cast("double"), 4
-    )
+    # ANSI raises DIVIDE_BY_ZERO even for doubles: an empty corpus
+    # (n_docs = 0) reports null ratios, not a failed job
+    n_docs_nz = F.nullif(F.col("n_docs").cast("double"), F.lit(0.0))
+    mean_words = settled_round(F.col("total_words") / n_docs_nz, 4)
     dup_frac = settled_round(
-        (F.col("n_fp") - F.col("n_distinct_fp"))
-        / F.col("n_docs").cast("double"),
-        4,
+        (F.col("n_fp") - F.col("n_distinct_fp")) / n_docs_nz, 4
     )
     return agg.select(
         F.stack(

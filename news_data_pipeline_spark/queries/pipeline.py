@@ -864,6 +864,15 @@ def orc_layer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(
         F.col("lang").isin("en", "de")
     )
+    if not docs.head(1):
+        # an empty partitioned write leaves no ORC data files to infer
+        # a schema from — declared-schema empty answer, same guard as
+        # partitioned_layer_roundtrip
+        return spark.createDataFrame(
+            [],
+            "lang string, n_docs bigint, total_chars bigint, "
+            "first_doc bigint, last_doc bigint",
+        )
     path = tempfile.mkdtemp(prefix="orc_layer_q_") + "/docs"
     write_layer(
         docs, path, partition_by="lang", mode="overwrite", fmt="orc"
