@@ -1432,3 +1432,85 @@ def stream_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segment"),
     )
     return enrich_stream_with_dim(events, dim, on="user_id")
+
+
+@register(
+    "streamed_ingest_dedup_corpus",
+    # global keep-first semantics of the continuous-ingestion sink:
+    # per fingerprint, the survivor is the lowest doc_id within the
+    # EARLIEST batch containing it (batch = doc_id % 3 here, replayed
+    # in order) — batch-internal keep-lowest composed with the
+    # against-corpus anti-join. Null-text docs all survive (null is
+    # "unknown", never a shared key).
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source, doc_id % 3 AS batch,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+                                            'g'))
+               END AS f
+        FROM documents),
+    winners AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY f ORDER BY batch, doc_id) AS rn
+            FROM fp WHERE f IS NOT NULL) t
+        WHERE rn = 1)
+    SELECT doc_id, lang, source FROM fp
+    WHERE f IS NULL OR doc_id IN (SELECT doc_id FROM winners)
+    """,
+)
+def streamed_ingest_dedup_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The continuous-ingestion dedup sink end-to-end
+    (streaming.sinks.ingest_deduplicated, method='bloom'): documents
+    arrive as three ordered availableNow micro-batches, each batch
+    dedups internally (keep-lowest-id), probes the maintained Bloom
+    filter + anti-join against everything previously accepted, and
+    appends survivors as its own corpus partition. The final corpus
+    must equal global keep-first dedup over the whole stream — the
+    contract that makes per-batch ingestion equivalent to one giant
+    batch job, driver-verified through the exact-dedup SQL (the Bloom
+    filter is an access path, never a verdict change)."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.streaming.sinks import ingest_deduplicated
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    if not docs.head(1):
+        return spark.createDataFrame(
+            [], "doc_id bigint, lang string, source string"
+        )
+    root = tempfile.mkdtemp(prefix="ingest_dedup_q_")
+    landing = os.path.join(root, "landing")
+    corpus_path = os.path.join(root, "corpus")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(landing, "*"))
+        )
+        q = ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            method="bloom",
+            num_bits=4096,
+            num_hashes=3,
+            available_now=True,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(corpus_path).select(
+        "doc_id", "lang", "source"
+    )

@@ -34,6 +34,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 # by construction, so the nested loop is O(rows x small-constant), not
 # all-pairs. New BNLJ flags without an entry here need review.
 KNOWN_BNLJ = {
+    "ann_recall_at_k": "bounded query-vector broadcast (10 queries) in the exact arm + nlist=16 centroids and the same query set in the IVF arm — all contract-bounded",
+    "hard_negative_mining": "bounded query-vector set broadcast (contract: small query side, same as cosine_topk_bruteforce)",
+    "ivf_cell_sizes": "nlist=16 centroid frame broadcast into the one cell-assignment pass",
+    "multimodal_crossmodal_topk": "nlist=16 centroid frame broadcast into both cell-assignment passes (image corpus + 5 text queries) of the IVF-PQ subtree",
+    "perplexity_buckets": "1-row corpus token-total broadcast into the unigram log-prob (same subtree as document_lm_scores)",
+    "perplexity_bucket_cuts": "1-row corpus token-total broadcast into the unigram log-prob (same subtree as document_lm_scores)",
     "adaptive_stopword_removal": "1-row corpus total broadcast into the df-ratio threshold",
     "dsir_importance_weights": "two 1-row model-total aggregates (raw/target) broadcast into the smoothed log-ratios",
     "pq_ivf_adc_topk": "nlist=16 centroid frame broadcast into both cell-assignment passes (corpus + queries)",
