@@ -3775,6 +3775,20 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         dim=16,
     )
+    # centroid convention = first nlist corpus vectors by id; filters
+    # can't push through mapInPandas, so letting the operator derive
+    # them from `corpus` would re-render EVERY image to keep 16 rows —
+    # embed exactly the 16 centroid docs instead (values identical)
+    cent_images = fan_out(docs.where(F.col("doc_id") < 16)).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    centroids = (
+        mm.image_embeddings(cent_images, "doc_id", "payload", dim=16)
+        .select(
+            F.col("id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+    )
     return pq_ivf_rerank_topk(
         queries,
         corpus,
@@ -3785,6 +3799,7 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=20,
         nlist=16,
         nprobe=4,
+        centroids=centroids,
     )
 
 
