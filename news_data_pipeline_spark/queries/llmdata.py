@@ -4245,3 +4245,78 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = fan_out(docs).mapInPandas(build, "doc_id long, payload binary")
     resized = mm.resize_images(images, "doc_id", "payload", scale=2)
     return mm.decode_images(resized, "id", "payload")
+
+
+@register(
+    "perplexity_cut_assignments",
+    # completes the 100-TB tier path end-to-end: the broadcast
+    # threshold join ASSIGNS buckets from the quantile cuts (head =
+    # strictly above the head/middle cut; the cut value itself belongs
+    # to the deeper tier). Cuts are the rank-picked exact elements
+    # (see perplexity_bucket_cuts), scores are settled 4dp — every
+    # comparison is deterministic cross-engine.
+    oracle=f"""
+    WITH {_DUCK_LM_SCORE_CTES},
+    ranked AS (
+        SELECT d.lang, s.id, s.avg_logprob,
+               row_number() OVER (
+                   PARTITION BY d.lang ORDER BY s.avg_logprob) AS rn,
+               count(*) OVER (PARTITION BY d.lang) AS n
+        FROM scores s JOIN (SELECT doc_id AS id, lang FROM documents) d
+          USING (id)),
+    cuts AS (
+        SELECT lang,
+               max(CASE WHEN rn = CAST(ceil((1.0 - 1.0/3.0) * n)
+                                      AS BIGINT)
+                        THEN avg_logprob END) AS c0,
+               max(CASE WHEN rn = CAST(ceil((1.0 - 2.0/3.0) * n)
+                                      AS BIGINT)
+                        THEN avg_logprob END) AS c1
+        FROM ranked GROUP BY lang)
+    SELECT r.lang,
+           CAST(1 + CASE WHEN r.avg_logprob <= c.c0 THEN 1 ELSE 0 END
+                  + CASE WHEN r.avg_logprob <= c.c1 THEN 1 ELSE 0 END
+               AS INT) AS bucket_idx,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked r JOIN cuts c ON r.lang = c.lang
+    GROUP BY r.lang, bucket_idx
+    """,
+)
+def perplexity_cut_assignments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The threshold side of CCNet tiering end-to-end: per-language
+    quantile cuts (operators.terms.perplexity_bucket_cuts, exact at
+    driver accuracy) broadcast-joined back onto every document's LM
+    score, bucket decided by two comparisons — no per-language window,
+    no global sort, the shape that survives 10^9 docs per language.
+    Output is the (lang, bucket) population histogram; at the tier
+    boundaries tied scores land whole in the deeper tier (the
+    documented CCNet tolerance), which is why the histogram rather
+    than per-doc tier parity with the ntile path is the pinned
+    contract."""
+    from news_data_pipeline_spark.operators.terms import (
+        perplexity_bucket_cuts,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), on="id"
+    )
+    cuts = perplexity_bucket_cuts(
+        docs, "doc_id", "text", "lang", accuracy=1_000_000
+    )
+    c0 = F.element_at("cuts", 1)
+    c1 = F.element_at("cuts", 2)
+    assigned = scores.join(F.broadcast(cuts), on="lang").select(
+        "lang",
+        (
+            F.lit(1)
+            + F.when(F.col("avg_logprob") <= c0, 1).otherwise(0)
+            + F.when(F.col("avg_logprob") <= c1, 1).otherwise(0)
+        ).cast("int").alias("bucket_idx"),
+    )
+    return assigned.groupBy("lang", "bucket_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
