@@ -267,8 +267,9 @@ def canonicalize_url(url: Column) -> Column:
     """Canonical form of a crawled URL — the key under which a crawl
     pipeline deduplicates fetches: lowercase + trim, fragment dropped,
     tracking parameters (``utm_*`` prefix) removed with the remaining
-    query-string order preserved, dangling ``?`` and a trailing path
-    ``/`` stripped.
+    query-string order preserved, dangling ``?`` and ALL trailing path
+    slashes stripped (one-slash stripping would not be idempotent on
+    ``//`` tails — Hypothesis-caught).
 
     Pure Catalyst (regexp_replace / split / filter / array_join) —
     a 100-TB URL column canonicalizes as a narrow map with no Python.
@@ -279,7 +280,7 @@ def canonicalize_url(url: Column) -> Column:
     u = F.lower(F.trim(url))
     u = F.regexp_replace(u, r"#.*", "")
     base = F.regexp_replace(
-        F.regexp_replace(u, r"\?.*", ""), r"/$", ""
+        F.regexp_replace(u, r"\?.*", ""), r"/+$", ""
     )
     query = F.regexp_extract(u, r"\?(.*)", 1)
     kept = F.filter(

@@ -4112,7 +4112,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM raw),
     split_q AS (
         SELECT doc_id, variant,
-               regexp_replace(regexp_replace(u, '\\?.*', ''), '/$', '')
+               regexp_replace(regexp_replace(u, '\\?.*', ''), '/+$', '')
                    AS base,
                string_split(regexp_extract(u, '\\?(.*)', 1), '&') AS ps
         FROM stripped),

@@ -856,3 +856,93 @@ def test_repetition_char_rules_match_python_model(spark, docs, n):
         for r in dup_ngram_char_coverage(df, "doc_id", "text", n=n).collect()
     }
     assert got_cov == cov_want
+
+
+# --- round 8: URL canonicalization ----------------------------------------
+
+_url_param = st.tuples(
+    st.sampled_from(["id", "q", "page", "utm_source", "utm_campaign",
+                     "utmost", "ref"]),
+    st.text(alphabet="abc123", min_size=0, max_size=4),
+)
+
+
+@SETTINGS
+@given(
+    st.sampled_from(["example.com", "News.Site.ORG"]),
+    st.lists(st.sampled_from(["a", "B", "path2"]), max_size=3),
+    st.lists(_url_param, max_size=5),
+    st.booleans(),
+    st.booleans(),
+)
+def test_canonicalize_url_model(spark, host, path, params, slash, frag):
+    """canonicalize_url equals a direct Python model on arbitrary
+    URLs: lowercase, fragment gone, utm_-prefixed params removed with
+    surviving order preserved, no dangling '?', trailing slash
+    stripped — and the function is idempotent."""
+    from news_data_pipeline_spark.functions.text import canonicalize_url
+
+    url = "https://" + host + "/" + "/".join(path)
+    if slash:
+        url += "/"
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        url += "#Frag"
+
+    def model(u):
+        u = u.lower().split("#", 1)[0]
+        base, _, q = u.partition("?")
+        base = base.rstrip("/") if "://" in base else base
+        # (scheme's '//' is safe: rstrip only fires on path tails,
+        # and 'https://host' never ends with '/')
+        kept = [p for p in q.split("&") if p and p[:4] != "utm_"]
+        return base + "?" + "&".join(kept) if kept else base
+
+    df = spark.createDataFrame([(url,)], "url string")
+    got = df.select(
+        canonicalize_url(F.col("url")).alias("c")
+    ).first()["c"]
+    assert got == model(url)
+    # idempotent: canonical form is a fixed point
+    got2 = spark.createDataFrame([(got,)], "url string").select(
+        canonicalize_url(F.col("url")).alias("c")
+    ).first()["c"]
+    assert got2 == got
+
+
+# --- round 8: hard negatives vs cosine_topk --------------------------------
+
+_vec = st.lists(
+    st.floats(min_value=-2, max_value=2, allow_nan=False, width=32),
+    min_size=3,
+    max_size=3,
+)
+
+
+@SETTINGS
+@given(st.lists(_vec, min_size=2, max_size=8))
+def test_hard_negatives_is_banded_topk(spark, vecs):
+    """hard_negatives == cosine_topk with a band filter applied before
+    ranking: every returned pair's score sits in [lo, hi), equals the
+    brute-force score, and ranks are dense from 1 in score order."""
+    from news_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hard_negatives,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    lo, hi = -0.5, 0.5
+    got = hard_negatives(emb, q, lo=lo, hi=hi, k=10).collect()
+    full = {
+        r.neighbor_id: r.cosine_sim
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    want = sorted(
+        ((s, n) for n, s in full.items() if lo <= s < hi),
+        key=lambda t: (-t[0], t[1]),
+    )
+    assert [(r.cosine_sim, r.neighbor_id) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
