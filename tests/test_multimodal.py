@@ -128,3 +128,62 @@ def test_sniff_real_world_magic_bytes(spark):
     assert got[5] == "video/avi"
     assert got[6] == "application/octet-stream"
     assert got[7] == "image/png"
+
+
+def test_text_tower_matches_image_tower(spark):
+    """The joint-space contract: a text's embedding equals the image
+    tower's embedding of that text's rendering — per id, with the
+    per-id render geometry both towers share. No payload ever exists
+    on the text path."""
+    import pandas as pd
+
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.fanout import fan_out
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(
+                            t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    images = fan_out(docs).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    img = {
+        r.id: r.embedding
+        for r in mm.image_embeddings(
+            images, "doc_id", "payload", dim=16
+        ).collect()
+    }
+    txt = {
+        r.id: r.embedding
+        for r in mm.text_embeddings(
+            docs.withColumn(
+                "w", (F.lit(4) + F.col("doc_id") % 8).cast("int")
+            ).withColumn(
+                "h", (F.lit(4) + F.col("doc_id") % 4).cast("int")
+            ),
+            "doc_id",
+            "text",
+            "w",
+            "h",
+            dim=16,
+        ).collect()
+    }
+    assert txt == img
+    assert all(abs(sum(v) - 1.0) < 1e-4 for v in txt.values())
