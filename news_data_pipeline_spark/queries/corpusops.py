@@ -1227,3 +1227,73 @@ def versioned_layer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = layer.overwrite(v0_frame)
     layer.overwrite(v1_frame)
     return layer.diff(spark, ["c_custkey"], v_old=v0)
+
+
+# --- scalar quantization ANN (round 8) ------------------------------------
+@register(
+    "sq_adc_topk",
+    # the oracle rebuilds the whole SQ pipeline: per-dim min/max
+    # bounds, uint8 codes via the identical IEEE expression, asymmetric
+    # dequantized L2 as exact 12dp-unit BIGINT sums settled once at
+    # 6dp. A constant dimension (hi = lo) codes 0 and dequantizes to
+    # lo exactly on both engines.
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    comp AS (
+        SELECT id, u.p AS j, e[u.p] AS x
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)),
+    bounds AS (
+        SELECT j, min(x) AS lo, max(x) AS hi FROM comp GROUP BY j),
+    codes AS (
+        SELECT c.id, c.j,
+               CAST(coalesce(
+                   least(greatest(floor((c.x - b.lo)
+                                        / nullif(b.hi - b.lo, 0.0)
+                                        * 255 + 0.5), 0), 255),
+                   0) AS INT) AS code
+        FROM comp c JOIN bounds b ON c.j = b.j),
+    q AS (SELECT id AS query_id, j, x AS qx FROM comp WHERE id < 5),
+    scored AS (
+        SELECT q.query_id, cd.id AS neighbor_id,
+               floor(sum(CAST(floor(
+                   (q.qx - (b.lo + cd.code * (b.hi - b.lo) / 255))
+                   * (q.qx - (b.lo + cd.code * (b.hi - b.lo) / 255))
+                   * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) / 1000000.0
+                   AS sq_dist
+        FROM codes cd
+        JOIN bounds b ON cd.j = b.j
+        JOIN q ON q.j = cd.j
+        WHERE q.query_id <> cd.id
+        GROUP BY q.query_id, cd.id)
+    SELECT query_id, neighbor_id, sq_dist, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY sq_dist, neighbor_id) AS rn
+        FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (operators.sq — FAISS
+    IndexScalarQuantizer QT_8bit as DataFrame plans): per-dimension
+    min/max bounds (one linear pass, a dims-sized broadcast — no
+    iterative training), uint8 codes, and asymmetric top-10 by
+    dequantized squared L2. The cheap-to-build arm of the
+    quantization family: 1 byte per dimension vs PQ's 1 byte per
+    sub-vector, no codebooks to retrain as the corpus grows. Same
+    single-pass broadcast-scan shape as pq_adc_topk — the arm
+    SCALE.md's round-8 sweep certified for in-memory scoring."""
+    from news_data_pipeline_spark.operators.sq import (
+        sq_adc_topk as _sq_topk,
+        sq_encode,
+        sq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bounds = sq_train(emb)
+    codes = sq_encode(emb, bounds)
+    queries = emb.where(F.col("vec_id") < 5)
+    return _sq_topk(queries, codes, bounds, k=10)
