@@ -486,3 +486,148 @@ def pq_ivf_rerank_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def pq_ivf_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+    m: int = 4,
+    kcodes: int = 16,
+    iters: int = 1,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IndexIVFPQ with RESIDUAL encoding — FAISS's ``by_residual=true``
+    default, completing the raw-code variant ``pq_ivf_adc_topk``: each
+    corpus vector is PQ-encoded as its offset FROM its cell centroid,
+    and each query builds one ADC table PER PROBED CELL from its own
+    residual against that centroid.
+
+    Why residuals win at scale: after subtracting the coarse centroid,
+    the residual distribution is centered and far tighter than the raw
+    data, so the SAME codebook budget (m x kcodes) quantizes with much
+    lower error — this is why FAISS defaults to it. The cost is the
+    per-(query, cell) lookup table: q * nprobe * m * kcodes rows
+    instead of q * m * kcodes — still bounded and broadcast.
+
+    Plan shape (the round-8 stored-cells lesson applied from the
+    start): codes CARRY their cell id, and the one scoring join is
+    ``codes x broadcast(LUT)`` on ``(cid, sub, code)`` — the cid key
+    prunes to probed cells and scores in the same broadcast hash
+    probe; no corpus-sized candidate shuffle exists anywhere. The
+    residual computation itself is a narrow ``zip_with`` map after a
+    broadcast of the nlist-sized centroid frame.
+
+    Returns (query_id, neighbor_id, adc_dist, rank) — ascending
+    settled ADC distance, neighbor-id tie-break, self-pairs excluded.
+    Training is deterministic: first-``kcodes`` residuals by id seed
+    the codebooks, same convention as ``pq_train``.
+    """
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    if centroids is None:
+        centroids = (
+            corpus.orderBy(id_col)
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("cid"),
+                _as_double(vec_col).alias("c_vec"),
+            )
+        )
+    centroids = centroids.withColumn(
+        "c2", dot(F.col("c_vec"), F.col("c_vec"))
+    )
+    cent_vecs = F.broadcast(centroids.select("cid", "c_vec"))
+    residual = F.zip_with(
+        F.col("v"), F.col("c_vec"), lambda a, b: a - b
+    ).alias("rvec")
+
+    corpus_cells = _assign_cells(
+        corpus, centroids, id_col, vec_col, "id", 1
+    )
+    res = corpus_cells.join(cent_vecs, on="cid").select(
+        "id", "cid", residual
+    )
+    cb = pq_train(
+        res, id_col="id", vec_col="rvec", m=m, k=kcodes,
+        sub_dim=sub_dim, iters=iters,
+    )
+    codes = pq_encode(
+        res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
+    )
+    # cell id stored WITH the code (each id has exactly one cell); on
+    # a real index this join happens once at ingest
+    codes_cid = codes.join(
+        res.select(F.col("id").alias("__rid"), "cid"),
+        codes.id == F.col("__rid"),
+    ).select("id", "sub", "code", "cid")
+
+    query_cells = _assign_cells(
+        queries, centroids, id_col, vec_col, "query_id", nprobe
+    )
+    qres = query_cells.join(cent_vecs, on="cid").select(
+        "query_id", "cid", residual
+    )
+    # per-(query, cell) LUT: same settled ||r_sub - c||^2 table as
+    # _adc_lut with the cell id carried through every key
+    qcomp = (
+        fan_out(qres)
+        .select(
+            "query_id",
+            "cid",
+            F.posexplode(F.col("rvec")).alias("__p", "x"),
+        )
+        .select(
+            "query_id",
+            "cid",
+            (F.floor(F.col("__p") / F.lit(sub_dim))).cast("int").alias("sub"),
+            (F.col("__p") % sub_dim + 1).alias("j"),
+            "x",
+        )
+    )
+    lut = (
+        qcomp.join(
+            F.broadcast(
+                cb.select(
+                    "sub", F.col("cid").alias("__code"), "j", "value"
+                )
+            ),
+            on=["sub", "j"],
+        )
+        .groupBy("query_id", "cid", "sub", "__code")
+        .agg(
+            (
+                F.sum(
+                    settled_units(
+                        (F.col("x") - F.col("value"))
+                        * (F.col("x") - F.col("value")),
+                        12,
+                    )
+                )
+                / 1e12
+            ).alias("__d")
+        )
+        .select(
+            "query_id",
+            "cid",
+            "sub",
+            F.col("__code").alias("code"),
+            settled_units(F.col("__d"), 6).alias("__u"),
+        )
+    )
+    scored = (
+        codes_cid.join(F.broadcast(lut), on=["cid", "sub", "code"])
+        .where(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("neighbor_id"))
+        .agg((F.sum("__u") / 1e6).alias("adc_dist"))
+    )
+    return _rank_adc(scored, k)

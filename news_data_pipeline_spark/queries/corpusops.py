@@ -1297,3 +1297,173 @@ def sq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = sq_encode(emb, bounds)
     queries = emb.where(F.col("vec_id") < 5)
     return _sq_topk(queries, codes, bounds, k=10)
+
+
+# --- residual IVF×PQ (round 8) --------------------------------------------
+
+# One-Lloyd-iteration PQ training + encoding over RESIDUAL vectors
+# (x - cell centroid), the by_residual=true sibling of _PQ_PREFIX.
+# rcomp replaces comp as the component table; everything downstream is
+# the same settled arithmetic.
+_PQR_PREFIX = """
+    v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings WHERE embedding IS NOT NULL),
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    cassign AS (
+        SELECT id, ccid FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    ccomp AS (
+        SELECT ccid, u.p AS p, c[u.p] AS cx
+        FROM cent, LATERAL unnest(range(1, len(c) + 1)) AS u(p)),
+    rcomp AS (
+        SELECT vc.id,
+               CAST(floor((vc.p - 1) / 16.0) AS INT) AS sub,
+               (vc.p - 1) % 16 + 1 AS j,
+               vc.x - cc.cx AS x
+        FROM (SELECT v.id, u.p AS p, e[u.p] AS x
+              FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)) vc
+        JOIN cassign a ON vc.id = a.id
+        JOIN ccomp cc ON cc.ccid = a.ccid AND cc.p = vc.p),
+    cb0 AS (
+        SELECT sub, CAST(id AS INT) AS cid, j, x AS value
+        FROM rcomp WHERE id < 16),
+    c2_0 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb0 GROUP BY sub, cid),
+    dots0 AS (
+        SELECT rcomp.id, rcomp.sub, cb0.cid,
+               sum(CAST(floor(rcomp.x * cb0.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM rcomp JOIN cb0 ON rcomp.sub = cb0.sub AND rcomp.j = cb0.j
+        GROUP BY rcomp.id, rcomp.sub, cb0.cid),
+    assign0 AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots0 d JOIN c2_0 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1),
+    means1 AS (
+        SELECT rcomp.sub, a.code AS cid, rcomp.j,
+               floor(sum(CAST(floor(rcomp.x * 10000000000 + 0.5)
+                              AS BIGINT))
+                     / 10000000000.0 / count(*) * 1000000 + 0.5)
+                   / 1000000.0 AS value
+        FROM rcomp JOIN assign0 a
+          ON rcomp.id = a.id AND rcomp.sub = a.sub
+        GROUP BY rcomp.sub, a.code, rcomp.j),
+    cb1 AS (
+        SELECT cb0.sub, cb0.cid, cb0.j,
+               coalesce(m.value, cb0.value) AS value
+        FROM cb0 LEFT JOIN means1 m
+          ON cb0.sub = m.sub AND cb0.cid = m.cid AND cb0.j = m.j),
+    c2_1 AS (
+        SELECT sub, cid,
+               sum(CAST(floor(value * value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS c2
+        FROM cb1 GROUP BY sub, cid),
+    dots1 AS (
+        SELECT rcomp.id, rcomp.sub, cb1.cid,
+               sum(CAST(floor(rcomp.x * cb1.value * 1000000000000 + 0.5)
+                        AS BIGINT)) / 1000000000000.0 AS dot
+        FROM rcomp JOIN cb1 ON rcomp.sub = cb1.sub AND rcomp.j = cb1.j
+        GROUP BY rcomp.id, rcomp.sub, cb1.cid),
+    codes AS (
+        SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (
+                       PARTITION BY d.id, d.sub
+                       ORDER BY floor((-2 * d.dot + c.c2) * 1000000 + 0.5)
+                                / 1000000.0,
+                                d.cid) AS r
+            FROM dots1 d JOIN c2_1 c
+              ON d.sub = c.sub AND d.cid = c.cid) t
+        WHERE r = 1)
+"""
+
+
+@register(
+    "pq_ivf_residual_topk",
+    oracle=f"""
+    WITH {_PQR_PREFIX},
+    qprobe AS (
+        SELECT id AS query_id, ccid FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    qrcomp AS (
+        SELECT q.query_id, q.ccid,
+               CAST(floor((vc.p - 1) / 16.0) AS INT) AS sub,
+               (vc.p - 1) % 16 + 1 AS j,
+               vc.x - cc.cx AS x
+        FROM qprobe q
+        JOIN (SELECT v.id, u.p AS p, e[u.p] AS x
+              FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)) vc
+          ON vc.id = q.query_id
+        JOIN ccomp cc ON cc.ccid = q.ccid AND cc.p = vc.p),
+    qlut AS (
+        SELECT qr.query_id, qr.ccid, qr.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((qr.x - cb1.value) * (qr.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM qrcomp qr JOIN cb1
+          ON qr.sub = cb1.sub AND qr.j = cb1.j
+        GROUP BY qr.query_id, qr.ccid, qr.sub, cb1.cid),
+    adc AS (
+        SELECT l.query_id, cd.id AS neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM codes cd
+        JOIN cassign a ON cd.id = a.id
+        JOIN qlut l ON l.ccid = a.ccid AND l.sub = cd.sub
+                   AND l.code = cd.code
+        WHERE l.query_id <> cd.id
+        GROUP BY l.query_id, cd.id)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+        FROM adc) t
+    WHERE rn <= 10
+    """,
+)
+def pq_ivf_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF×PQ (operators.pq.pq_ivf_residual_topk —
+    FAISS IndexIVFPQ with by_residual=true, the library default):
+    corpus vectors PQ-encode their OFFSET from their cell centroid,
+    and each query builds one ADC table per probed cell from its own
+    residual. Residuals are centered and tight, so the same m=4 x 16
+    codebook budget quantizes with far lower error than raw-code PQ —
+    and within a probed cell the residual distance IS the true
+    distance (||(q-c)-(x-c)|| = ||q-x||), pinned exactly in
+    tests/test_pq.py. The scoring join carries the stored cell id, so
+    pruning and scoring are one broadcast hash probe with no
+    corpus-sized candidate shuffle."""
+    from news_data_pipeline_spark.operators.pq import pq_ivf_residual_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_ivf_residual_topk(
+        queries, emb, sub_dim=16, m=4, kcodes=16, iters=1,
+        k=10, nlist=16, nprobe=4,
+    )

@@ -315,3 +315,78 @@ def test_codebook_cache_is_value_identical_and_keyed(spark):
         ).collect()
     )
     assert fresh == first
+
+
+def test_pq_ivf_residual_exact_with_perfect_codebook(spark):
+    """The residual identity that makes by_residual=true exact when the
+    codebook can represent every residual: for a candidate in the
+    probed cell, ||r_q - r_x|| = ||(q-c) - (x-c)|| = ||q - x||, so with
+    n <= kcodes (every residual is its own codeword) the ADC distance
+    equals the settled TRUE squared L2 — quantization error is exactly
+    zero, which pins the whole residual pipeline (assign, subtract,
+    train, encode, per-cell LUT) in one assertion."""
+    import math
+
+    from news_data_pipeline_spark.operators.pq import pq_ivf_residual_topk
+
+    rows = [
+        (0, [0.0, 0.0, 10.0, 0.0]),
+        (1, [1.0, 0.0, 10.0, 0.5]),
+        (2, [0.0, 9.0, 0.0, 1.0]),
+        (3, [0.5, 9.5, 0.0, 1.5]),
+        (4, [0.2, 0.3, 9.8, 0.1]),
+        (5, [0.1, 9.2, 0.4, 1.2]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = pq_ivf_residual_topk(
+        vecs, vecs, sub_dim=2, m=2, kcodes=6, iters=1,
+        k=10, nlist=2, nprobe=2,
+    ).collect()
+    assert got, "no pairs returned"
+    by_id = dict(rows)
+
+    def settled(x, dp):
+        return math.floor(x * 10**dp + 0.5) / 10**dp
+
+    for r in got:
+        q, x = by_id[r.query_id], by_id[r.neighbor_id]
+        # the operator settles each subspace distance at 6dp then sums
+        true = sum(
+            settled(
+                sum(
+                    settled((a - b) * (a - b), 12)
+                    for a, b in zip(q[s: s + 2], x[s: s + 2])
+                ),
+                6,
+            )
+            for s in (0, 2)
+        )
+        assert abs(r.adc_dist - true) < 1e-9, (
+            r.query_id, r.neighbor_id, r.adc_dist, true,
+        )
+    # every (q, n) pair appears (nprobe = nlist -> no pruning), minus self
+    assert len(got) == 6 * 5
+
+
+def test_pq_ivf_residual_prunes_to_probed_cells(spark):
+    """nprobe=1 restricts candidates to the query's own cell; the two
+    well-separated clusters land in different cells, so cross-cluster
+    pairs must be absent."""
+    from news_data_pipeline_spark.operators.pq import pq_ivf_residual_topk
+
+    # ids 0 and 1 seed the IVF centroids (first-nlist-by-id), so they
+    # must come one from EACH cluster for the cells to separate
+    rows = [
+        (0, [0.0, 0.0, 10.0, 0.0]),
+        (1, [0.0, 9.0, 0.0, 1.0]),
+        (2, [1.0, 0.0, 10.0, 0.5]),
+        (3, [0.5, 9.5, 0.0, 1.5]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = pq_ivf_residual_topk(
+        vecs, vecs, sub_dim=2, m=2, kcodes=4, iters=1,
+        k=10, nlist=2, nprobe=1,
+    ).collect()
+    pairs = {(r.query_id, r.neighbor_id) for r in got}
+    same = {(0, 2), (2, 0), (1, 3), (3, 1)}
+    assert pairs == same

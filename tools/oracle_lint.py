@@ -95,6 +95,8 @@ ALLOW: dict[str, str] = {
     "ann_recall_at_k": "dot-product cosine + -2*dot cell distances; "
     "the recall ratio itself is floor-settled",
     "hard_negative_mining": "dot-product cosine",
+    "pq_ivf_residual_topk": "-2*dot IVF cell distances (measure-zero "
+    "half-ways); residual ADC sums are floor-settled",
 }
 
 INT_RATIO_SIG = re.compile(
