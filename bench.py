@@ -113,6 +113,10 @@ TAIL_QUERIES = (
     "multimodal_crossmodal_topk",
     "perplexity_buckets",
     "dup_ngram_char_coverage",
+    # round-8b additions (tail 30 -> 32): the remaining quantization
+    # arms, so the whole ANN family's cost is tracked round-over-round
+    "pq_ivf_residual_topk",
+    "sq_adc_topk",
 )
 
 

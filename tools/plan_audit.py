@@ -34,6 +34,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 # by construction, so the nested loop is O(rows x small-constant), not
 # all-pairs. New BNLJ flags without an entry here need review.
 KNOWN_BNLJ = {
+    "perplexity_cut_assignments": "two 1-row corpus token-total broadcasts (the LM-score subtree appears under both the scores and the cuts arms)",
+    "pq_ivf_residual_topk": "nlist=16 centroid frame broadcast into the corpus cell-assign, the query probe, and the residual subtraction — all nlist-sized",
     "ann_recall_at_k": "bounded query-vector broadcast (10 queries) in the exact arm + nlist=16 centroids and the same query set in the IVF arm — all contract-bounded",
     "hard_negative_mining": "bounded query-vector set broadcast (contract: small query side, same as cosine_topk_bruteforce)",
     "ivf_cell_sizes": "nlist=16 centroid frame broadcast into the one cell-assignment pass",
