@@ -1514,3 +1514,74 @@ def streamed_ingest_dedup_corpus(
     return spark.read.parquet(corpus_path).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "streamed_sq_codes",
+    # batch-encoded table == union of per-batch partitions encoded
+    # under the FROZEN bounds artifact: each id lives in exactly one
+    # batch, so the merged read must equal one whole-corpus encode
+    oracle="""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    comp AS (
+        SELECT id, u.p AS j, e[u.p] AS x
+        FROM v, LATERAL unnest(range(1, len(e) + 1)) AS u(p)),
+    bounds AS (
+        SELECT j, min(x) AS lo, max(x) AS hi FROM comp GROUP BY j)
+    SELECT c.id, c.j,
+           CAST(coalesce(
+               least(greatest(floor((c.x - b.lo)
+                                    / nullif(b.hi - b.lo, 0.0)
+                                    * 255 + 0.5), 0), 255),
+               0) AS INT) AS code
+    FROM comp c JOIN bounds b ON c.j = b.j
+    """,
+)
+def streamed_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantized-index maintenance
+    (streaming.sinks.maintain_sq_codes + read_sq_codes): SQ8 bounds
+    train ONCE on the corpus (the frozen index artifact — per-batch
+    retraining would silently re-scale history), then vectors stream
+    through three availableNow micro-batches, each writing its own
+    code partition; the merged table must equal one whole-corpus
+    encode exactly. This is how a quantized ANN index actually grows
+    under ingestion: codes append per batch, the bounds artifact only
+    changes on an explicit re-index."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.operators.sq import sq_train
+    from news_data_pipeline_spark.streaming.sinks import (
+        maintain_sq_codes,
+        read_sq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if not emb.head(1):
+        return spark.createDataFrame([], "id bigint, j bigint, code int")
+    bounds = sq_train(emb)
+    root = tempfile.mkdtemp(prefix="sq_stream_q_")
+    landing = os.path.join(root, "landing")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = maintain_sq_codes(
+        stream,
+        bounds,
+        id_col="vec_id",
+        vec_col="embedding",
+        codes_path=os.path.join(root, "codes"),
+        checkpoint=os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_sq_codes(spark, os.path.join(root, "codes"))

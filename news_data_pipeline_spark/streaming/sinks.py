@@ -642,3 +642,64 @@ def read_bloom_filter(spark, filter_path: str, *, fmt: str = "parquet"):
     except AnalysisException:
         return spark.createDataFrame([], "bit bigint")
     return raw.select("bit").distinct()
+
+
+def maintain_sq_codes(
+    stream: DataFrame,
+    bounds: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    codes_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain an SQ8 code table over a vector stream — the
+    quantized-index twin of ``maintain_cms_sketch`` for the ANN
+    family: each micro-batch encodes its vectors under the FROZEN
+    ``bounds`` artifact (operators.sq.sq_train output — frozen is what
+    makes per-batch codes mergeable; re-training bounds per batch
+    would silently re-scale history) and writes its own ``batch_id=N``
+    partition. A replayed batch overwrites its partition — the same
+    idempotence contract as every maintenance sink here. Readers merge
+    with ``read_sq_codes``; re-quantize from raw vectors if the bounds
+    artifact is ever retrained.
+    """
+    from news_data_pipeline_spark.operators.sq import sq_encode
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        write_layer(
+            sq_encode(batch, bounds, id_col=id_col, vec_col=vec_col),
+            f"{codes_path}/batch_id={batch_id}",
+            mode="overwrite",
+            fmt=fmt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sq_codes(spark, codes_path: str, *, fmt: str = "parquet"):
+    """The current merged code table: every batch partition, batch_id
+    dropped (each vector id appears in exactly one batch, so the union
+    IS the table — no re-aggregation needed, unlike the CMS counters).
+    An unwritten path reads as the empty table."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = (
+            spark.read.option("basePath", codes_path)
+            .format(fmt)
+            .load(codes_path)
+        )
+        raw.schema
+    except AnalysisException:
+        return spark.createDataFrame([], "id bigint, j bigint, code int")
+    return raw.select("id", "j", "code")
