@@ -98,7 +98,12 @@ def _widen(a: str, b: str) -> str:
     if a in _INTEGRAL_RANK and b in _INTEGRAL_RANK:
         return a if _INTEGRAL_RANK[a] >= _INTEGRAL_RANK[b] else b
     abase, bbase = a.split("(")[0], b.split("(")[0]
-    if "decimal" in (abase, bbase):
+    numerics = _FLOATY | set(_INTEGRAL_RANK) | {"decimal"}
+    if "decimal" in (abase, bbase) and {abase, bbase} <= numerics:
+        # decimal vs a NUMERIC peer only — decimal vs string/date/
+        # boolean is a true conflict and must fall through to the
+        # string fallback below (casting a string frame to double
+        # would NULL or, under ANSI mode, throw on non-numeric rows)
         da, db = _decimal_shape(a), _decimal_shape(b)
         if da is not None and db is not None:
             # covering decimal: every value of either input type is
@@ -109,8 +114,8 @@ def _widen(a: str, b: str) -> str:
             scale = max(da[1], db[1])
             if ints + scale <= 38:
                 return f"decimal({ints + scale},{scale})"
+        # decimal + float/double, or a decimal pair past the cap
         return "double"
-    numerics = _FLOATY | set(_INTEGRAL_RANK)
     if abase in numerics and bbase in numerics:
         return "double"
     if {a, b} == {"date", "timestamp"}:

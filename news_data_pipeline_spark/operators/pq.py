@@ -337,9 +337,10 @@ def pq_ivf_adc_topk(
     deterministic conventions shared with ``ivf_topk`` / ``pq_encode``
     (first ``nlist`` vectors by id; encode under ``codebooks``).
     Queries are scored against raw-vector cells but PQ codes — raw-code
-    (not residual) PQ, the FAISS ``by_residual=false`` layout; residual
-    encoding would need per-cell codebooks, a straightforward extension
-    the oracle convention can't express compactly.
+    (not residual) PQ, the FAISS ``by_residual=false`` layout; the
+    ``by_residual=true`` variant (codes over vector-minus-centroid,
+    one global residual codebook, its own DuckDB oracle) is
+    ``pq_ivf_residual_topk`` below.
     """
     from news_data_pipeline_spark.operators.similarity import (
         _assign_cells,

@@ -1561,7 +1561,9 @@ def streamed_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     if not emb.head(1):
-        return spark.createDataFrame([], "id bigint, j bigint, code int")
+        # same declared schema as read_sq_codes' unwritten-path
+        # fallback — j/code are INT (posexplode position), id bigint
+        return spark.createDataFrame([], "id bigint, j int, code int")
     bounds = sq_train(emb)
     root = tempfile.mkdtemp(prefix="sq_stream_q_")
     landing = os.path.join(root, "landing")

@@ -194,7 +194,13 @@ def ingest_deduplicated(
     partition that lacks them (e.g. partitions ingested earlier via
     ``method='exact'``) — a filter that misses corpus partitions would
     produce Bloom false negatives against the real corpus and append
-    true duplicates, breaking the exact-parity contract.
+    true duplicates, breaking the exact-parity contract. Each bit
+    partition also records the ``(num_bits, num_hashes)`` it was
+    hashed under (constant columns, RLE'd away by the format); a
+    partition whose recorded sizing differs from the current call's
+    (operator redeployed with new parameters) is rebuilt the same way
+    — merging bit sets from different hash spaces is the same
+    false-negative failure as a missing partition, just quieter.
 
     Idempotence: a replayed batch (crash between write and checkpoint
     commit) overwrites its own partition, and the corpus read EXCLUDES
@@ -226,6 +232,17 @@ def ingest_deduplicated(
             "partition column; rename it first"
         )
     bloom_path = f"{corpus_path}/_bloom"
+
+    def _stamped_bits(fp_frame: DataFrame) -> DataFrame:
+        # bit partitions carry their sizing so a later trigger can
+        # detect (and rebuild) partitions hashed under other parameters
+        return (
+            bloom_bits(
+                fp_frame, "__fp", num_bits=num_bits, num_hashes=num_hashes
+            )
+            .withColumn("num_bits", F.lit(num_bits))
+            .withColumn("num_hashes", F.lit(num_hashes))
+        )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -264,19 +281,48 @@ def ingest_deduplicated(
                 bloom_parts = _batch_partition_ids(spark, bloom_path)
                 corpus_parts.discard(batch_id)
                 bloom_parts.discard(batch_id)
-                for missing in sorted(corpus_parts - bloom_parts):
+                # Coverage alone isn't enough: a partition written
+                # under DIFFERENT (num_bits, num_hashes) — operator
+                # redeployed with new sizing — would merge a foreign
+                # hash space into the bit set and produce Bloom false
+                # negatives just like a missing partition. Each
+                # partition carries its parameters as constant columns
+                # (RLE'd to nothing in parquet); any partition whose
+                # recorded parameters differ from this call's — or
+                # that predates the stamping — is rebuilt alongside
+                # the missing ones.
+                stale: set[int] = set()
+                if bloom_parts:
+                    meta = (
+                        spark.read.option("basePath", bloom_path)
+                        .option("mergeSchema", "true")
+                        .format(fmt)
+                        .load(bloom_path)
+                    )
+                    if {"num_bits", "num_hashes"} <= set(meta.columns):
+                        for r in (
+                            meta.select(
+                                "batch_id", "num_bits", "num_hashes"
+                            )
+                            .distinct()
+                            .collect()
+                        ):
+                            if (
+                                r["num_bits"] != num_bits
+                                or r["num_hashes"] != num_hashes
+                            ):
+                                stale.add(r["batch_id"])
+                    else:
+                        stale = set(bloom_parts)
+                    stale.discard(batch_id)
+                for missing in sorted(corpus_parts - (bloom_parts - stale)):
                     part_fp = (
                         spark.read.format(fmt)
                         .load(f"{corpus_path}/batch_id={missing}")
                         .select(fingerprint(F.col(text_col)).alias("__fp"))
                     )
                     write_layer(
-                        bloom_bits(
-                            part_fp,
-                            "__fp",
-                            num_bits=num_bits,
-                            num_hashes=num_hashes,
-                        ),
+                        _stamped_bits(part_fp),
                         f"{bloom_path}/batch_id={missing}",
                         mode="overwrite",
                         fmt=fmt,
@@ -329,12 +375,7 @@ def ingest_deduplicated(
                     fingerprint(F.col(text_col)).alias("__fp")
                 )
                 write_layer(
-                    bloom_bits(
-                        surv_fp,
-                        "__fp",
-                        num_bits=num_bits,
-                        num_hashes=num_hashes,
-                    ),
+                    _stamped_bits(surv_fp),
                     f"{bloom_path}/batch_id={batch_id}",
                     mode="overwrite",
                     fmt=fmt,
@@ -690,7 +731,11 @@ def read_sq_codes(spark, codes_path: str, *, fmt: str = "parquet"):
     """The current merged code table: every batch partition, batch_id
     dropped (each vector id appears in exactly one batch, so the union
     IS the table — no re-aggregation needed, unlike the CMS counters).
-    An unwritten path reads as the empty table."""
+    An unwritten path reads as the empty table — declared with the
+    schema ``sq_encode`` actually writes (``j``/``code`` are INT from
+    posexplode's position; ``id`` takes the caller's id type, assumed
+    bigint here), so a union with freshly encoded codes neither fails
+    nor silently widens on the empty branch."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -701,5 +746,5 @@ def read_sq_codes(spark, codes_path: str, *, fmt: str = "parquet"):
         )
         raw.schema
     except AnalysisException:
-        return spark.createDataFrame([], "id bigint, j bigint, code int")
+        return spark.createDataFrame([], "id bigint, j int, code int")
     return raw.select("id", "j", "code")

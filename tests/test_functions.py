@@ -395,6 +395,37 @@ def test_union_evolved_decimal_pairs_widen_to_covering_decimal(spark):
     )
 
 
+def test_union_evolved_decimal_vs_nonnumeric_is_string(spark):
+    """decimal vs a NON-numeric peer is a true conflict → string, the
+    same fallback every other conflicting pair gets (ADVICE r8: the
+    decimal branch hijacked these pairs to double, which NULLs — or
+    under ANSI mode throws on — the string frame's non-numeric rows)."""
+    from decimal import Decimal
+
+    from news_data_pipeline_spark.functions.columns import (
+        _widen,
+        union_evolved,
+    )
+
+    assert _widen("decimal(12,2)", "string") == "string"
+    assert _widen("string", "decimal(12,2)") == "string"
+    assert _widen("decimal(12,2)", "boolean") == "string"
+    assert _widen("date", "decimal(12,2)") == "string"
+    # numeric peers still take the decimal branch
+    assert _widen("decimal(12,2)", "bigint") == "decimal(21,2)"
+    assert _widen("decimal(12,2)", "double") == "double"
+
+    a = spark.createDataFrame(
+        [(1, Decimal("19.99"))], "id int, v decimal(12,2)"
+    )
+    b = spark.createDataFrame([(2, "not-a-number")], "id int, v string")
+    out = union_evolved([a, b])
+    assert out.schema["v"].dataType.simpleString() == "string"
+    got = {r.id: r.v for r in out.collect()}
+    # the non-numeric value SURVIVES (double would have nulled/thrown)
+    assert got == {1: "19.99", 2: "not-a-number"}
+
+
 def test_union_evolved_single_and_empty(spark):
     import pytest
 

@@ -74,3 +74,35 @@ def test_sq_null_vector_dropped(spark):
     )
     bounds = sq_train(vecs)
     assert sq_encode(vecs, bounds).where(F.col("id") == 1).count() == 0
+
+
+def test_read_sq_codes_empty_path_schema_matches_encode(spark, tmp_path):
+    """The unwritten-path fallback of ``read_sq_codes`` must declare
+    exactly the schema ``sq_encode`` writes (ADVICE r8: it said
+    ``j bigint`` where posexplode's position makes ``j`` INT, so a
+    union with fresh codes failed or silently widened only on the
+    empty branch)."""
+    from news_data_pipeline_spark.streaming.sinks import read_sq_codes
+
+    empty = read_sq_codes(spark, str(tmp_path / "never_written"))
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    encoded = sq_encode(vecs, sq_train(vecs))
+    types = lambda df: [  # noqa: E731 — nullability is format-owned
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert types(empty) == types(encoded)
+    # the merge consumers actually perform: must neither fail nor widen
+    merged = empty.unionByName(encoded)
+    assert types(merged) == types(encoded)
+    assert merged.count() == 2
+    # and against a WRITTEN partition (the real table the fallback
+    # stands in for) the schemas agree exactly
+    encoded.write.parquet(str(tmp_path / "codes" / "batch_id=0"))
+    from pyspark.sql import functions as F  # noqa: F401
+
+    written = spark.read.option(
+        "basePath", str(tmp_path / "codes")
+    ).parquet(str(tmp_path / "codes")).select("id", "j", "code")
+    assert empty.schema == written.schema

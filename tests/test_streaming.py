@@ -936,3 +936,107 @@ def test_ingest_deduplicated_bloom_covers_exact_era_partitions(
         (4, "delta document"),
         (6, "epsilon document"),
     ]
+
+
+def test_ingest_deduplicated_bloom_rebuilds_resized_partitions(
+    spark, tmp_path
+):
+    """Redeploying the bloom sink with new (num_bits, num_hashes) must
+    not merge bit partitions hashed under the OLD sizing into the
+    probe set (ADVICE r8): mixing hash spaces produces Bloom false
+    negatives against the real corpus — the true-duplicate-append
+    failure the coverage backfill exists to prevent. Each partition
+    records its sizing; any partition recorded under other parameters
+    (or predating the stamping entirely) is rebuilt before probing."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    def run(num_bits, num_hashes):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=str(tmp_path / "ckpt"),
+            method="bloom",
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    def recorded_params():
+        meta = (
+            spark.read.option("basePath", str(bloom_dir))
+            .option("mergeSchema", "true")
+            .parquet(str(bloom_dir))
+        )
+        return {
+            (r.batch_id, r.num_bits, r.num_hashes)
+            for r in meta.select(
+                "batch_id", "num_bits", "num_hashes"
+            ).distinct().collect()
+        }
+
+    write("f1", [(1, "alpha document"), (2, "beta document")])
+    run(num_bits=64, num_hashes=3)
+    assert recorded_params() == {(0, 64, 3)}
+
+    # redeploy with different sizing; the batch carries a duplicate of
+    # an old-era document — probing a merged 64-bit/128-bit space was
+    # a false negative appending it as new
+    write("f2", [(3, "alpha document"), (4, "gamma document")])
+    run(num_bits=128, num_hashes=2)
+    got = sorted(
+        map(tuple, spark.read.parquet(corpus_path)
+            .select("doc_id", "text").collect())
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (4, "gamma document"),
+    ]
+    # partition 0 was rebuilt under the new sizing alongside the new
+    # partition — one uniform hash space
+    assert recorded_params() == {(0, 128, 2), (1, 128, 2)}
+
+    # a partition that predates the stamping entirely (no sizing
+    # columns at all) is treated as mismatched and rebuilt too
+    legacy = (
+        spark.read.parquet(str(bloom_dir / "batch_id=0"))
+        .select("bit")
+        .collect()
+    )
+    spark.createDataFrame(legacy, "bit bigint").write.mode(
+        "overwrite"
+    ).parquet(str(bloom_dir / "batch_id=0"))
+    write("f3", [(5, "beta document"), (6, "delta document")])
+    run(num_bits=128, num_hashes=2)
+    got = sorted(
+        map(tuple, spark.read.parquet(corpus_path)
+            .select("doc_id", "text").collect())
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (4, "gamma document"),
+        (6, "delta document"),
+    ]
+    assert recorded_params() == {
+        (0, 128, 2), (1, 128, 2), (2, 128, 2)
+    }
