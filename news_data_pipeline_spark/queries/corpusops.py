@@ -813,6 +813,147 @@ def pq_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_partitioned_cell_scan",
+    # IDENTICAL result contract to pq_ivf_adc_topk: the Spark side
+    # routes the codes through a cid-partitioned table on disk and a
+    # partition-pruned read; the oracle proves that storage round-trip
+    # changes nothing about the answer.
+    oracle=f"""
+    WITH {_PQ_PREFIX},
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    corpus_assign AS (
+        SELECT id AS neighbor_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT id AS query_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM query_probe q JOIN corpus_assign c ON q.cell = c.cell
+        WHERE q.query_id <> c.neighbor_id),
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM cand
+        JOIN codes cd ON cd.id = cand.neighbor_id
+        JOIN qlut l ON l.query_id = cand.query_id
+                   AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY cand.query_id, cand.neighbor_id)
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY adc_dist, neighbor_id) AS rn
+        FROM scored) t
+    WHERE rn <= 10
+    """,
+)
+def pq_partitioned_cell_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF 100-TB claim pinned in a PLAN, not prose (SCALE.md
+    round-8 measured that IVF×PQ's win over the flat ADC scan is
+    scan-level I/O pruning, not compute pruning): the cid-carrying
+    code table is WRITTEN cell-partitioned
+    (``write_layer(partition_by='cid')`` — the on-disk layout a real
+    IndexIVFPQ shard uses), and the query-side read carries a
+    probed-cells filter, so Spark's partition pruning never opens the
+    ~3/4 of the table outside the probed cells — 0 bytes read, not
+    rows filtered (``tests/test_pq.py`` asserts the pruned file set
+    via ``input_file_name``). Scoring then runs the stored-cid fast
+    path of ``operators.pq.pq_ivf_adc_topk`` over the pruned read;
+    the oracle proves exact result parity with the in-memory index.
+
+    The probed-cell list is q*nprobe <= 20 values collected driver-side
+    (bounded by construction — it is the same artifact FAISS's query
+    planner holds in memory), pushed into the read as a partition
+    filter, exactly how a cluster-side scan would prune a 100-TB code
+    table down to the probed shards."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_ivf_adc_topk as _ivfadc,
+    )
+    from news_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        dot,
+    )
+    from news_data_pipeline_spark.sources.writers import write_layer
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not emb.head(1):
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, adc_dist double, rank int",
+        )
+    cb = _pq_trained_codebooks(spark, sf_dir)
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            _as_double("embedding").alias("c_vec"),
+        )
+    )
+    cent2 = cent.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    # ingest side: cell id assigned ONCE and stored with the code
+    cells = _assign_cells(emb, cent2, "vec_id", "embedding", "id", 1).select(
+        "id", "cid"
+    )
+    codes = pq_encode(emb, cb, sub_dim=16).join(cells, on="id")
+    root = tempfile.mkdtemp(prefix="pq_cells_q_")
+    path = os.path.join(root, "codes")
+    write_layer(codes, path, partition_by="cid", mode="overwrite")
+    # query side: probe cells, prune the scan to them
+    queries = emb.where(F.col("vec_id") < 5)
+    probe = _assign_cells(
+        queries, cent2, "vec_id", "embedding", "query_id", 4
+    ).select("query_id", "cid")
+    probed = sorted(r["cid"] for r in probe.select("cid").distinct().collect())
+    pruned = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .where(F.col("cid").isin(probed))
+        .select("id", "sub", "code", F.col("cid").cast("long").alias("cid"))
+    )
+    return _ivfadc(
+        queries,
+        emb,
+        cb,
+        sub_dim=16,
+        k=10,
+        nlist=16,
+        nprobe=4,
+        centroids=cent,
+        codes=pruned,
+    )
+
+
 # --- round 7: two-stage ANN (IVF×PQ shortlist + exact rerank) -------------
 @register(
     "pq_ivf_rerank_topk",

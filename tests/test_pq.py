@@ -390,3 +390,52 @@ def test_pq_ivf_residual_prunes_to_probed_cells(spark):
     pairs = {(r.query_id, r.neighbor_id) for r in got}
     same = {(0, 2), (2, 0), (1, 3), (3, 1)}
     assert pairs == same
+
+
+def test_partitioned_cell_scan_prunes_partitions(spark, tmp_path):
+    """The 100-TB IVF claim as a PLAN property (SCALE.md r8: the win is
+    scan-level I/O pruning on cell-partitioned codes): with the code
+    table written ``partition_by='cid'`` and the read filtered to the
+    probed cells, Spark's partition pruning must keep the non-probed
+    cell directories entirely unread — asserted both in the executed
+    plan (PartitionFilters) and on the actual file set the scan opens
+    (``input_file_name``)."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.sources.writers import write_layer
+
+    # 16 cells, a few code rows per cell
+    rows = [
+        (cid * 100 + i, sub, (cid + sub + i) % 16, cid)
+        for cid in range(16)
+        for i in range(3)
+        for sub in range(4)
+    ]
+    codes = spark.createDataFrame(
+        rows, "id bigint, sub int, code int, cid bigint"
+    )
+    path = str(tmp_path / "codes")
+    write_layer(codes, path, partition_by="cid", mode="overwrite")
+
+    probed = [1, 5, 7, 11]
+    pruned = (
+        spark.read.option("basePath", path)
+        .parquet(path)
+        .where(F.col("cid").isin(probed))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters", 1)[1][:200]
+    # the scan's ACTUAL file set: only the 4 probed cell directories
+    files = {
+        r.f for r in pruned.select(F.input_file_name().alias("f")).collect()
+    }
+    cids_read = {
+        int(part.split("=", 1)[1])
+        for f in files
+        for part in f.split("/")
+        if part.startswith("cid=")
+    }
+    assert cids_read == set(probed)  # 4 of 16 partitions read
+    # parity: the pruned read returns exactly the probed cells' rows
+    assert pruned.count() == codes.where(F.col("cid").isin(probed)).count()

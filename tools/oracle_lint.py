@@ -65,6 +65,9 @@ ALLOW: dict[str, str] = {
     "cosine_topk_ivf": "dot-product cosine + -2*dot distances",
     "pq_ivf_adc_topk": "-2*dot IVF cell distances (measure-zero "
     "half-ways); ADC sums are floor-settled",
+    "pq_partitioned_cell_scan": "identical oracle to pq_ivf_adc_topk "
+    "(-2*dot IVF cell distances, floor-settled ADC sums); the Spark "
+    "side adds only the cid-partitioned storage round-trip",
     "pq_ivf_rerank_topk": "-2*dot IVF cell distances + dot-product "
     "cosine rerank; ADC sums are floor-settled",
     "cosine_topk_bruteforce": "dot-product cosine",
