@@ -489,6 +489,67 @@ def pq_ivf_rerank_topk(
     )
 
 
+def pq_residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, rvec): each vector's offset from its nearest coarse
+    centroid — the representation FAISS's ``by_residual=true``
+    quantizes. ``centroids`` carries (cid, c_vec); ``c2`` is derived
+    here when absent so callers can pass the bare frozen artifact.
+    One broadcast of the nlist-sized centroid frame + a narrow
+    ``zip_with`` map — nothing corpus-crossed."""
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    if "c2" not in centroids.columns:
+        centroids = centroids.withColumn(
+            "c2", dot(F.col("c_vec"), F.col("c_vec"))
+        )
+    cells = _assign_cells(df, centroids, id_col, vec_col, "id", 1)
+    return cells.join(
+        F.broadcast(centroids.select("cid", "c_vec")), on="cid"
+    ).select(
+        "id",
+        "cid",
+        F.zip_with(F.col("v"), F.col("c_vec"), lambda a, b: a - b).alias(
+            "rvec"
+        ),
+    )
+
+
+def pq_residual_encode(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sub_dim: int = 16,
+) -> DataFrame:
+    """(id, sub, code, cid): residual PQ codes carrying their cell id —
+    the stored row of a ``by_residual`` IndexIVFPQ shard. Encoding
+    depends only on the FROZEN (centroids, codebooks) artifacts, never
+    on the rest of the corpus, which is what makes per-batch encodes
+    mergeable under continuous ingestion
+    (``streaming.sinks.maintain_pq_codes``)."""
+    res = pq_residuals(df, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        res, codebooks, id_col="id", vec_col="rvec", sub_dim=sub_dim
+    )
+    # cell id stored WITH the code (each id has exactly one cell); on
+    # a real index this join happens once at ingest
+    return codes.join(
+        res.select(F.col("id").alias("__rid"), "cid"),
+        codes.id == F.col("__rid"),
+    ).select("id", "sub", "code", "cid")
+
+
 def pq_ivf_residual_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -552,12 +613,7 @@ def pq_ivf_residual_topk(
         F.col("v"), F.col("c_vec"), lambda a, b: a - b
     ).alias("rvec")
 
-    corpus_cells = _assign_cells(
-        corpus, centroids, id_col, vec_col, "id", 1
-    )
-    res = corpus_cells.join(cent_vecs, on="cid").select(
-        "id", "cid", residual
-    )
+    res = pq_residuals(corpus, centroids, id_col=id_col, vec_col=vec_col)
     cb = pq_train(
         res, id_col="id", vec_col="rvec", m=m, k=kcodes,
         sub_dim=sub_dim, iters=iters,
@@ -566,7 +622,8 @@ def pq_ivf_residual_topk(
         res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
     )
     # cell id stored WITH the code (each id has exactly one cell); on
-    # a real index this join happens once at ingest
+    # a real index this join happens once at ingest — the standalone
+    # form is pq_residual_encode above
     codes_cid = codes.join(
         res.select(F.col("id").alias("__rid"), "cid"),
         codes.id == F.col("__rid"),

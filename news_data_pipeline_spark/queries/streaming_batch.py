@@ -1587,3 +1587,97 @@ def streamed_sq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_sq_codes(spark, os.path.join(root, "codes"))
+
+
+def _pqr_oracle() -> str:
+    from news_data_pipeline_spark.queries.corpusops import _PQR_PREFIX
+
+    return f"""
+    WITH {_PQR_PREFIX}
+    SELECT cd.id, cd.sub, cd.code, a.ccid AS cid
+    FROM codes cd JOIN cassign a ON cd.id = a.id
+    """
+
+
+@register("streamed_pq_codes", oracle=_pqr_oracle())
+def streamed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming residual IVF×PQ index maintenance
+    (streaming.sinks.maintain_pq_codes + read_pq_codes — the
+    by_residual=true twin of streamed_sq_codes, completing the
+    streamed-index family for the FAISS-default layout): coarse
+    centroids and residual codebooks train ONCE on the corpus (the
+    frozen index artifacts, collected to bounded local relations —
+    16 centroid rows + k*m*sub_dim codebook scalars, the same
+    train-once shape as _pq_trained_codebooks), then vectors stream
+    through three availableNow micro-batches, each writing its own
+    cid-carrying code partition; the merged table must equal one
+    whole-corpus residual encode exactly. Codes append per batch,
+    the artifacts only change on an explicit re-index."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.operators.pq import (
+        pq_residuals,
+        pq_train,
+    )
+    from news_data_pipeline_spark.streaming.sinks import (
+        maintain_pq_codes,
+        read_pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    if not emb.head(1):
+        return spark.createDataFrame(
+            [], "id bigint, sub int, code int, cid bigint"
+        )
+    # frozen artifacts, materialized once as bounded local relations so
+    # per-batch encodes don't lazily re-run training inside the sink
+    cent_rows = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding"))
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(r["cid"], list(r["embedding"])) for r in cent_rows],
+        "cid bigint, c_vec array<double>",
+    )
+    cb_rows = pq_train(
+        pq_residuals(emb, centroids),
+        id_col="id",
+        vec_col="rvec",
+        m=4,
+        k=16,
+        sub_dim=16,
+        iters=1,
+    ).collect()
+    codebooks = spark.createDataFrame(
+        [(r["sub"], r["cid"], r["j"], r["value"]) for r in cb_rows],
+        "sub int, cid int, j int, value double",
+    )
+    root = tempfile.mkdtemp(prefix="pq_stream_q_")
+    landing = os.path.join(root, "landing")
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(landing, "*"))
+    )
+    q = maintain_pq_codes(
+        stream,
+        centroids,
+        codebooks,
+        id_col="vec_id",
+        vec_col="embedding",
+        sub_dim=16,
+        codes_path=os.path.join(root, "codes"),
+        checkpoint=os.path.join(root, "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    return read_pq_codes(spark, os.path.join(root, "codes"))

@@ -748,3 +748,80 @@ def read_sq_codes(spark, codes_path: str, *, fmt: str = "parquet"):
     except AnalysisException:
         return spark.createDataFrame([], "id bigint, j int, code int")
     return raw.select("id", "j", "code")
+
+
+def maintain_pq_codes(
+    stream: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    codes_path: str,
+    checkpoint: str,
+    sub_dim: int = 16,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Maintain a residual IVF×PQ code table over a vector stream —
+    the ``by_residual=true`` twin of ``maintain_sq_codes``, completing
+    the streamed-index family for the FAISS-default layout: each
+    micro-batch encodes its vectors under the FROZEN (centroids,
+    codebooks) artifacts (``operators.pq.pq_residual_encode`` —
+    frozen is what makes per-batch codes mergeable; re-training either
+    artifact per batch would silently re-quantize history against a
+    different geometry) and writes its own ``batch_id=N`` partition,
+    cell id stored with every code. A replayed batch overwrites its
+    partition — the same idempotence contract as every maintenance
+    sink here. Readers merge with ``read_pq_codes``; re-encode from
+    raw vectors if either artifact is ever retrained (an explicit
+    re-index, exactly as in FAISS)."""
+    from news_data_pipeline_spark.operators.pq import pq_residual_encode
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        write_layer(
+            pq_residual_encode(
+                batch,
+                centroids,
+                codebooks,
+                id_col=id_col,
+                vec_col=vec_col,
+                sub_dim=sub_dim,
+            ),
+            f"{codes_path}/batch_id={batch_id}",
+            mode="overwrite",
+            fmt=fmt,
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_pq_codes(spark, codes_path: str, *, fmt: str = "parquet"):
+    """The current merged residual-code table: every batch partition,
+    batch_id dropped (each vector id appears in exactly one batch, so
+    the union IS the table — no re-aggregation needed). An unwritten
+    path reads as the empty table, declared with the schema
+    ``pq_residual_encode`` actually writes (``sub``/``code`` INT,
+    ``cid`` from the centroid frame's id type — bigint here, matching
+    the first-``nlist``-by-id convention; ``id`` assumed bigint)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = (
+            spark.read.option("basePath", codes_path)
+            .format(fmt)
+            .load(codes_path)
+        )
+        raw.schema
+    except AnalysisException:
+        return spark.createDataFrame(
+            [], "id bigint, sub int, code int, cid bigint"
+        )
+    return raw.select("id", "sub", "code", "cid")

@@ -439,3 +439,77 @@ def test_partitioned_cell_scan_prunes_partitions(spark, tmp_path):
     assert cids_read == set(probed)  # 4 of 16 partitions read
     # parity: the pruned read returns exactly the probed cells' rows
     assert pruned.count() == codes.where(F.col("cid").isin(probed)).count()
+
+
+def test_maintain_pq_codes_streamed_equals_whole_corpus(spark, tmp_path):
+    """Streamed residual-code maintenance under FROZEN (centroids,
+    codebooks) == one whole-corpus pq_residual_encode, and the
+    unwritten-path fallback of read_pq_codes declares the schema the
+    written table carries."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.pq import (
+        pq_residual_encode,
+        pq_residuals,
+        pq_train,
+    )
+    from news_data_pipeline_spark.streaming.sinks import (
+        maintain_pq_codes,
+        read_pq_codes,
+    )
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(4)])
+        for i in range(12)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cent = (
+        vecs.orderBy("vec_id")
+        .limit(2)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+    )
+    cb = pq_train(
+        pq_residuals(vecs, cent), id_col="id", vec_col="rvec",
+        m=2, k=4, sub_dim=2, iters=1,
+    )
+    want = sorted(
+        map(tuple, pq_residual_encode(
+            vecs, cent, cb, sub_dim=2
+        ).collect())
+    )
+
+    landing = tmp_path / "landing"
+    for i in range(3):
+        vecs.where(F.col("vec_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"f{i}"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = maintain_pq_codes(
+        stream, cent, cb,
+        id_col="vec_id", vec_col="embedding", sub_dim=2,
+        codes_path=str(tmp_path / "codes"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    merged = read_pq_codes(spark, str(tmp_path / "codes"))
+    assert sorted(map(tuple, merged.collect())) == want
+    # three batch partitions were written
+    parts = sorted(
+        d for d in os.listdir(tmp_path / "codes")
+        if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    # empty-path fallback: same column names and types as the table
+    empty = read_pq_codes(spark, str(tmp_path / "never"))
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in merged.schema.fields
+    ]

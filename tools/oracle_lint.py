@@ -100,6 +100,9 @@ ALLOW: dict[str, str] = {
     "hard_negative_mining": "dot-product cosine",
     "pq_ivf_residual_topk": "-2*dot IVF cell distances (measure-zero "
     "half-ways); residual ADC sums are floor-settled",
+    "streamed_pq_codes": "same _PQR_PREFIX as pq_ivf_residual_topk "
+    "(-2*dot cell distances only; the code assignment itself is "
+    "floor-settled)",
 }
 
 INT_RATIO_SIG = re.compile(
