@@ -187,3 +187,32 @@ def test_text_tower_matches_image_tower(spark):
     }
     assert txt == img
     assert all(abs(sum(v) - 1.0) < 1e-4 for v in txt.values())
+
+
+def test_real_codec_escape_hatch_with_pil(spark):
+    """Exercises the PIL arm of ``_decode_image_bytes``
+    (multimodal.py) — the real-codec escape hatch behind the FIMG fake
+    container. SKIPPED (not absent) where PIL is missing, so the day
+    the environment carries it the hatch is tested automatically:
+    a real PNG decodes to the same (width, height, grayscale bytes)
+    contract the fake container satisfies, both directly and through
+    the Arrow-batched Spark path."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (5, 3))
+    img.putdata(list(range(15)))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, px = mm._decode_image_bytes(png)
+    assert (w, h) == (5, 3)
+    assert px == bytes(range(15))
+
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    r = mm.decode_images(df, "doc_id", "payload").first()
+    assert (r["width"], r["height"]) == (5, 3)
+    assert r["mean_pixel"] == sum(range(15)) / 15.0
