@@ -3967,6 +3967,166 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_recall_nprobe_curve",
+    # the operating curve an index is actually tuned from: for each
+    # nprobe, global recall@5 across the 10 eval queries AND the scan
+    # cost (vectors read = sum of probed-cell sizes) — the two axes of
+    # the recall/latency trade every FAISS deployment sweeps before
+    # fixing nprobe. Same pinned conventions as ann_recall_at_k.
+    oracle=f"""
+    WITH {_DUCK_IVF_ASSIGN},
+    np AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(nprobe)),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qe, v.e)
+                                      / (sqrt(list_dot_product(q.qe, q.qe))
+                                         * sqrt(list_dot_product(v.e, v.e))),
+                                      6) DESC,
+                                v.vec_id) AS rank
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) t
+        WHERE rank <= 5),
+    probe_ranked AS (
+        SELECT vec_id AS query_id, e AS qe, cid, r FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id < 10) t
+        WHERE r <= 16),
+    approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT np.nprobe, p.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY np.nprobe, p.query_id
+                       ORDER BY round(list_dot_product(p.qe, c.e)
+                                      / (sqrt(list_dot_product(p.qe, p.qe))
+                                         * sqrt(list_dot_product(c.e, c.e))),
+                                      6) DESC,
+                                c.neighbor_id) AS rank
+            FROM np
+            JOIN probe_ranked p ON p.r <= np.nprobe
+            JOIN corpus_assign c ON p.cid = c.cid
+            WHERE p.query_id <> c.neighbor_id) t
+        WHERE rank <= 5),
+    hits AS (
+        SELECT np.nprobe,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM np CROSS JOIN exact e
+        LEFT JOIN approx a
+          ON a.nprobe = np.nprobe AND a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY np.nprobe),
+    reads AS (
+        SELECT np.nprobe, CAST(sum(cs.n) AS BIGINT) AS vectors_read
+        FROM np
+        JOIN probe_ranked p ON p.r <= np.nprobe
+        JOIN (SELECT cid, count(*) AS n
+              FROM corpus_assign GROUP BY cid) cs ON p.cid = cs.cid
+        GROUP BY np.nprobe)
+    SELECT h.nprobe, h.n_exact, h.n_hits,
+           floor(h.n_hits / CAST(h.n_exact AS DOUBLE) * 10000 + 0.5)
+               / 10000.0 AS recall_at_5,
+           r.vectors_read
+    FROM hits h JOIN reads r ON h.nprobe = r.nprobe
+    """,
+)
+def ann_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe OPERATING CURVE (extends ann_recall_at_k
+    from one point to the sweep an operator actually tunes from):
+    for nprobe in {1, 2, 4, 8, 16}, global recall@5 of the IVF probe
+    against the exact scan across the 10 eval queries, next to the
+    scan cost that nprobe buys it — ``vectors_read``, the sum of
+    probed-cell sizes, which is exactly the fraction of the corpus a
+    cell-partitioned index reads at that setting
+    (pq_partitioned_cell_scan proves the read IS pruned to those
+    cells). Reading the two columns together answers the only tuning
+    question that matters at 100 TB: the smallest nprobe whose recall
+    clears the product bar. nprobe=16 == nlist is the exhaustive-probe
+    sanity row (recall 1.0 by construction — every cell read).
+
+    Plan shape: the exact arm is one cosine_topk over 10 queries (the
+    once-per-eval cost), each sweep arm is an ivf_topk whose candidate
+    set is bounded by its probed cells, and all per-arm aggregates are
+    1-row frames cross-joined (the adjudicated bounded-BNLJ class) —
+    the union is 5 rows total."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(
+        emb, queries, id_col="vec_id", k=5
+    ).select("query_id", "neighbor_id")
+
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        .withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    )
+    cell_sizes = (
+        _assign_cells(emb, centroids, "vec_id", "embedding", "nid", 1)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    arms = []
+    for n in (1, 2, 4, 8, 16):
+        approx = similarity.ivf_topk(
+            emb, queries, k=5, nlist=16, nprobe=n
+        ).select("query_id", F.col("neighbor_id").alias("__hit"))
+        joined = exact.join(
+            approx,
+            on=[
+                exact.query_id == approx.query_id,
+                exact.neighbor_id == approx.__hit,
+            ],
+            how="left",
+        ).select("__hit")
+        hits = joined.agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        reads = (
+            _assign_cells(
+                queries, centroids, "vec_id", "embedding", "query_id", n
+            )
+            .join(cell_sizes, on="cid")
+            .agg(F.sum("n").cast("long").alias("vectors_read"))
+        )
+        arms.append(
+            hits.crossJoin(reads).select(
+                F.lit(n).cast("int").alias("nprobe"),
+                "n_exact",
+                "n_hits",
+                settled_round(
+                    F.col("n_hits") / F.col("n_exact").cast("double"), 4
+                ).alias("recall_at_5"),
+                "vectors_read",
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionByName(arm)
+    return out
+
+
 # --- contrastive-pair mining, corpus datasheet, URL canonicalization -------
 
 

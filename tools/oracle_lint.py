@@ -98,6 +98,9 @@ ALLOW: dict[str, str] = {
     "ann_recall_at_k": "dot-product cosine + -2*dot cell distances; "
     "the recall ratio itself is floor-settled",
     "hard_negative_mining": "dot-product cosine",
+    "ann_recall_nprobe_curve": "dot-product cosine + -2*dot cell "
+    "distances (same conventions as ann_recall_at_k); the recall "
+    "ratio itself is floor-settled",
     "pq_ivf_residual_topk": "-2*dot IVF cell distances (measure-zero "
     "half-ways); residual ADC sums are floor-settled",
     "streamed_pq_codes": "same _PQR_PREFIX as pq_ivf_residual_topk "
