@@ -117,6 +117,14 @@ TAIL_QUERIES = (
     # arms, so the whole ANN family's cost is tracked round-over-round
     "pq_ivf_residual_topk",
     "sq_adc_topk",
+    # round-9 registrations deliberately absent: streamed_pq_codes is a
+    # streamed twin (checkpoint/temp-dir plumbing, the standing
+    # exclusion), pq_partitioned_cell_scan writes+reads a temp code
+    # table per run (its data-scaling signal IS pq_ivf_adc_topk's,
+    # already tracked; the partition-pruning property is a plan assert
+    # in tests), and ann_recall_nprobe_curve's exact arm is the same
+    # scan class as the headline cosine_topk_bruteforce — its cost is
+    # sweep plan depth, not a new data term.
 )
 
 

@@ -473,3 +473,36 @@ def test_canonicalize_url_edges(spark):
         ).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_widen_lattice_properties():
+    """_widen is the join of a widening lattice: commutative,
+    idempotent, and never maps a non-numeric type into a numeric one
+    (the ADVICE-r8 decimal-hijack class, pinned for every pair)."""
+    from itertools import product
+
+    from news_data_pipeline_spark.functions.columns import _widen
+
+    types = [
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "decimal(12,2)", "decimal(38,18)", "decimal(20,10)",
+        "string", "boolean", "date", "timestamp",
+    ]
+    numerics = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
+
+    def is_numeric(t):
+        return t in numerics or t.startswith("decimal")
+
+    for a, b in product(types, types):
+        w = _widen(a, b)
+        assert w == _widen(b, a), (a, b)          # commutative
+        assert _widen(a, a) == a, a               # idempotent
+        assert _widen(w, w) == w, (a, b)          # result is a fixpoint
+        # a numeric result only ever comes from two numeric inputs
+        if is_numeric(w):
+            assert is_numeric(a) and is_numeric(b), (a, b, w)
+        # mixed numeric/non-numeric is ALWAYS the string fallback
+        if is_numeric(a) != is_numeric(b):
+            assert w == "string", (a, b, w)
