@@ -226,6 +226,131 @@ def dedup_sweep(spark, sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def graph_sweep(spark, sizes: list[int]) -> None:
+    """Measured SLOPES for the iterative graph family: nodes at N,
+    10N, 100N (edges = 10 per node), timing pagerank (10 iters),
+    connected_components (bounded-hop, checkpoint_every=2) and
+    triangle_counts. Same synthetic generator as the default probe —
+    modular-hash destinations, so components/ranks are non-trivial."""
+    from news_data_pipeline_spark.operators import graph
+
+    for n_nodes in sizes:
+        dsts = F.array(
+            *[
+                (
+                    (F.col("id") * F.lit(7 + 2 * k) + F.lit(k * k))
+                    % n_nodes
+                )
+                for k in range(10)
+            ]
+        )
+        edges = (
+            spark.range(n_nodes)
+            .select(F.col("id").alias("src"), F.explode(dsts).alias("dst"))
+            .persist()
+        )
+        print(f"\n=== graph sweep: {edges.count()} edges, {n_nodes} nodes ===")
+
+        def timed(name, thunk):
+            t0 = time.perf_counter()
+            n = thunk().count()
+            print(f"{name}: {time.perf_counter() - t0:.1f}s, {n} rows")
+
+        timed(
+            "pagerank iters=10",
+            lambda: graph.pagerank(edges, "src", "dst", iters=10),
+        )
+        timed(
+            "connected_components max_iter=10",
+            lambda: graph.connected_components(
+                edges, "src", "dst", max_iter=10, checkpoint_every=2
+            ),
+        )
+        timed(
+            "triangle_counts",
+            lambda: graph.triangle_counts(edges, "src", "dst"),
+        )
+        edges.unpersist()
+
+
+def ingest_sweep(spark, batch_counts: list[int]) -> None:
+    """Continuous-ingestion dedup slope: total wall-clock of
+    ``ingest_deduplicated`` (availableNow, one file per trigger) for
+    growing batch counts, per method. 2k docs per batch, each batch
+    carrying a 5% duplicate tail of the PREVIOUS batch — the probe
+    every batch must win against the whole accepted corpus. The slope
+    across batch counts is the evidence: exact anti-joins the full
+    corpus per trigger (per-batch cost grows with corpus), bloom
+    probes a constant-size bit table and anti-joins only the
+    maybe-rows (per-batch cost ~flat)."""
+    import shutil
+    import tempfile
+
+    from news_data_pipeline_spark.streaming import sinks as stx
+
+    batch_docs = 2000
+    for n_batches in batch_counts:
+        for method in ("exact", "bloom"):
+            root = tempfile.mkdtemp(prefix="ingest_sweep_")
+            landing = os.path.join(root, "landing")
+            for b in range(n_batches):
+                base = b * batch_docs
+                # dup rows repeat a BATCH-0 doc (same residue class, so
+                # the target's own seed is itself): every batch b>=1
+                # carries exactly 5% true duplicates of the accepted
+                # corpus, the probe each trigger must catch
+                seed = F.when(
+                    (F.col("id") % 20 == 19) & (F.col("id") >= batch_docs),
+                    F.col("id") % batch_docs,
+                ).otherwise(F.col("id"))
+                words = F.array(
+                    *[
+                        F.concat(
+                            F.lit("w"),
+                            F.pmod(
+                                F.hash(seed * 40 + F.lit(i)), F.lit(50_000)
+                            ).cast("string"),
+                        )
+                        for i in range(40)
+                    ]
+                )
+                (
+                    spark.range(base, base + batch_docs)
+                    .select(
+                        F.col("id").alias("doc_id"),
+                        F.concat_ws(" ", words).alias("text"),
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(landing, f"b{b:03d}"))
+                )
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(landing, "*"))
+            )
+            t0 = time.perf_counter()
+            q = stx.ingest_deduplicated(
+                stream,
+                id_col="doc_id",
+                text_col="text",
+                corpus_path=os.path.join(root, "corpus"),
+                checkpoint=os.path.join(root, "ckpt"),
+                method=method,
+                available_now=True,
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            n = spark.read.parquet(os.path.join(root, "corpus")).count()
+            print(
+                f"ingest {method}: {n_batches} batches x {batch_docs} docs"
+                f" -> {dt:.1f}s total, {dt / n_batches:.2f}s/batch,"
+                f" corpus {n} rows",
+                flush=True,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
@@ -237,6 +362,12 @@ def main() -> None:
     ap.add_argument("--dedup-sweep", type=str, default=None,
                     help="comma-separated corpus sizes: run the dedup "
                          "slope sweep (5%% duplicate rate) instead")
+    ap.add_argument("--graph-sweep", type=str, default=None,
+                    help="comma-separated node counts: run the "
+                         "iterative-graph slope sweep instead")
+    ap.add_argument("--ingest-sweep", type=str, default=None,
+                    help="comma-separated batch counts: run the "
+                         "streaming ingest-dedup slope sweep instead")
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -246,6 +377,16 @@ def main() -> None:
         return
     if args.dedup_sweep:
         dedup_sweep(spark, [int(x) for x in args.dedup_sweep.split(",")])
+        spark.stop()
+        return
+    if args.graph_sweep:
+        graph_sweep(spark, [int(x) for x in args.graph_sweep.split(",")])
+        spark.stop()
+        return
+    if args.ingest_sweep:
+        ingest_sweep(
+            spark, [int(x) for x in args.ingest_sweep.split(",")]
+        )
         spark.stop()
         return
     # ~40 words/doc from a 200-word vocabulary; doc ids repeat text every
