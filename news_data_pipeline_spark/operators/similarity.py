@@ -236,6 +236,100 @@ def signbucket_topk(
     )
 
 
+def multitable_signbucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """OR-amplified sign-LSH top-k: ``tables`` independent bucket
+    families, a pair is a candidate if it collides in ANY table —
+    the classic Charikar random-hyperplane scheme's recall lever
+    (single-table ``signbucket_topk`` misses any true neighbor whose
+    signs differ in the one projection; each extra table multiplies
+    the miss probability). Table ``t`` buckets on the sign bits of
+    components ``[t*m, t*m + m)`` — axis-aligned and deterministic,
+    the same oracle-expressible family as ``sign_bucket``; vectors
+    shorter than ``tables*m`` degrade to '0' bits, never fail.
+
+    Plan shape: each side explodes to ``tables`` (id, bucket) rows —
+    a bounded linear fan-out — and candidates come from the per-table
+    bucket equi-join (shuffle by bucket, never a cross product). A
+    pair colliding in several tables scores identically each time, so
+    OR-amplification's dedup is one ``distinct`` over the scored
+    candidate rows (bounded by candidates, not corpus²). Exact
+    re-rank on recall-critical paths stays ``cosine_topk``.
+    """
+
+    def table_buckets(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.concat(
+                    F.lit(f"{t}:"),
+                    *[
+                        F.when(
+                            F.get(vec, t * m + j) >= 0, F.lit("1")
+                        ).otherwise(F.lit("0"))
+                        for j in range(m)
+                    ],
+                )
+                for t in range(tables)
+            ]
+        )
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("q_vec"),
+            F.explode(table_buckets(_as_double(vec_col))).alias("bucket"),
+        )
+        .withColumn("q_nrm", l2_norm(F.col("q_vec")))
+    )
+    c = (
+        fan_out(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(vec_col).alias("c_vec"),
+            )
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            F.explode(table_buckets(F.col("c_vec"))).alias("bucket"),
+        )
+        .withColumn("c_nrm", l2_norm(F.col("c_vec")))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim").isNotNull())
+        # OR-amplification: a pair colliding in several tables is the
+        # same candidate — identical score, so distinct IS the dedup
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def cosine_topk_arrow(
     corpus: DataFrame,
     queries: DataFrame,

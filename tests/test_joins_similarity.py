@@ -488,3 +488,58 @@ def test_hard_negatives_band_and_conventions(spark):
     for r in got:
         assert r.cosine_sim == full[r.neighbor_id]
         assert 0.5 <= r.cosine_sim < 0.95
+
+
+def test_multitable_signbucket_amplifies_single_table(spark):
+    """OR-amplification contract: table 0 of the multi-table family IS
+    the single-table bucket (components [0, m)), so every single-table
+    candidate pair survives and recall can only go up; extra tables
+    admit pairs whose first-m signs differ but later-window signs
+    agree. Short vectors (< tables*m dims) degrade to '0' bits, never
+    fail."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.similarity import (
+        multitable_signbucket_topk,
+        signbucket_topk,
+    )
+
+    rows = [
+        # 8-dim vectors; ids 0/1 agree in signs of dims 0-3 only, so
+        # with m=4 they share table-0 buckets; ids 0/2 agree ONLY in
+        # dims 4-7 (table 1) — invisible to the single table
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [2.0, 1.0, 3.0, 1.0, -1.0, -2.0, -1.0, -1.0]),
+        (2, [-1.0, -1.0, -1.0, -1.0, 2.0, 1.0, 1.0, 3.0]),
+    ]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = vecs.where(F.col("vec_id") == 0)
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in signbucket_topk(vecs, qs, k=5, m=4).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in multitable_signbucket_topk(
+            vecs, qs, k=5, m=4, tables=2
+        ).collect()
+    }
+    assert single == {(0, 1)}
+    assert multi == {(0, 1), (0, 2)}  # table 1 recovers the miss
+    assert single <= multi
+    # a pair colliding in BOTH tables appears once (distinct dedup)
+    both = spark.createDataFrame(
+        [(0, [1.0] * 8), (9, [1.0] * 8)], ["vec_id", "embedding"]
+    )
+    out = multitable_signbucket_topk(
+        both, both.where(F.col("vec_id") == 0), k=5, m=4, tables=2
+    ).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [(0, 9, 1)]
+    # vectors shorter than tables*m: '0'-bit degrade, no failure
+    short = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [1.0, -1.0])], ["vec_id", "embedding"]
+    )
+    got = multitable_signbucket_topk(
+        short, short.where(F.col("vec_id") == 0), k=5, m=4, tables=2
+    ).collect()
+    assert [(r.query_id, r.neighbor_id) for r in got] == [(0, 1)]

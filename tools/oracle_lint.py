@@ -73,6 +73,9 @@ ALLOW: dict[str, str] = {
     "cosine_topk_bruteforce": "dot-product cosine",
     "multimodal_embedding_topk": "dot-product cosine",
     "cosine_topk_signbucket": "dot-product cosine",
+    "cosine_topk_multitable": "dot-product cosine (same "
+    "_DUCK_COSINE_SCORE template as cosine_topk_signbucket, "
+    "OR-of-tables bucket filter)",
     "semantic_dedup_clusters": "-2*dot kmeans distances",
     "ivf_kmeans_centroids": "kmeans distances + centroid means "
     "(moment sums probe-watched)",
