@@ -65,6 +65,8 @@ KNOWN_BNLJ = {
     "tfidf_cosine_pairs": "1-row doc-count broadcast into idf; x4 because the weights subtree (which carries it) recurs under norms and both posting sides",
     "bpe_word_encodings": "x6 = one 1-row merge-pair broadcast per replayed rank (merges.where(rank==k) over the NUM_MERGES-row local artifact; apply_pair contract)",
     "bpe_symbol_vocab": "x6 = one 1-row merge-pair broadcast per replayed rank (same apply_merges chain as bpe_word_encodings)",
+    "pq_partitioned_cell_scan": "nlist=16 centroid frame broadcast into the ingest-side cell assign and the query probe (same pair as pq_ivf_adc_topk; the code-table read itself is a partition-pruned parquet scan)",
+    "ann_recall_nprobe_curve": "x30 = 5 sweep arms x (10-query broadcast in the exact arm + nlist=16 centroid frames in the IVF/probe/cell-size assigns + the 1-row hits x 1-row reads cross join) — every side contract-bounded, output 5 rows",
 }
 
 # Plan facts worth counting. CartesianProduct/BatchEvalPython are hard
