@@ -543,3 +543,52 @@ def test_multitable_signbucket_amplifies_single_table(spark):
         short, short.where(F.col("vec_id") == 0), k=5, m=4, tables=2
     ).collect()
     assert [(r.query_id, r.neighbor_id) for r in got] == [(0, 1)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join == plain equi-join row-for-row (inner and left,
+    null keys included on the left arm), with the salt column gone
+    from the output; unsupported hows and the reserved column fail
+    loudly."""
+    import pytest
+
+    from news_data_pipeline_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(k, v) for k in (0, 0, 0, 1, 2, 7) for v in range(5)],
+        "k int, v int",
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, w string"
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            map(tuple, big.join(small, on="k", how=how).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                salted_join(big, small, "k", salts=4, how=how).collect(),
+            )
+        )
+        assert got == want, how
+    out = salted_join(big, small, "k", salts=4)
+    assert "__salt" not in out.columns
+    # multiplicity under duplicate small-side keys survives salting
+    dup_small = small.union(small.where("k = 0"))
+    assert (
+        salted_join(big, dup_small, "k", salts=3).count()
+        == big.join(dup_small, on="k").count()
+    )
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="salts"):
+        salted_join(big, small, "k", salts=0)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big.withColumn("__salt", big.v), small, "k")
+    # key-only big frame: salt degenerates to the key, still correct
+    key_only = big.select("k")
+    assert (
+        sorted(map(tuple, salted_join(key_only, small, "k").collect()))
+        == sorted(map(tuple, key_only.join(small, on="k").collect()))
+    )

@@ -351,6 +351,87 @@ def ingest_sweep(spark, batch_counts: list[int]) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def skew_sweep(spark, rows: int) -> None:
+    """Hot-key join A/B — SCALE.md asserted 'AQE skew-join splits hot
+    buckets'; this probe measures what actually happens. Left:
+    ``rows`` facts with a ~96B INCOMPRESSIBLE payload (an 'xxx…' pad
+    lz4-compresses to nothing and hides skew from byte-based
+    detection — probe-measured), 40% on key 0, rest uniform over 1000
+    keys; right: one row per key, broadcast defeated by conf so the
+    join plans sort-merge (the strategy skew handling exists for).
+    Arms: uniform baseline, hot with AQE skewJoin on/off, and hot via
+    ``operators.joins.salted_join`` (salts=32). Consumer is a GLOBAL
+    aggregate carrying the payload (``max(pad)``): a groupBy on the
+    join key would let Catalyst re-use the join's partitioning and
+    suppress any split, and ``sum(length(pad))`` lets Catalyst project
+    the payload away below the exchange — both measured dead ends.
+    """
+    import pyspark.sql.functions as SF
+
+    from news_data_pipeline_spark.operators.joins import salted_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    right = spark.range(1000).select(
+        SF.col("id").alias("k"), (SF.col("id") % 13).alias("w")
+    )
+
+    def left(hot: bool):
+        key = (
+            SF.when(SF.col("id") % 10 < 4, SF.lit(0))
+            .otherwise(SF.col("id") % 1000)
+            if hot
+            else SF.col("id") % 1000
+        )
+        return spark.range(rows).select(
+            key.alias("k"),
+            (SF.col("id") % 97).alias("v"),
+            SF.concat(
+                SF.md5(SF.col("id").cast("string")),
+                SF.md5((SF.col("id") + 1).cast("string")),
+            ).alias("pad"),
+        )
+
+    def agg(joined):
+        return joined.agg(
+            SF.sum(SF.col("v") * SF.col("w")).alias("s"),
+            SF.max("pad").alias("p"),
+        )
+
+    arms = {
+        "uniform (skewJoin off)": lambda: agg(
+            left(False).join(right, on="k")
+        ),
+        "hot (skewJoin off)": lambda: agg(left(True).join(right, on="k")),
+        "hot (skewJoin on)": lambda: agg(left(True).join(right, on="k")),
+        "hot salted_join(32)": lambda: agg(
+            salted_join(left(True), right, "k", salts=32)
+        ),
+    }
+
+    def run(name, thunk):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled",
+            "true" if "skewJoin on" in name else "false",
+        )
+        t0 = time.perf_counter()
+        thunk().count()
+        print(
+            f"skew arm rows={rows} {name}: {time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+
+    for name, thunk in arms.items():  # warm pass
+        run(name, thunk)
+    for _ in range(2):
+        for name, thunk in arms.items():
+            run(name, thunk)
+    for c in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        spark.conf.unset(c)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=100_000)
@@ -368,6 +449,9 @@ def main() -> None:
     ap.add_argument("--ingest-sweep", type=str, default=None,
                     help="comma-separated batch counts: run the "
                          "streaming ingest-dedup slope sweep instead")
+    ap.add_argument("--skew", type=int, default=None,
+                    help="fact-row count: run the AQE skew-join A/B "
+                         "probe instead")
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -387,6 +471,10 @@ def main() -> None:
         ingest_sweep(
             spark, [int(x) for x in args.ingest_sweep.split(",")]
         )
+        spark.stop()
+        return
+    if args.skew:
+        skew_sweep(spark, args.skew)
         spark.stop()
         return
     # ~40 words/doc from a 200-word vocabulary; doc ids repeat text every
