@@ -52,28 +52,57 @@ def partition_valid_invalid(
 def salted_join(
     big: DataFrame,
     skewed: DataFrame,
-    on: str,
+    on: str | Sequence[str],
     *,
     salt_buckets: int = 16,
+    salt_from: Sequence[str] | None = None,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: salt the big side, explode the small side.
+    """Skew-spreading equi-join: the big side gets a deterministic
+    per-row salt in ``[0, salt_buckets)`` (Murmur3 over ``salt_from``
+    — by default every non-key column), the small side replicates once
+    per salt value, and the join keys become ``(on…, salt)`` — a hot
+    key's rows spread over ``salt_buckets`` reducers instead of one
+    straggler. For hot keys (e.g. the reference's ``fillna("UNKNOWN")``
+    author bucket, ``03:42-44`` — SURVEY §7.3) where AQE skew
+    splitting isn't enough — and measured
+    (``tools/scale_probe.py --skew``, SCALE.md round-9c): on a 40%-hot
+    key over 50M sort-merge-joined rows the skew penalty is 2.1× and
+    AQE's split did NOT engage, while salting recovered ~40% of it.
 
-    For hot keys (e.g. the reference's ``fillna("UNKNOWN")`` author bucket,
-    ``03:42-44`` — SURVEY §7.3) where AQE skew splitting isn't enough.
-    The small side is replicated ``salt_buckets`` times, so keep it small.
+    The salt is a CONTENT hash, not ``rand(seed)``: a seeded rand
+    still depends on partition layout, so the physical spread (and any
+    sampling downstream of it) would vary with
+    ``spark.sql.shuffle.partitions`` — the determinism class the
+    round-5 probe watches. The small side replicates ``salt_buckets``
+    times, so keep it genuinely small — and prefer ``dim_join``'s
+    broadcast whenever it fits (a broadcast join has no skew problem
+    at all); salting is for the big-big case.
+
+    ``how`` supports the multiplicities salting preserves unchanged
+    (``inner``/``left``: every big-side row still meets exactly the
+    matching small-side rows, each existing once per salt).
     """
     if how not in ("inner", "left"):
         # right/full would emit each unmatched small-side row once per
         # salt replica — salt_buckets-fold inflation
         raise ValueError(f"salted_join supports how='inner'|'left', got {how!r}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt_from is None:
+        salt_from = [c for c in big.columns if c not in keys]
+        if not salt_from:
+            salt_from = keys  # key-only frame: degenerate but valid
+    if "__salt" in big.columns or "__salt" in skewed.columns:
+        raise ValueError("salted_join reserves the '__salt' column")
     salted_big = big.withColumn(
-        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "__salt", F.pmod(F.hash(*salt_from), F.lit(salt_buckets))
     )
     exploded_small = skewed.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    out = salted_big.join(exploded_small, on=[on, "__salt"], how=how)
+    out = salted_big.join(exploded_small, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
 
 
@@ -218,59 +247,3 @@ def range_join(
     cond = (F.col("__bucket") == F.col("__rbucket")) & (lv >= lo) & (lv < hi)
     out = l_b.join(r_b, on=cond, how=how)
     return out.drop("__bucket", "__rbucket")
-
-
-def salted_join(
-    big: DataFrame,
-    small: DataFrame,
-    on: str | Sequence[str],
-    *,
-    salts: int = 16,
-    salt_from: Sequence[str] | None = None,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-spreading equi-join: the big side gets a deterministic
-    per-row salt in ``[0, salts)`` (Murmur3 over ``salt_from`` — by
-    default every non-key column), the small side replicates once per
-    salt value, and the join keys become ``(on…, salt)`` — a hot key's
-    rows spread over ``salts`` reducers instead of one straggler.
-
-    When to reach for it (measured, ``tools/scale_probe.py --skew``):
-    a 40%-hot key on a 50M-row sort-merge join ran 2.1× slower than
-    the uniform baseline on local[32], AQE's skew split did NOT engage
-    on that shape, and salting with ``salts=32`` recovered most of the
-    gap (7.1-7.7 s → 5.2-5.4 s warm). Prefer ``dim_join`` (broadcast)
-    whenever the small side fits — a broadcast join has no skew
-    problem at all; salting is for the big-big case where the hot
-    key's partition is a real straggler. Cost: the small side
-    replicates ``salts``× (keep it genuinely small) and the big side
-    carries one extra int column through the shuffle.
-
-    ``how`` supports the multiplicities that survive salting
-    unchanged: ``inner`` and ``left`` (every big-side row still meets
-    exactly the matching small-side rows — each exists once per
-    salt). Right/full/semi/anti joins would need de-salting semantics
-    on the replicated side; use the unsalted operators for those.
-    """
-    if how not in ("inner", "left"):
-        raise ValueError(
-            f"salted_join supports how='inner'|'left', got {how!r}"
-        )
-    if salts < 1:
-        raise ValueError(f"salts must be >= 1, got {salts}")
-    keys = [on] if isinstance(on, str) else list(on)
-    if salt_from is None:
-        salt_from = [c for c in big.columns if c not in keys]
-        if not salt_from:
-            salt_from = keys  # key-only frame: degenerate but valid
-    if "__salt" in big.columns or "__salt" in small.columns:
-        raise ValueError("salted_join reserves the '__salt' column")
-    salted_big = big.withColumn(
-        "__salt", F.pmod(F.hash(*salt_from), F.lit(salts))
-    )
-    replicated = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
-    )
-    return salted_big.join(
-        replicated, on=keys + ["__salt"], how=how
-    ).drop("__salt")

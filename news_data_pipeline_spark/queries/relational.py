@@ -1780,3 +1780,46 @@ def merge_delete_matched_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "salted_events_segment_totals",
+    # plain equi-join SQL: salting is a PHYSICAL rewrite only, so the
+    # oracle proving the salted plan returns the unsalted answer IS
+    # the operator's correctness contract
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum({sql_units('e.value', 6)}) AS BIGINT) AS value_units
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_events_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-to-dim join through operators.joins.salted_join
+    (salt_buckets=8 — the hot-key mitigation measured in SCALE.md round-9c),
+    aggregating event volume and exact 6dp value units per customer
+    segment. The oracle is the PLAIN join: salting must be physically
+    invisible — same rows, same multiplicities, same totals — which is
+    exactly what the driver hash verifies. In production this operator
+    is for big-big joins whose hot keys AQE demonstrably does not
+    split; with a dim this small you would broadcast instead
+    (dim_join), accepted here to keep the salted plan under the
+    correctness gate at data scale."""
+    from news_data_pipeline_spark.operators.joins import salted_join
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        salted_join(events, cust, "user_id", salt_buckets=8)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(settled_units(F.col("value"), 6))
+            .cast("long")
+            .alias("value_units"),
+        )
+    )

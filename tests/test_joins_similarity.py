@@ -568,22 +568,22 @@ def test_salted_join_matches_plain_join(spark):
         got = sorted(
             map(
                 tuple,
-                salted_join(big, small, "k", salts=4, how=how).collect(),
+                salted_join(big, small, "k", salt_buckets=4, how=how).collect(),
             )
         )
         assert got == want, how
-    out = salted_join(big, small, "k", salts=4)
+    out = salted_join(big, small, "k", salt_buckets=4)
     assert "__salt" not in out.columns
     # multiplicity under duplicate small-side keys survives salting
     dup_small = small.union(small.where("k = 0"))
     assert (
-        salted_join(big, dup_small, "k", salts=3).count()
+        salted_join(big, dup_small, "k", salt_buckets=3).count()
         == big.join(dup_small, on="k").count()
     )
     with pytest.raises(ValueError, match="inner"):
         salted_join(big, small, "k", how="full")
-    with pytest.raises(ValueError, match="salts"):
-        salted_join(big, small, "k", salts=0)
+    with pytest.raises(ValueError, match="salt_buckets"):
+        salted_join(big, small, "k", salt_buckets=0)
     with pytest.raises(ValueError, match="__salt"):
         salted_join(big.withColumn("__salt", big.v), small, "k")
     # key-only big frame: salt degenerates to the key, still correct

@@ -360,7 +360,7 @@ def skew_sweep(spark, rows: int) -> None:
     keys; right: one row per key, broadcast defeated by conf so the
     join plans sort-merge (the strategy skew handling exists for).
     Arms: uniform baseline, hot with AQE skewJoin on/off, and hot via
-    ``operators.joins.salted_join`` (salts=32). Consumer is a GLOBAL
+    ``operators.joins.salted_join`` (salt_buckets=32). Consumer is a GLOBAL
     aggregate carrying the payload (``max(pad)``): a groupBy on the
     join key would let Catalyst re-use the join's partitioning and
     suppress any split, and ``sum(length(pad))`` lets Catalyst project
@@ -404,7 +404,7 @@ def skew_sweep(spark, rows: int) -> None:
         "hot (skewJoin off)": lambda: agg(left(True).join(right, on="k")),
         "hot (skewJoin on)": lambda: agg(left(True).join(right, on="k")),
         "hot salted_join(32)": lambda: agg(
-            salted_join(left(True), right, "k", salts=32)
+            salted_join(left(True), right, "k", salt_buckets=32)
         ),
     }
 
