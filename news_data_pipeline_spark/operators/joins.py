@@ -64,11 +64,17 @@ def salted_join(
     per salt value, and the join keys become ``(on…, salt)`` — a hot
     key's rows spread over ``salt_buckets`` reducers instead of one
     straggler. For hot keys (e.g. the reference's ``fillna("UNKNOWN")``
-    author bucket, ``03:42-44`` — SURVEY §7.3) where AQE skew
-    splitting isn't enough — and measured
+    author bucket, ``03:42-44`` — SURVEY §7.3) in the shapes AQE's
+    skew split cannot serve — measured
     (``tools/scale_probe.py --skew``, SCALE.md round-9c): on a 40%-hot
-    key over 50M sort-merge-joined rows the skew penalty is 2.1× and
-    AQE's split did NOT engage, while salting recovered ~40% of it.
+    key over 50M sort-merge-joined rows the penalty is ~5× and AQE's
+    split erases it when it CAN engage, but a consumer aggregating on
+    the join key suppresses the split (splitting would break the
+    partitioning the aggregate reuses; marker-verified) and the
+    straggler returns (21 s vs 6.5 s). Salting is the fix for exactly
+    those shapes — 12.9 s vs 21-27 s there, its (key, salt) output
+    paying one honest re-shuffle into the aggregate — and for
+    engines/regimes without AQE. When the split can engage, let it.
 
     The salt is a CONTENT hash, not ``rand(seed)``: a seeded rand
     still depends on partition layout, so the physical spread (and any

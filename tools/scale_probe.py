@@ -352,20 +352,24 @@ def ingest_sweep(spark, batch_counts: list[int]) -> None:
 
 
 def skew_sweep(spark, rows: int) -> None:
-    """Hot-key join A/B — SCALE.md asserted 'AQE skew-join splits hot
-    buckets'; this probe measures what actually happens. Left:
-    ``rows`` facts with a ~96B INCOMPRESSIBLE payload (an 'xxx…' pad
-    lz4-compresses to nothing and hides skew from byte-based
-    detection — probe-measured), 40% on key 0, rest uniform over 1000
-    keys; right: one row per key, broadcast defeated by conf so the
-    join plans sort-merge (the strategy skew handling exists for).
-    Arms: uniform baseline, hot with AQE skewJoin on/off, and hot via
-    ``operators.joins.salted_join`` (salt_buckets=32). Consumer is a GLOBAL
-    aggregate carrying the payload (``max(pad)``): a groupBy on the
-    join key would let Catalyst re-use the join's partitioning and
-    suppress any split, and ``sum(length(pad))`` lets Catalyst project
-    the payload away below the exchange — both measured dead ends.
+    """Hot-key join A/B — measures the skew penalty, whether AQE's
+    skew split engages (read from the EXECUTED Dataset's plan:
+    ``.count()`` builds its own QueryExecution, so reading markers
+    after count() inspects an unexecuted plan — the round-9 detection
+    artifact this probe now guards against), and what the two
+    mitigations buy. Left: ``rows`` facts with a ~96B INCOMPRESSIBLE
+    payload (an 'xxx…' pad lz4-compresses to nothing and the skew
+    detector reads compressed map sizes), 40% on key 0, rest uniform
+    over 1000 keys; right: one row per key, broadcast defeated so the
+    join plans sort-merge. The consumer carries the payload
+    (``max(pad)``) — a consumer Catalyst can prune the payload out of
+    measures a narrow join instead. Arms: uniform baseline; hot with
+    skewJoin off/on; hot with a groupBy ON THE JOIN KEY (AQE
+    suppresses the split rather than add a shuffle — marker-verified);
+    hot through ``operators.joins.salted_join``.
     """
+    import statistics
+
     import pyspark.sql.functions as SF
 
     from news_data_pipeline_spark.operators.joins import salted_join
@@ -397,34 +401,47 @@ def skew_sweep(spark, rows: int) -> None:
             SF.max("pad").alias("p"),
         )
 
-    arms = {
-        "uniform (skewJoin off)": lambda: agg(
-            left(False).join(right, on="k")
-        ),
-        "hot (skewJoin off)": lambda: agg(left(True).join(right, on="k")),
-        "hot (skewJoin on)": lambda: agg(left(True).join(right, on="k")),
-        "hot salted_join(32)": lambda: agg(
-            salted_join(left(True), right, "k", salt_buckets=32)
-        ),
-    }
-
-    def run(name, thunk):
+    arms = [
+        ("uniform skewOff", False,
+         lambda: agg(left(False).join(right, on="k"))),
+        ("hot skewOff", False,
+         lambda: agg(left(True).join(right, on="k"))),
+        ("hot skewOn", True,
+         lambda: agg(left(True).join(right, on="k"))),
+        ("hot skewOn groupBy-join-key", True,
+         lambda: left(True).join(right, on="k").groupBy("k").agg(
+             SF.sum(SF.col("v") * SF.col("w")).alias("s"),
+             SF.max("pad").alias("p"))),
+        ("hot salted32 skewOff", False,
+         lambda: agg(salted_join(
+             left(True), right, "k", salt_buckets=32))),
+    ]
+    for _, skew, build in arms:  # warm pass
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.enabled",
-            "true" if "skewJoin on" in name else "false",
+            "spark.sql.adaptive.skewJoin.enabled", str(skew).lower()
         )
-        t0 = time.perf_counter()
-        thunk().count()
+        build().collect()
+    for tag, skew, build in arms:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew).lower()
+        )
+        ts, marker = [], None
+        for _ in range(3):
+            frame = build()
+            t0 = time.perf_counter()
+            frame.collect()
+            ts.append(time.perf_counter() - t0)
+            # marker MUST come from this executed Dataset's plan
+            marker = (
+                "skew=true"
+                in frame._jdf.queryExecution().executedPlan().toString()
+            )
         print(
-            f"skew arm rows={rows} {name}: {time.perf_counter() - t0:.1f}s",
+            f"skew arm rows={rows} {tag}: median"
+            f" {statistics.median(ts):.1f}s (min {min(ts):.1f} max"
+            f" {max(ts):.1f}) skew-split={marker}",
             flush=True,
         )
-
-    for name, thunk in arms.items():  # warm pass
-        run(name, thunk)
-    for _ in range(2):
-        for name, thunk in arms.items():
-            run(name, thunk)
     for c in (
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.adaptive.skewJoin.enabled",
