@@ -946,3 +946,58 @@ def test_hard_negatives_is_banded_topk(spark, vecs):
     )
     assert [(r.cosine_sim, r.neighbor_id) for r in got] == want
     assert [r.rank for r in got] == list(range(1, len(got) + 1))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.text(alphabet="xy", max_size=2),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.sampled_from(["inner", "left"]),
+)
+@SETTINGS
+def test_salted_join_is_physically_invisible(
+    spark, big_rows, small_rows, salt_buckets, how
+):
+    """salted_join == the plain join on ANY inputs: same multiset of
+    output rows for every salt_buckets and supported how — duplicate
+    keys on either side, null payloads, empty frames, unmatched keys
+    (including left-join null extension) all preserved. Salting is a
+    physical rewrite; the result must never see it."""
+    from news_data_pipeline_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(big_rows, "k int, v int") if big_rows else (
+        spark.createDataFrame([], "k int, v int")
+    )
+    small = (
+        spark.createDataFrame(small_rows, "k int, w string")
+        if small_rows
+        else spark.createDataFrame([], "k int, w string")
+    )
+    want = sorted(
+        map(tuple, big.join(small, on="k", how=how).collect()),
+        key=repr,
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(
+                big, small, "k", salt_buckets=salt_buckets, how=how
+            ).collect(),
+        ),
+        key=repr,
+    )
+    assert got == want
