@@ -4121,7 +4121,12 @@ def ann_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     once-per-eval cost), each sweep arm is an ivf_topk whose candidate
     set is bounded by its probed cells, and all per-arm aggregates are
     1-row frames cross-joined (the adjudicated bounded-BNLJ class) —
-    the union is 5 rows total."""
+    the union is 5 rows total. The exact/cell-size subtrees recur
+    under every arm lazily; MEASURED at sf0.1: localCheckpointing them
+    does not pay (4.9-5.4 s vs 4.4-5.0 s plain — they are cheap next
+    to the 5 ivf_topk arms, unlike crossmodal's render subtree), so
+    the plan stays checkpoint-free; revisit only if the eval query
+    set grows past tens of queries."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(
