@@ -158,6 +158,182 @@ def _batch_partition_ids(spark, path: str) -> set:
     return out
 
 
+def _fs(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` (driver-side metadata IO)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _write_json_sidecar(spark, path: str, payload: dict) -> None:
+    """Overwrite a tiny JSON metadata file at ``path`` via the Hadoop
+    FS API — bytes-sized driver-side IO, invisible to Spark table
+    readers when the file name is underscore-prefixed."""
+    import json
+
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_json_sidecar(spark, path: str) -> dict | None:
+    """Read a JSON sidecar written by ``_write_json_sidecar``; ``None``
+    if absent or unparsable (callers treat that as "re-derive")."""
+    import json
+
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        # py4j copies byte[] args, so stream.read(buf) can't fill a
+        # Python bytearray — drain JVM-side via commons-io instead
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    try:
+        return json.loads(text)
+    except ValueError:
+        return None
+
+
+#: sentinel ``batch_id`` for the compacted bloom bit partition — real
+#: micro-batch ids are non-negative, so the probe read's
+#: ``batch_id != current`` filter always keeps it.
+_COMPACTED_BATCH_ID = -1
+
+
+def _bloom_partition_sizing(
+    spark, bloom_path: str, part_id: int, fmt: str
+) -> tuple | None:
+    """The ``(num_bits, num_hashes)`` one bloom bit partition was
+    hashed under, or ``None`` when unknowable (pre-stamping partition
+    — the caller must rebuild it). Prefers the ``_sizing.json``
+    sidecar (driver-side bytes read, no scan); partitions written
+    before sidecars fall back to one single-partition parquet read."""
+    side = _read_json_sidecar(
+        spark, f"{bloom_path}/batch_id={part_id}/_sizing.json"
+    )
+    if side is not None and {"num_bits", "num_hashes"} <= set(side):
+        return (side["num_bits"], side["num_hashes"])
+    try:
+        one = (
+            spark.read.format(fmt)
+            .load(f"{bloom_path}/batch_id={part_id}")
+        )
+        if {"num_bits", "num_hashes"} <= set(one.columns):
+            row = one.select("num_bits", "num_hashes").head(1)
+            if row:
+                return (row[0]["num_bits"], row[0]["num_hashes"])
+    except Exception:
+        pass
+    return None
+
+
+def compact_bloom_partitions(
+    spark,
+    corpus_path: str,
+    *,
+    num_bits: int,
+    num_hashes: int,
+    fmt: str = "parquet",
+) -> int:
+    """OR-merge every bloom bit partition under ``{corpus_path}/_bloom``
+    into the single sentinel partition ``batch_id=-1`` and record which
+    corpus partitions it covers in a ``_covered.json`` root sidecar.
+
+    Why: the per-partition layout is what makes replay idempotent (a
+    replayed batch overwrites exactly its own bits), but after hundreds
+    of triggers the per-trigger partition LISTING and the probe read's
+    footer count grow with batch count (``SCALE.md`` round-9 noted the
+    creep). Compaction restores O(1): one merged bit partition + one
+    sidecar carrying the sizing and the covered ids, so the coverage
+    and sizing guards keep working without per-partition metadata.
+
+    Safety: only partitions verified to be hashed under the CURRENT
+    ``(num_bits, num_hashes)`` are merged — merging foreign hash spaces
+    is the Bloom false-negative bug the sizing guard exists to stop;
+    mismatched partitions are left in place for the sink's rebuild
+    path. A batch replayed AFTER its bits were merged re-creates its
+    own partition; its stale bits remain inside the merged set, which
+    is only false-positive-direction (extra maybe-rows re-checked by
+    the corpus anti-join) — exact-parity is preserved.
+
+    Returns the number of per-batch partitions merged away.
+    """
+    from pyspark.sql import functions as F
+
+    bloom_path = f"{corpus_path}/_bloom"
+    parts = _batch_partition_ids(spark, bloom_path)
+    parts.discard(_COMPACTED_BATCH_ID)
+    prior = _read_json_sidecar(spark, f"{bloom_path}/_covered.json") or {}
+    prior_ok = (
+        prior.get("num_bits") == num_bits
+        and prior.get("num_hashes") == num_hashes
+    )
+    covered = set(prior.get("covered", [])) if prior_ok else set()
+    mergeable = {
+        pid
+        for pid in parts
+        if _bloom_partition_sizing(spark, bloom_path, pid, fmt)
+        == (num_bits, num_hashes)
+    }
+    if not mergeable and prior_ok:
+        return 0
+    sources = [f"{bloom_path}/batch_id={pid}" for pid in sorted(mergeable)]
+    has_sentinel = _COMPACTED_BATCH_ID in _batch_partition_ids(
+        spark, bloom_path
+    )
+    if has_sentinel and prior_ok:
+        sources.append(f"{bloom_path}/batch_id={_COMPACTED_BATCH_ID}")
+    if not sources:
+        return 0
+    merged = (
+        spark.read.format(fmt)
+        .load(sources)
+        .select("bit")
+        .distinct()
+        .withColumn("num_bits", F.lit(num_bits))
+        .withColumn("num_hashes", F.lit(num_hashes))
+    )
+    # stage the merge, then swap: the sentinel partition may be one of
+    # the inputs, so writing over it mid-read would corrupt the scan
+    staging = f"{bloom_path}/_compact_staging"
+    write_layer(merged, staging, mode="overwrite", fmt=fmt)
+    fs, _ = _fs(spark, bloom_path)
+    jvm = spark._jvm
+    dest = jvm.org.apache.hadoop.fs.Path(
+        f"{bloom_path}/batch_id={_COMPACTED_BATCH_ID}"
+    )
+    fs.delete(dest, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(staging), dest)
+    _write_json_sidecar(
+        spark,
+        f"{bloom_path}/batch_id={_COMPACTED_BATCH_ID}/_sizing.json",
+        {"num_bits": num_bits, "num_hashes": num_hashes},
+    )
+    _write_json_sidecar(
+        spark,
+        f"{bloom_path}/_covered.json",
+        {
+            "covered": sorted(covered | mergeable),
+            "num_bits": num_bits,
+            "num_hashes": num_hashes,
+        },
+    )
+    for pid in sorted(mergeable):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{bloom_path}/batch_id={pid}"),
+            True,
+        )
+    return len(mergeable)
+
+
 def ingest_deduplicated(
     stream: DataFrame,
     *,
@@ -173,6 +349,7 @@ def ingest_deduplicated(
     rows_per_band: int = 4,
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
+    compact_after: int | None = None,
 ) -> StreamingQuery:
     """Continuously ingest documents, deduplicating each micro-batch
     against everything already accepted — the streaming twin of
@@ -209,6 +386,18 @@ def ingest_deduplicated(
     the partition with nothing. Reading the parent path with
     ``basePath`` surfaces ``batch_id`` as an ordinary partition column,
     so the exclusion is partition pruning, not a scan-and-filter.
+
+    Sizing validation is sidecar-based and memoized: each bit
+    partition carries a ``_sizing.json`` (plus the stamped columns for
+    pre-sidecar compatibility); a trigger validates only partitions it
+    has not seen, with driver-side bytes reads — steady state does no
+    validation IO at all (the round-8 guard re-scanned the whole bit
+    table with ``mergeSchema`` every micro-batch). When
+    ``compact_after`` is set, a trigger that leaves at least that many
+    per-batch bit partitions OR-merges them into one sentinel
+    partition via ``compact_bloom_partitions`` — the per-trigger
+    partition listing and probe-read footer count stay O(1) over
+    unbounded batch counts instead of growing with ingest history.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
@@ -243,6 +432,25 @@ def ingest_deduplicated(
             .withColumn("num_bits", F.lit(num_bits))
             .withColumn("num_hashes", F.lit(num_hashes))
         )
+
+    def _write_bits(spark, fp_frame: DataFrame, part_id: int) -> None:
+        part_path = f"{bloom_path}/batch_id={part_id}"
+        write_layer(
+            _stamped_bits(fp_frame), part_path, mode="overwrite", fmt=fmt
+        )
+        # sizing sidecar: lets later triggers validate this partition
+        # with a driver-side bytes read instead of a parquet scan
+        _write_json_sidecar(
+            spark,
+            f"{part_path}/_sizing.json",
+            {"num_bits": num_bits, "num_hashes": num_hashes},
+        )
+
+    # bloom partitions whose sizing has been confirmed at the current
+    # (num_bits, num_hashes) — validation is memoized across triggers so
+    # steady state does zero per-partition IO (the round-8 guard read
+    # the WHOLE bit table with mergeSchema every micro-batch)
+    validated: set[int] = set()
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if not batch.head(1):
@@ -286,47 +494,70 @@ def ingest_deduplicated(
                 # redeployed with new sizing — would merge a foreign
                 # hash space into the bit set and produce Bloom false
                 # negatives just like a missing partition. Each
-                # partition carries its parameters as constant columns
-                # (RLE'd to nothing in parquet); any partition whose
-                # recorded parameters differ from this call's — or
-                # that predates the stamping — is rebuilt alongside
-                # the missing ones.
+                # unvalidated partition's sizing is read from its
+                # ``_sizing.json`` sidecar (driver-side bytes, no
+                # scan; pre-sidecar partitions fall back to one
+                # single-partition read of their stamped columns) and
+                # the verdict is memoized, so steady state re-checks
+                # nothing. Mismatched or pre-stamping partitions are
+                # rebuilt alongside the missing ones.
                 stale: set[int] = set()
-                if bloom_parts:
-                    meta = (
-                        spark.read.option("basePath", bloom_path)
-                        .option("mergeSchema", "true")
-                        .format(fmt)
-                        .load(bloom_path)
-                    )
-                    if {"num_bits", "num_hashes"} <= set(meta.columns):
-                        for r in (
-                            meta.select(
-                                "batch_id", "num_bits", "num_hashes"
-                            )
-                            .distinct()
-                            .collect()
-                        ):
-                            if (
-                                r["num_bits"] != num_bits
-                                or r["num_hashes"] != num_hashes
-                            ):
-                                stale.add(r["batch_id"])
+                for pid in sorted(bloom_parts - validated):
+                    if _bloom_partition_sizing(
+                        spark, bloom_path, pid, fmt
+                    ) == (num_bits, num_hashes):
+                        validated.add(pid)
                     else:
-                        stale = set(bloom_parts)
-                    stale.discard(batch_id)
-                for missing in sorted(corpus_parts - (bloom_parts - stale)):
+                        stale.add(pid)
+                # the compacted sentinel partition covers the corpus
+                # partitions listed in the root ``_covered.json``
+                covered_ids: set[int] = set()
+                if _COMPACTED_BATCH_ID in bloom_parts:
+                    if _COMPACTED_BATCH_ID in stale:
+                        # a sentinel hashed under foreign sizing would
+                        # merge a foreign hash space into EVERY probe
+                        # read: drop it; its covered partitions rebuild
+                        # below like any other missing partition
+                        fs, _ = _fs(spark, bloom_path)
+                        jvm = spark._jvm
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{bloom_path}/batch_id="
+                                f"{_COMPACTED_BATCH_ID}"
+                            ),
+                            True,
+                        )
+                        fs.delete(
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{bloom_path}/_covered.json"
+                            ),
+                            False,
+                        )
+                        stale.discard(_COMPACTED_BATCH_ID)
+                        bloom_parts.discard(_COMPACTED_BATCH_ID)
+                    else:
+                        meta = (
+                            _read_json_sidecar(
+                                spark, f"{bloom_path}/_covered.json"
+                            )
+                            or {}
+                        )
+                        if (
+                            meta.get("num_bits") == num_bits
+                            and meta.get("num_hashes") == num_hashes
+                        ):
+                            covered_ids = set(meta.get("covered", []))
+                ok_parts = (bloom_parts - stale) - {_COMPACTED_BATCH_ID}
+                for missing in sorted(
+                    corpus_parts - (ok_parts | covered_ids)
+                ):
                     part_fp = (
                         spark.read.format(fmt)
                         .load(f"{corpus_path}/batch_id={missing}")
                         .select(fingerprint(F.col(text_col)).alias("__fp"))
                     )
-                    write_layer(
-                        _stamped_bits(part_fp),
-                        f"{bloom_path}/batch_id={missing}",
-                        mode="overwrite",
-                        fmt=fmt,
-                    )
+                    _write_bits(spark, part_fp, missing)
+                    validated.add(missing)
                 try:
                     bits = (
                         spark.read.option("basePath", bloom_path)
@@ -374,15 +605,22 @@ def ingest_deduplicated(
                 surv_fp = deduped.select(
                     fingerprint(F.col(text_col)).alias("__fp")
                 )
-                write_layer(
-                    _stamped_bits(surv_fp),
-                    f"{bloom_path}/batch_id={batch_id}",
-                    mode="overwrite",
-                    fmt=fmt,
-                )
+                _write_bits(spark, surv_fp, batch_id)
+                validated.add(batch_id)
         finally:
             if method == "bloom":
                 deduped.unpersist()
+        if method == "bloom" and compact_after is not None:
+            live = _batch_partition_ids(spark, bloom_path)
+            live.discard(_COMPACTED_BATCH_ID)
+            if len(live) >= compact_after:
+                compact_bloom_partitions(
+                    spark,
+                    corpus_path,
+                    num_bits=num_bits,
+                    num_hashes=num_hashes,
+                    fmt=fmt,
+                )
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint

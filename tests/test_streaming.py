@@ -1040,3 +1040,261 @@ def test_ingest_deduplicated_bloom_rebuilds_resized_partitions(
     assert recorded_params() == {
         (0, 128, 2), (1, 128, 2), (2, 128, 2)
     }
+
+
+def test_ingest_deduplicated_bloom_compaction(spark, tmp_path):
+    """``compact_after`` OR-merges per-batch bit partitions into the
+    sentinel ``batch_id=-1`` partition with a ``_covered.json`` root
+    sidecar — the per-trigger partition listing stays O(1) over
+    unbounded ingest history — while keep/drop decisions remain exactly
+    the keep/drop of ``method='exact'`` (duplicates of compacted-era
+    documents must still be caught through the merged bits)."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=str(tmp_path / "ckpt"),
+            method="bloom",
+            num_bits=64,
+            num_hashes=3,
+            available_now=True,
+            compact_after=2,
+        )
+        q.awaitTermination()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    def bloom_partitions():
+        return sorted(
+            d for d in os.listdir(bloom_dir) if d.startswith("batch_id=")
+        )
+
+    write("f1", [(1, "alpha document"), (2, "beta document")])
+    write("f2", [(3, "gamma document")])
+    write("f3", [(4, "delta document")])
+    run()
+    # three triggers, threshold 2: batches 0-1 compacted when trigger 1
+    # hit the threshold; batch 2's own partition waits for the next one
+    assert bloom_partitions() == ["batch_id=-1", "batch_id=2"]
+    from news_data_pipeline_spark.streaming.sinks import (
+        _read_json_sidecar,
+    )
+
+    meta = _read_json_sidecar(spark, f"{bloom_dir}/_covered.json")
+    assert meta == {"covered": [0, 1], "num_bits": 64, "num_hashes": 3}
+
+    # duplicates of compacted-era docs are caught through merged bits;
+    # the new batch's own partition appears, then compacts again
+    write("f4", [(5, "alpha document"), (6, "epsilon document")])
+    write("f5", [(7, "gamma document"), (8, "zeta document")])
+    run()
+    got = sorted(
+        map(tuple, spark.read.parquet(corpus_path)
+            .select("doc_id", "text").collect())
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (3, "gamma document"),
+        (4, "delta document"),
+        (6, "epsilon document"),
+        (8, "zeta document"),
+    ]
+    assert bloom_partitions() == ["batch_id=-1", "batch_id=4"]
+    meta = _read_json_sidecar(spark, f"{bloom_dir}/_covered.json")
+    assert meta["covered"] == [0, 1, 2, 3]
+    # merged bits == bits of ALL accepted survivors' fingerprints
+    from news_data_pipeline_spark.functions.text import fingerprint
+    from news_data_pipeline_spark.operators.sketches import bloom_bits
+
+    streamed = (
+        spark.read.option("basePath", str(bloom_dir))
+        .parquet(str(bloom_dir))
+        .select("bit")
+        .distinct()
+    )
+    want = bloom_bits(
+        spark.read.parquet(corpus_path).select(
+            fingerprint(F.col("text")).alias("__fp")
+        ),
+        "__fp",
+        num_bits=64,
+        num_hashes=3,
+    )
+    assert sorted(r.bit for r in streamed.collect()) == sorted(
+        r.bit for r in want.collect()
+    )
+
+
+def test_bloom_compaction_resize_rebuilds_covered_partitions(
+    spark, tmp_path
+):
+    """Redeploying with new (num_bits, num_hashes) AFTER compaction:
+    the sentinel partition was hashed under the old sizing, so its
+    bits must be dropped — not merged into the new hash space — and
+    every corpus partition it covered rebuilt under the new sizing.
+    A duplicate of a compacted-era document must still be caught."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    def run(num_bits, num_hashes, compact_after=2):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=str(tmp_path / "ckpt"),
+            method="bloom",
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+            available_now=True,
+            compact_after=compact_after,
+        )
+        q.awaitTermination()
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    write("f1", [(1, "alpha document"), (2, "beta document")])
+    write("f2", [(3, "gamma document")])
+    run(num_bits=64, num_hashes=3)
+    assert sorted(
+        d for d in os.listdir(bloom_dir) if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+
+    # redeploy at 128/2 WITHOUT compaction so the rebuild is visible:
+    # the stale sentinel is deleted, covered partitions 0..1 rebuilt
+    # per-batch, and the alpha duplicate is caught (a merged
+    # 64-bit/128-bit probe space was the false-negative bug)
+    write("f3", [(4, "alpha document"), (5, "delta document")])
+    run(num_bits=128, num_hashes=2, compact_after=None)
+    got = sorted(
+        map(tuple, spark.read.parquet(corpus_path)
+            .select("doc_id", "text").collect())
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (3, "gamma document"),
+        (5, "delta document"),
+    ]
+    parts = sorted(
+        d for d in os.listdir(bloom_dir) if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert not os.path.exists(bloom_dir / "_covered.json")
+    meta = (
+        spark.read.option("basePath", str(bloom_dir))
+        .parquet(str(bloom_dir))
+    )
+    assert {
+        (r.batch_id, r.num_bits, r.num_hashes)
+        for r in meta.select("batch_id", "num_bits", "num_hashes")
+        .distinct()
+        .collect()
+    } == {(0, 128, 2), (1, 128, 2), (2, 128, 2)}
+
+
+def test_compact_bloom_partitions_standalone(spark, tmp_path):
+    """``compact_bloom_partitions`` as an ad-hoc maintenance call:
+    merges only partitions verified at the CURRENT sizing, leaves
+    mismatched ones for the sink's rebuild path, and is a no-op when
+    there is nothing new to merge."""
+    import os
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    write("f1", [(1, "alpha document")])
+    write("f2", [(2, "beta document")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.ingest_deduplicated(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        corpus_path=corpus_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        method="bloom",
+        num_bits=64,
+        num_hashes=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+    # fake one partition written under a foreign sizing (collect, then
+    # overwrite — a lazy read of the path being overwritten would race)
+    bits = (
+        spark.read.parquet(str(bloom_dir / "batch_id=1"))
+        .select("bit")
+        .collect()
+    )
+    (
+        spark.createDataFrame(bits, "bit bigint")
+        .withColumn("num_bits", F.lit(32))
+        .withColumn("num_hashes", F.lit(2))
+        .write.mode("overwrite")
+        .parquet(str(bloom_dir / "batch_id=1"))
+    )
+
+    merged = stx.compact_bloom_partitions(
+        spark, corpus_path, num_bits=64, num_hashes=3
+    )
+    assert merged == 1  # only the current-sizing partition
+    parts = sorted(
+        d for d in os.listdir(bloom_dir) if d.startswith("batch_id=")
+    )
+    assert parts == ["batch_id=-1", "batch_id=1"]
+    from news_data_pipeline_spark.streaming.sinks import (
+        _read_json_sidecar,
+    )
+
+    meta = _read_json_sidecar(spark, f"{bloom_dir}/_covered.json")
+    assert meta["covered"] == [0]
+    # idempotent: nothing new to merge
+    assert (
+        stx.compact_bloom_partitions(
+            spark, corpus_path, num_bits=64, num_hashes=3
+        )
+        == 0
+    )
