@@ -85,6 +85,21 @@ def salted_join(
     broadcast whenever it fits (a broadcast join has no skew problem
     at all); salting is for the big-big case.
 
+    **Salt-cardinality contract**: because the salt is content-derived,
+    ``salt_from`` must vary WITHIN each hot key — rows of a hot key
+    that are byte-identical across ``salt_from`` land in one bucket and
+    the straggler survives untouched (results stay correct; the
+    mitigation is silently zero). That is inherent to any deterministic
+    layout-independent salt: identical rows cannot be separated without
+    partition information, which is exactly what determinism forbids.
+    So when the frame has a row-unique column (an id, a line number),
+    pass it in ``salt_from`` explicitly; the all-non-key-columns
+    default only spreads as well as the payload's per-key cardinality,
+    and the degenerate ``salt_from=keys`` fallback (key-only frames)
+    spreads nothing by construction. ``salt_spread`` measures the
+    achieved spread per key — run it once when adopting this operator
+    on a new shape (the skew probe asserts through it).
+
     ``how`` supports the multiplicities salting preserves unchanged
     (``inner``/``left``: every big-side row still meets exactly the
     matching small-side rows, each existing once per salt).
@@ -110,6 +125,40 @@ def salted_join(
     )
     out = salted_big.join(exploded_small, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def salt_spread(
+    big: DataFrame,
+    on: str | Sequence[str],
+    *,
+    salt_buckets: int = 16,
+    salt_from: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diagnostic for ``salted_join``'s salt-cardinality contract: per
+    join key, how many rows there are and how many distinct salt
+    buckets they actually spread over under the same salt derivation
+    ``salted_join`` would use. A hot key with ``distinct_salts == 1``
+    (payload constant within the key — e.g. skew born from a
+    ``fillna`` default bucket with identical rows) gets ZERO skew
+    mitigation from salting; pick higher-cardinality ``salt_from``
+    columns (ideally a row-unique id) or accept the straggler. One
+    aggregation over the big side — run it when adopting the operator
+    on a new shape, not per query."""
+    keys = [on] if isinstance(on, str) else list(on)
+    if salt_from is None:
+        salt_from = [c for c in big.columns if c not in keys]
+        if not salt_from:
+            salt_from = keys
+    return (
+        big.withColumn(
+            "__salt", F.pmod(F.hash(*salt_from), F.lit(salt_buckets))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("__salt").alias("distinct_salts"),
+        )
+    )
 
 
 def asof_join(

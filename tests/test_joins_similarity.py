@@ -20,7 +20,9 @@ def test_semi_anti_partition(spark):
     assert valid.count() + invalid.count() == df.count()
 
 
-def test_salted_join_matches_plain_join(spark):
+def test_salted_join_set_parity_two_keys(spark):
+    # distinct from test_salted_join_matches_plain_join below, which was
+    # shadowing this module-level name and silently disabling this test
     big = spark.createDataFrame(
         [(k, i) for i in range(50) for k in ("hot", "cold")], ["k", "i"]
     )
@@ -592,3 +594,34 @@ def test_salted_join_matches_plain_join(spark):
         sorted(map(tuple, salted_join(key_only, small, "k").collect()))
         == sorted(map(tuple, key_only.join(small, on="k").collect()))
     )
+
+
+def test_salt_spread_diagnostic(spark):
+    """salt_spread surfaces the salt-cardinality contract: a hot key
+    with per-key-varying salt columns spreads over many buckets; a hot
+    key whose payload is CONSTANT within the key reports
+    distinct_salts == 1 — the zero-mitigation case the salted_join
+    docstring warns about (ADVICE r9)."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.joins import salt_spread
+
+    varying = spark.range(400).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    row = (
+        salt_spread(varying, "k", salt_buckets=8)
+        .collect()[0]
+    )
+    assert row["rows"] == 400
+    assert row["distinct_salts"] == 8
+
+    constant = spark.range(400).select(
+        F.lit(0).alias("k"), F.lit(99).alias("v")
+    )
+    row = salt_spread(constant, "k", salt_buckets=8).collect()[0]
+    assert row["distinct_salts"] == 1
+    # key-only frame: degenerate salt_from=keys fallback spreads nothing
+    keyonly = spark.range(400).select(F.lit(0).alias("k"))
+    row = salt_spread(keyonly, "k", salt_buckets=8).collect()[0]
+    assert row["distinct_salts"] == 1

@@ -416,6 +416,23 @@ def skew_sweep(spark, rows: int) -> None:
          lambda: agg(salted_join(
              left(True), right, "k", salt_buckets=32))),
     ]
+    # salt-cardinality contract check (operators.joins docstring): the
+    # hot key must actually spread — a constant-payload hot key would
+    # salt into one bucket and the arm would measure nothing
+    from news_data_pipeline_spark.operators.joins import salt_spread
+
+    spread = (
+        salt_spread(left(True), "k", salt_buckets=32)
+        .orderBy(SF.desc("rows"))
+        .head(1)[0]
+    )
+    print(
+        f"skew salt spread: hot key rows={spread['rows']}"
+        f" distinct_salts={spread['distinct_salts']}/32",
+        flush=True,
+    )
+    assert spread["distinct_salts"] >= 24, "hot key failed to spread"
+
     for _, skew, build in arms:  # warm pass
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(skew).lower()
