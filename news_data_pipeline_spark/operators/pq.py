@@ -132,13 +132,24 @@ def pq_train(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     comp = _components(df, id_col, vec_col, sub_dim)
+    return _train_on_components(comp, m=m, k=k, iters=iters)
+
+
+def _train_on_components(
+    comp: DataFrame, *, m: int, k: int, iters: int
+) -> DataFrame:
+    """``pq_train`` body over a prebuilt components frame — lets a
+    caller that also encodes share ONE (optionally materialized)
+    components derivation across the train pass's three references and
+    the encode's one, instead of four lazy re-derivations of the
+    explode subtree (``pq_ivf_residual_topk(materialize=True)``)."""
     cb = comp.where(F.col("id") < k).select(
         "sub",
         F.col("id").cast("int").alias("cid"),
         "j",
         F.col("x").alias("value"),
     )
-    spark = df.sparkSession
+    spark = comp.sparkSession
     schema = "sub int, cid int, j int, value double"
     for i in range(iters):
         assigned = _assign_codes(comp, cb)
@@ -564,6 +575,7 @@ def pq_ivf_residual_topk(
     nlist: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """IndexIVFPQ with RESIDUAL encoding — FAISS's ``by_residual=true``
     default, completing the raw-code variant ``pq_ivf_adc_topk``: each
@@ -590,6 +602,20 @@ def pq_ivf_residual_topk(
     settled ADC distance, neighbor-id tie-break, self-pairs excluded.
     Training is deterministic: first-``kcodes`` residuals by id seed
     the codebooks, same convention as ``pq_train``.
+
+    ``materialize=True`` eagerly localCheckpoints the residual frame
+    and its components explode, which otherwise re-derive under
+    train (3 references), encode, and the stored-cid join. Measured
+    at sf0.1 (``tools/ab_pqr_checkpoint.py``, round 10): res-only
+    checkpoint 4.67 → 4.45 s (~5%), res+components 5.08 → 5.12 s
+    (no gain; arms verified result-identical) — NOT adopted for the
+    registered query, mirroring the round-6 tfidf finding: at 2000
+    vectors the recurring subtrees are cheap narrow maps and the
+    checkpoint write costs what the recomputes cost; the query's
+    remaining wall-clock is stage-count overhead, not data. On a
+    cluster where the corpus is large and train/encode re-scans are
+    real IO, flip it on — the artifacts it pins are exactly the
+    once-at-ingest index build.
     """
     from news_data_pipeline_spark.operators.similarity import (
         _assign_cells,
@@ -614,13 +640,30 @@ def pq_ivf_residual_topk(
     ).alias("rvec")
 
     res = pq_residuals(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    cb = pq_train(
-        res, id_col="id", vec_col="rvec", m=m, k=kcodes,
-        sub_dim=sub_dim, iters=iters,
-    )
-    codes = pq_encode(
-        res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
-    )
+    if materialize:
+        # the components explode of the residual frame recurs FOUR
+        # times (train references it three times — seed, assign,
+        # means — and encode once more), each lazily re-deriving the
+        # assign+broadcast-join+zip_with+posexplode subtree; an eager
+        # localCheckpoint computes it once (the crossmodal round-9
+        # lesson — a recurring non-shuffle subtree AQE cannot reuse).
+        # res itself is checkpointed too for the stored-cid join.
+        # Corpus-sized: on a real deployment this is the once-at-ingest
+        # encode, not per-query work — which is why the flag is opt-in.
+        res = res.localCheckpoint(eager=True)
+        rcomp = _components(res, "id", "rvec", sub_dim).localCheckpoint(
+            eager=True
+        )
+        cb = _train_on_components(rcomp, m=m, k=kcodes, iters=iters)
+        codes = _assign_codes(rcomp, cb)
+    else:
+        cb = pq_train(
+            res, id_col="id", vec_col="rvec", m=m, k=kcodes,
+            sub_dim=sub_dim, iters=iters,
+        )
+        codes = pq_encode(
+            res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
+        )
     # cell id stored WITH the code (each id has exactly one cell); on
     # a real index this join happens once at ingest — the standalone
     # form is pq_residual_encode above

@@ -513,3 +513,38 @@ def test_maintain_pq_codes_streamed_equals_whole_corpus(spark, tmp_path):
     assert [(f.name, f.dataType) for f in empty.schema.fields] == [
         (f.name, f.dataType) for f in merged.schema.fields
     ]
+
+
+def test_residual_topk_materialize_parity(spark):
+    """materialize=True (eager localCheckpoint of the residual frame +
+    components explode, shared across train/encode/cid-join) must be
+    physically invisible: identical rows to the all-lazy plan. The
+    sf0.1 A/B measured no win at bench scale (docstring) — the flag is
+    a cluster-scale knob, so parity is the thing to pin."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.pq import pq_ivf_residual_topk
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 13) - 6.0 for j in range(32)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    kw = dict(
+        sub_dim=8, m=4, kcodes=8, iters=1, k=5, nlist=8, nprobe=3
+    )
+    lazy = sorted(
+        map(tuple, pq_ivf_residual_topk(queries, emb, **kw).collect())
+    )
+    ckpt = sorted(
+        map(
+            tuple,
+            pq_ivf_residual_topk(
+                queries, emb, materialize=True, **kw
+            ).collect(),
+        )
+    )
+    assert lazy == ckpt
