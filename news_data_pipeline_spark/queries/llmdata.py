@@ -3866,6 +3866,261 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XMODAL_INDEX: dict = {}
+
+
+def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
+    """Build-once frozen IndexIVFPQ for the crossmodal family, keyed by
+    dataset directory: (corpus embeddings, centroids, codebooks, stored
+    codes). A retrieval deployment builds all four at ingest and serves
+    every query from them; re-deriving them per query is bench-shape,
+    not production shape (round-9 verdict on
+    ``multimodal_crossmodal_topk``'s remaining cost).
+
+    Cache discipline (extends the r7 ``_pq_trained_codebooks``
+    precedent): bounded artifacts (m*k*sub_dim codebook scalars, nlist
+    centroid rows) live as collected rows in driver memory; the
+    CORPUS-SIZED artifacts (cid-carrying codes, raw embedding column)
+    are never held on the driver — they spool once to session-temp
+    parquet, the same on-disk shard layout
+    ``streaming.sinks.maintain_pq_codes`` writes, and every run reads
+    them back as ordinary scans. Training and encoding are
+    deterministic (first-16-by-id centroids/seeds, settled integer
+    units), so a cache hit is value-identical to a rebuild — the
+    DuckDB oracle re-verifies the full semantics on every gate run.
+
+    Empty corpus: artifacts degrade to empty frames without touching
+    disk (an empty parquet write round-trips, but there is nothing to
+    amortize)."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.pq import pq_encode, pq_train
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    cb_schema = "sub int, cid int, j int, value double"
+    cent_schema = "cid bigint, c_vec array<double>"
+    emb_schema = "id long, embedding array<double>"
+    codes_schema = "id long, sub int, code int, cid bigint"
+
+    art = _XMODAL_INDEX.get(sf_dir)
+    if art is None:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+
+        def build(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [
+                            mm.fake_image_bytes(
+                                t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                            )
+                            for i, t in zip(pdf["doc_id"], pdf["text"])
+                        ],
+                    }
+                )
+
+        if not docs.head(1):
+            art = (None, [], [])
+            _XMODAL_INDEX[sf_dir] = art
+        else:
+            import os
+            import tempfile
+
+            root = tempfile.mkdtemp(prefix="xmodal_index_")
+            images = fan_out(docs).mapInPandas(
+                build, "doc_id long, payload binary"
+            )
+            # the vision tower runs ONCE, at index build; the raw
+            # embedding column is itself a stored artifact (the
+            # reranker's float column)
+            mm.image_embeddings(images, "doc_id", "payload", dim=16).select(
+                "id", F.col("embedding").cast("array<double>").alias(
+                    "embedding"
+                )
+            ).write.parquet(os.path.join(root, "vectors"))
+            corpus = spark.read.schema(emb_schema).parquet(
+                os.path.join(root, "vectors")
+            )
+            cb = pq_train(corpus, id_col="id", m=4, k=16, sub_dim=4, iters=1)
+            cb_rows = [
+                (r["sub"], r["cid"], r["j"], r["value"])
+                for r in cb.collect()
+            ]
+            # centroid convention = first nlist corpus vectors by id —
+            # read from the stored vectors (filter pushes into the scan;
+            # no re-render)
+            cent_rows = [
+                (r["id"], list(r["embedding"]))
+                for r in corpus.where(F.col("id") < 16)
+                .orderBy("id")
+                .collect()
+            ]
+            centroids = spark.createDataFrame(cent_rows, cent_schema)
+            cells = _assign_cells(
+                corpus,
+                centroids.withColumn(
+                    "c2", dot(F.col("c_vec"), F.col("c_vec"))
+                ),
+                "id",
+                "embedding",
+                "id",
+                1,
+            ).select("id", "cid")
+            pq_encode(corpus, cb, id_col="id", sub_dim=4).join(
+                cells, on="id"
+            ).write.parquet(os.path.join(root, "codes"))
+            art = (root, cb_rows, cent_rows)
+            _XMODAL_INDEX[sf_dir] = art
+    root, cb_rows, cent_rows = art
+    if root is None:
+        return (
+            spark.createDataFrame([], emb_schema),
+            spark.createDataFrame([], cent_schema),
+            spark.createDataFrame([], cb_schema),
+            spark.createDataFrame([], codes_schema),
+        )
+    import os
+
+    return (
+        spark.read.schema(emb_schema).parquet(os.path.join(root, "vectors")),
+        spark.createDataFrame(cent_rows, cent_schema),
+        spark.createDataFrame(cb_rows, cb_schema),
+        spark.read.schema(codes_schema).parquet(os.path.join(root, "codes")),
+    )
+
+
+@register(
+    "crossmodal_topk_frozen",
+    # identical oracle to multimodal_crossmodal_topk: freezing the index
+    # (stored cid-carrying codes + collected centroid artifact) is
+    # physically invisible — same shortlist, same exact rerank.
+    oracle=f"""
+    {_DUCK_IMG_EMB},
+    {_PQ4_PREFIX},
+    cent AS (SELECT id AS ccid, e AS c FROM v ORDER BY id LIMIT 16),
+    corpus_assign AS (
+        SELECT id AS neighbor_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    query_probe AS (
+        SELECT id AS query_id, ccid AS cell FROM (
+            SELECT v.id, cent.ccid,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cent.ccid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.id < 5) t
+        WHERE r <= 4),
+    cand AS (
+        SELECT q.query_id, c.neighbor_id
+        FROM query_probe q JOIN corpus_assign c ON q.cell = c.cell
+        WHERE q.query_id <> c.neighbor_id),
+    qlut AS (
+        SELECT q.id AS query_id, q.sub, cb1.cid AS code,
+               CAST(floor(
+                   sum(CAST(floor((q.x - cb1.value) * (q.x - cb1.value)
+                                  * 1000000000000 + 0.5) AS BIGINT))
+                   / 1000000000000.0 * 1000000 + 0.5) AS BIGINT) AS u
+        FROM comp q JOIN cb1 ON q.sub = cb1.sub AND q.j = cb1.j
+        WHERE q.id < 5
+        GROUP BY q.id, q.sub, cb1.cid),
+    adc AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               sum(l.u) / 1000000.0 AS adc_dist
+        FROM cand
+        JOIN codes cd ON cd.id = cand.neighbor_id
+        JOIN qlut l ON l.query_id = cand.query_id
+                   AND l.sub = cd.sub AND l.code = cd.code
+        GROUP BY cand.query_id, cand.neighbor_id),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_dist, neighbor_id) AS rn
+            FROM adc) t
+        WHERE rn <= 20)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               round(list_dot_product(q.e, n.e)
+                     / (sqrt(list_dot_product(q.e, q.e))
+                        * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine_sim,
+               row_number() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY round(list_dot_product(q.e, n.e)
+                                  / (sqrt(list_dot_product(q.e, q.e))
+                                     * sqrt(list_dot_product(n.e, n.e))), 6)
+                            DESC,
+                            s.neighbor_id) AS rn
+        FROM shortlist s
+        JOIN v q ON q.id = s.query_id
+        JOIN v n ON n.id = s.neighbor_id) t
+    WHERE rn <= 5
+    """,
+)
+def crossmodal_topk_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_crossmodal_topk against a FROZEN index — the shape a
+    100-TB retrieval deployment actually runs (round-9 verdict #2):
+    the index is built ONCE (``_crossmodal_frozen_index``) and
+    query-time work is ONLY the text tower, the per-query LUT, the
+    stored-cid ADC probe, and the exact rerank — no per-query corpus
+    render, no retraining, no re-encode, no corpus-wide assignment.
+
+    Frozen artifacts, in the exact layout ``streamed_pq_codes`` proves
+    maintainable under continuous ingestion: codebooks + centroids as
+    bounded collected rows (the r7 ``_pq_trained_codebooks`` pattern),
+    the cid-carrying (id, sub, code, cid) code shards and the raw
+    embedding column as parquet an IndexIVFPQ deployment stores on
+    disk. Scoring is ``stored codes × broadcast(query cells) ×
+    broadcast(LUT)`` (the stored-cid fast path in ``pq_ivf_adc_topk``)
+    and the reranker reads the stored float column.
+
+    Same oracle as ``multimodal_crossmodal_topk``: freezing must be
+    physically invisible (identical shortlist, identical rerank)."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.pq import pq_ivf_rerank_topk
+
+    corpus, centroids, cb, codes = _crossmodal_frozen_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = mm.text_embeddings(
+        docs.where(F.col("doc_id") < 5)
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 8).cast("int"))
+        .withColumn("h", (F.lit(4) + F.col("doc_id") % 4).cast("int")),
+        "doc_id",
+        "text",
+        "w",
+        "h",
+        dim=16,
+    )
+    return pq_ivf_rerank_topk(
+        queries,
+        corpus,
+        cb,
+        id_col="id",
+        sub_dim=4,
+        k=5,
+        rerank=20,
+        nlist=16,
+        nprobe=4,
+        centroids=centroids,
+        codes=codes,
+    )
+
+
 # --- ANN index diagnostics (round 8) ---------------------------------------
 
 _DUCK_IVF_ASSIGN = """

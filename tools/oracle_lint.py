@@ -96,6 +96,8 @@ ALLOW: dict[str, str] = {
     # round-8 ANN/crossmodal family: same dot-product cosine class
     "multimodal_crossmodal_topk": "-2*dot IVF cell distances + "
     "dot-product cosine rerank; ADC sums are floor-settled",
+    "crossmodal_topk_frozen": "same oracle SQL as "
+    "multimodal_crossmodal_topk (frozen index is physically invisible)",
     "ivf_cell_sizes": "-2*dot IVF cell distances (measure-zero "
     "half-ways)",
     "ann_recall_at_k": "dot-product cosine + -2*dot cell distances; "
