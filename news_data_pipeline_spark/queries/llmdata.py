@@ -4372,20 +4372,54 @@ def ann_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     clears the product bar. nprobe=16 == nlist is the exhaustive-probe
     sanity row (recall 1.0 by construction — every cell read).
 
-    Plan shape: the exact arm is one cosine_topk over 10 queries (the
-    once-per-eval cost), each sweep arm is an ivf_topk whose candidate
-    set is bounded by its probed cells, and all per-arm aggregates are
-    1-row frames cross-joined (the adjudicated bounded-BNLJ class) —
-    the union is 5 rows total. The exact/cell-size subtrees recur
-    under every arm lazily; MEASURED at sf0.1: localCheckpointing them
-    does not pay (4.9-5.4 s vs 4.4-5.0 s plain — they are cheap next
-    to the 5 ivf_topk arms, unlike crossmodal's render subtree), so
-    the plan stays checkpoint-free; revisit only if the eval query
-    set grows past tens of queries."""
+    Plan shape and the codified revisit trigger: see
+    ``_recall_nprobe_curve`` — at this 10-query eval size the measured
+    decision is checkpoint-free (the r9 A/B: 4.9-5.4 s checkpointed vs
+    4.4-5.0 s plain); past ``CKPT_EVAL_THRESHOLD`` eval queries the
+    helper flips to the checkpoint regime automatically."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 10)
+    return _recall_nprobe_curve(spark, emb, n_eval=10)
+
+
+#: eval-set size at which ``_recall_nprobe_curve`` switches to eagerly
+#: checkpointing the exact/cell-size subtrees. The r9 A/B measured the
+#: checkpoint LOSING at 10 eval queries (the subtrees are cheap next to
+#: the 5 ivf_topk arms); the exact arm is a brute-force q × corpus
+#: cosine whose cost grows linearly with the eval set, so "past tens of
+#: queries" — the docstring's original revisit trigger — is codified
+#: here rather than left as prose.
+CKPT_EVAL_THRESHOLD = 32
+
+
+def _recall_nprobe_curve(
+    spark: SparkSession,
+    emb: DataFrame,
+    *,
+    n_eval: int,
+    nlist: int = 16,
+    nprobes: tuple = (1, 2, 4, 8, 16),
+    k: int = 5,
+    ckpt_eval_threshold: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k-vs-nprobe sweep over the first ``n_eval`` vectors as
+    eval queries. The exact top-k and the per-cell size table recur
+    lazily under EVERY sweep arm; below ``ckpt_eval_threshold``
+    (default ``CKPT_EVAL_THRESHOLD``) they stay lazy — the measured
+    winner at 10 eval queries — and at/above it both are eagerly
+    localCheckpoint'ed, because the exact arm's brute-force q × corpus
+    cosine grows linearly with the eval set while the checkpoint cost
+    does not (the crossmodal round-9 materialization lesson applied at
+    the size where it starts to pay). Both regimes are value-identical
+    (pinned by ``tests/test_joins_similarity.py``).
+
+    ``centroids`` optionally injects a trained (cid, centroid) frame
+    (``kmeans_iterate`` output) for every arm — the second tuning axis
+    (``ann_recall_trained_curve``); default is the family's pinned
+    first-``nlist``-by-id convention."""
+    queries = emb.where(F.col("vec_id") < n_eval)
     exact = similarity.cosine_topk(
-        emb, queries, id_col="vec_id", k=5
+        emb, queries, id_col="vec_id", k=k
     ).select("query_id", "neighbor_id")
 
     from news_data_pipeline_spark.operators.similarity import (
@@ -4393,24 +4427,38 @@ def ann_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot,
     )
 
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(16)
-        .select(
+    cent_for_ivf = centroids  # raw frame (or None) for each ivf_topk arm
+    if centroids is None:
+        centroids = emb.orderBy("vec_id").limit(nlist).select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").cast("array<double>").alias("c_vec"),
         )
-        .withColumn("c2", dot(F.col("c_vec"), F.col("c_vec")))
+    else:
+        centroids = centroids.select(
+            "cid",
+            F.col("centroid").cast("array<double>").alias("c_vec"),
+        )
+    centroids = centroids.withColumn(
+        "c2", dot(F.col("c_vec"), F.col("c_vec"))
     )
     cell_sizes = (
         _assign_cells(emb, centroids, "vec_id", "embedding", "nid", 1)
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    threshold = (
+        CKPT_EVAL_THRESHOLD
+        if ckpt_eval_threshold is None
+        else ckpt_eval_threshold
+    )
+    if n_eval >= threshold:
+        exact = exact.localCheckpoint(eager=True)
+        cell_sizes = cell_sizes.localCheckpoint(eager=True)
     arms = []
-    for n in (1, 2, 4, 8, 16):
+    for n in nprobes:
         approx = similarity.ivf_topk(
-            emb, queries, k=5, nlist=16, nprobe=n
+            emb, queries, k=k, nlist=nlist, nprobe=n,
+            centroids=cent_for_ivf,
         ).select("query_id", F.col("neighbor_id").alias("__hit"))
         joined = exact.join(
             approx,
@@ -4448,6 +4496,155 @@ def ann_recall_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for arm in arms[1:]:
         out = out.unionByName(arm)
     return out
+
+
+@register(
+    "ann_recall_trained_curve",
+    # same sweep as ann_recall_nprobe_curve but over TRAINED centroids:
+    # two unrolled Lloyd iterations at nlist=16 (the ivf_kmeans_two_iters
+    # composition), then the identical recall/vectors_read arms — the
+    # second axis of the tuning story (what training buys at equal
+    # scan budget).
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cent0 AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 16),
+    a1 AS (
+        SELECT cid, e FROM (
+            SELECT v.vec_id, v.e, cent0.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent0.c)
+                                      + list_dot_product(cent0.c, cent0.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent0) t
+        WHERE r = 1),
+    bp1 AS (
+        SELECT cid, u.pos, round(avg(e[u.pos]), 6) AS m
+        FROM a1, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
+        GROUP BY cid, u.pos),
+    nc1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM bp1 GROUP BY cid),
+    cent1 AS (
+        SELECT cent0.cid, coalesce(nc1.c, cent0.c) AS c
+        FROM cent0 LEFT JOIN nc1 USING (cid)),
+    a2 AS (
+        SELECT cid, e FROM (
+            SELECT v.vec_id, v.e, cent1.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent1.c)
+                                      + list_dot_product(cent1.c, cent1.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent1) t
+        WHERE r = 1),
+    bp2 AS (
+        SELECT cid, u.pos, round(avg(e[u.pos]), 6) AS m
+        FROM a2, LATERAL unnest(range(1, len(e) + 1)) AS u(pos)
+        GROUP BY cid, u.pos),
+    nc2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM bp2 GROUP BY cid),
+    cent AS (
+        SELECT cent1.cid, coalesce(nc2.c, cent1.c) AS c
+        FROM cent1 LEFT JOIN nc2 USING (cid)),
+    np AS (SELECT * FROM (VALUES (1), (2), (4), (8), (16)) AS t(nprobe)),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, v.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_dot_product(q.qe, v.e)
+                                      / (sqrt(list_dot_product(q.qe, q.qe))
+                                         * sqrt(list_dot_product(v.e, v.e))),
+                                      6) DESC,
+                                v.vec_id) AS rank
+            FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id) t
+        WHERE rank <= 5),
+    corpus_assign AS (
+        SELECT vec_id AS neighbor_id, e, cid FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent) t
+        WHERE r = 1),
+    probe_ranked AS (
+        SELECT vec_id AS query_id, e AS qe, cid, r FROM (
+            SELECT v.vec_id, v.e, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round(-2 * list_dot_product(v.e, cent.c)
+                                      + list_dot_product(cent.c, cent.c), 6),
+                                cid) AS r
+            FROM v CROSS JOIN cent
+            WHERE v.vec_id < 10) t
+        WHERE r <= 16),
+    approx AS (
+        SELECT nprobe, query_id, neighbor_id FROM (
+            SELECT np.nprobe, p.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY np.nprobe, p.query_id
+                       ORDER BY round(list_dot_product(p.qe, c.e)
+                                      / (sqrt(list_dot_product(p.qe, p.qe))
+                                         * sqrt(list_dot_product(c.e, c.e))),
+                                      6) DESC,
+                                c.neighbor_id) AS rank
+            FROM np
+            JOIN probe_ranked p ON p.r <= np.nprobe
+            JOIN corpus_assign c ON p.cid = c.cid
+            WHERE p.query_id <> c.neighbor_id) t
+        WHERE rank <= 5),
+    hits AS (
+        SELECT np.nprobe,
+               CAST(count(*) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM np CROSS JOIN exact e
+        LEFT JOIN approx a
+          ON a.nprobe = np.nprobe AND a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY np.nprobe),
+    reads AS (
+        SELECT np.nprobe, CAST(sum(cs.n) AS BIGINT) AS vectors_read
+        FROM np
+        JOIN probe_ranked p ON p.r <= np.nprobe
+        JOIN (SELECT cid, count(*) AS n
+              FROM corpus_assign GROUP BY cid) cs ON p.cid = cs.cid
+        GROUP BY np.nprobe)
+    SELECT h.nprobe, h.n_exact, h.n_hits,
+           floor(h.n_hits / CAST(h.n_exact AS DOUBLE) * 10000 + 0.5)
+               / 10000.0 AS recall_at_5,
+           r.vectors_read
+    FROM hits h JOIN reads r ON h.nprobe = r.nprobe
+    """,
+)
+def ann_recall_trained_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-nprobe operating curve over TRAINED centroids —
+    the second axis of the tuning story next to
+    ``ann_recall_nprobe_curve``'s pinned first-16-by-id convention:
+    two Lloyd iterations (``similarity.kmeans_iterate``, the
+    composition ``ivf_kmeans_two_iters`` oracles at nlist=8, here at
+    the curve's nlist=16) train the coarse quantizer, then the
+    identical nprobe sweep measures what that training BUYS — recall
+    lift at equal probed-cell scan budget, or equivalently fewer
+    vectors read for the same recall bar. At 100 TB this pair of
+    curves is the actual decision artifact: training cost is one-time,
+    nprobe cost is per-query forever, so the trained curve dominating
+    the pinned one at low nprobe is what justifies the k-means job.
+    Trained centroids are a collected nlist-row literal
+    (``kmeans_iterate``'s constant-size-plan contract), so every sweep
+    arm reuses the same frozen artifact — no per-arm retraining."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+    )
+    trained = similarity.kmeans_iterate(emb, seeds, iters=2)
+    return _recall_nprobe_curve(spark, emb, n_eval=10, centroids=trained)
 
 
 # --- contrastive-pair mining, corpus datasheet, URL canonicalization -------

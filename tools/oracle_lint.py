@@ -106,6 +106,9 @@ ALLOW: dict[str, str] = {
     "ann_recall_nprobe_curve": "dot-product cosine + -2*dot cell "
     "distances (same conventions as ann_recall_at_k); the recall "
     "ratio itself is floor-settled",
+    "ann_recall_trained_curve": "same sweep as ann_recall_nprobe_curve "
+    "plus kmeans centroid means (moment sums probe-watched, the "
+    "ivf_kmeans_two_iters class); recall ratio floor-settled",
     "pq_ivf_residual_topk": "-2*dot IVF cell distances (measure-zero "
     "half-ways); residual ADC sums are floor-settled",
     "streamed_pq_codes": "same _PQR_PREFIX as pq_ivf_residual_topk "
