@@ -36,6 +36,17 @@ def default_layer_format(spark: SparkSession) -> str:
     makes every ``fmt=None`` writer/reader below produce real Delta
     tables — ACID overwrite and ``VERSION AS OF`` then come from the
     transaction log instead of ``VersionedLayer``'s pointer swap.
+
+    Installability checked round 10: delta-spark is NOT obtainable
+    offline in this sandbox (no pip/network for ``--packages``
+    resolution, no delta jar anywhere on the filesystem, and
+    ``spark.sql.extensions`` is a static conf that cannot be injected
+    into a running JVM), so the delta branch cannot execute in CI
+    here; ``tests/test_sources.py::
+    test_write_layer_delta_roundtrip_or_documented_skip`` exercises
+    the sniffing path on every run and carries the delta round-trip
+    arm as a documented skip that activates on a Delta-enabled
+    cluster.
     """
     try:
         ext = spark.conf.get("spark.sql.extensions", "") or ""
@@ -100,14 +111,22 @@ def write_layer_and_register(
 
 
 def read_layer(
-    spark: SparkSession, path: str, *, fmt: str = "parquet", require_success: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    fmt: str | None = "parquet",
+    require_success: bool = True,
 ) -> DataFrame:
     """Writer-side alias of ``catalog.read_layer`` with the ``_SUCCESS``
     gate ON by default — the paranoid default for layers this module's
     writers produce (Delta gets the same guarantee from its transaction
-    log, ``_lib_dq_helpers.py:39-47``)."""
+    log, ``_lib_dq_helpers.py:39-47``). ``fmt=None`` resolves via
+    ``default_layer_format``, mirroring ``write_layer`` so a
+    write/read pair under ``fmt=None`` always agrees on the format."""
     from news_data_pipeline_spark.sources.catalog import read_layer as _read
 
+    if fmt is None:
+        fmt = default_layer_format(spark)
     return _read(spark, path, fmt=fmt, require_success=require_success)
 
 

@@ -786,3 +786,54 @@ def test_versioned_layer_diff_fully_keyed(spark, tmp_path):
         r.id: r.change for r in layer.diff(spark, ["id"], v_old=v1).collect()
     }
     assert got == {1: "removed", 3: "added"}
+
+
+def _delta_available(spark) -> bool:
+    """True when a Delta jar + session extension are actually usable.
+    Round-10 finding: NOT installable offline in this sandbox — no
+    `delta` / `delta-spark` on pip's installed set, no delta jar on
+    the Spark classpath (`find / -name '*delta*spark*.jar'` empty), no
+    network for --packages resolution, and `spark.sql.extensions` is a
+    static conf that cannot be injected into the already-running test
+    JVM. The skip below is therefore the documented-skip arm of the
+    round-9 verdict item #6."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def test_write_layer_delta_roundtrip_or_documented_skip(spark, tmp_path):
+    """fmt='delta' round-trip through write_layer/read_layer on a
+    Delta-enabled session; skipped (with the environment finding) when
+    no Delta jar is available. Either way the fmt=None resolution path
+    is exercised: on this session it must sniff parquet."""
+    import pytest
+
+    from news_data_pipeline_spark.sources.writers import (
+        default_layer_format,
+        read_layer,
+        write_layer,
+    )
+
+    # the sniffing path itself is always testable: this session has no
+    # Delta extension, so fmt=None must resolve to parquet and the
+    # write must round-trip as parquet files
+    assert default_layer_format(spark) == "parquet"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write_layer(df, str(tmp_path / "sniffed"), mode="overwrite", fmt=None)
+    got = read_layer(spark, str(tmp_path / "sniffed"), fmt=None)
+    assert sorted(map(tuple, got.collect())) == [(1, "a"), (2, "b")]
+
+    if not _delta_available(spark):
+        pytest.skip(
+            "delta-spark not installable offline in this sandbox "
+            "(no pip/network, no jar on classpath; spark.sql.extensions "
+            "is static) — parquet sniff verified above; the delta arm "
+            "runs on a Delta-enabled cluster"
+        )
+    write_layer(df, str(tmp_path / "delta_t"), mode="overwrite", fmt="delta")
+    got = read_layer(spark, str(tmp_path / "delta_t"), fmt="delta")
+    assert sorted(map(tuple, got.collect())) == [(1, "a"), (2, "b")]

@@ -290,7 +290,11 @@ def ingest_sweep(spark, batch_counts: list[int]) -> None:
 
     batch_docs = 2000
     for n_batches in batch_counts:
-        for method in ("exact", "bloom"):
+        # "bloom+compact" = method='bloom' with compact_after=8: the
+        # round-10 sidecar/compaction path that keeps the per-trigger
+        # partition listing and probe-read footer count O(1)
+        for method in ("exact", "bloom", "bloom+compact"):
+            compact_after = 8 if method == "bloom+compact" else None
             root = tempfile.mkdtemp(prefix="ingest_sweep_")
             landing = os.path.join(root, "landing")
             for b in range(n_batches):
@@ -336,8 +340,9 @@ def ingest_sweep(spark, batch_counts: list[int]) -> None:
                 text_col="text",
                 corpus_path=os.path.join(root, "corpus"),
                 checkpoint=os.path.join(root, "ckpt"),
-                method=method,
+                method="bloom" if compact_after else method,
                 available_now=True,
+                compact_after=compact_after,
             )
             q.awaitTermination()
             dt = time.perf_counter() - t0
