@@ -125,6 +125,15 @@ TAIL_QUERIES = (
     # in tests), and ann_recall_nprobe_curve's exact arm is the same
     # scan class as the headline cosine_topk_bruteforce — its cost is
     # sweep plan depth, not a new data term.
+    # round-10 addition (tail 32 -> 33): the frozen-index retrieval
+    # path (stored-cid ADC probe + rerank against on-disk artifacts,
+    # built once in the untimed warm pass — the same train-once
+    # amortization as the PQ codebook artifact). This is the
+    # production retrieval shape; its in-plan-build twin
+    # multimodal_crossmodal_topk stays tracked above so the build cost
+    # remains visible. ann_recall_trained_curve stays out for the
+    # nprobe-curve reason (sweep plan depth, no new data term).
+    "crossmodal_topk_frozen",
 )
 
 

@@ -1517,6 +1517,89 @@ def streamed_ingest_dedup_corpus(
 
 
 @register(
+    "streamed_ingest_dedup_compacted",
+    # identical oracle to streamed_ingest_dedup_corpus: bit-table
+    # compaction is an access-path change (one merged sentinel
+    # partition + _covered.json manifest instead of per-batch bit
+    # partitions) and must never change a keep/drop verdict.
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id, lang, source, doc_id % 3 AS batch,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE md5(regexp_replace(lower(text), '[^a-z0-9]', '',
+                                            'g'))
+               END AS f
+        FROM documents),
+    winners AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+                PARTITION BY f ORDER BY batch, doc_id) AS rn
+            FROM fp WHERE f IS NOT NULL) t
+        WHERE rn = 1)
+    SELECT doc_id, lang, source FROM fp
+    WHERE f IS NULL OR doc_id IN (SELECT doc_id FROM winners)
+    """,
+)
+def streamed_ingest_dedup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """streamed_ingest_dedup_corpus with bloom bit-table COMPACTION
+    live (``compact_after=2`` — the round-10 maintenance path): after
+    the second trigger the per-batch bit partitions OR-merge into the
+    sentinel ``batch_id=-1`` partition with a ``_covered.json``
+    manifest, and later triggers probe the merged bits + their own.
+    The final corpus must STILL equal global keep-first dedup — the
+    driver gate proves compaction is an access-path change only (it
+    can only ADD false-positive maybe-rows, which the corpus anti-join
+    resolves; never a false negative, which would append a true
+    duplicate). Structure assertions (partition layout, manifest
+    contents, resize-after-compaction rebuild) live in
+    ``tests/test_streaming.py``."""
+    import os
+    import tempfile
+
+    from news_data_pipeline_spark.streaming.sinks import ingest_deduplicated
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    if not docs.head(1):
+        return spark.createDataFrame(
+            [], "doc_id bigint, lang string, source string"
+        )
+    root = tempfile.mkdtemp(prefix="ingest_compact_q_")
+    landing = os.path.join(root, "landing")
+    corpus_path = os.path.join(root, "corpus")
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(landing, f"f{i}"))
+        stream = (
+            spark.readStream.schema(
+                "doc_id bigint, text string, lang string, source string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(landing, "*"))
+        )
+        q = ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=os.path.join(root, "ckpt"),
+            method="bloom",
+            num_bits=4096,
+            num_hashes=3,
+            available_now=True,
+            compact_after=2,
+        )
+        q.awaitTermination()
+    return spark.read.parquet(corpus_path).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
     "streamed_sq_codes",
     # batch-encoded table == union of per-batch partitions encoded
     # under the FROZEN bounds artifact: each id lives in exactly one

@@ -67,6 +67,8 @@ KNOWN_BNLJ = {
     "bpe_symbol_vocab": "x6 = one 1-row merge-pair broadcast per replayed rank (same apply_merges chain as bpe_word_encodings)",
     "pq_partitioned_cell_scan": "nlist=16 centroid frame broadcast into the ingest-side cell assign and the query probe (same pair as pq_ivf_adc_topk; the code-table read itself is a partition-pruned parquet scan)",
     "ann_recall_nprobe_curve": "x30 = 5 sweep arms x (10-query broadcast in the exact arm + nlist=16 centroid frames in the IVF/probe/cell-size assigns + the 1-row hits x 1-row reads cross join) — every side contract-bounded, output 5 rows",
+    "ann_recall_trained_curve": "x30 = same decomposition as ann_recall_nprobe_curve (the trained centroids are a collected nlist=16 literal, so every broadcast side stays contract-bounded)",
+    "crossmodal_topk_frozen": "x1 = nlist=16 collected-centroid frame broadcast into the 5-text-query probe assign (corpus-side assign happened once at index build; the stored-cid probe is a broadcast hash join, not BNLJ)",
 }
 
 # Plan facts worth counting. CartesianProduct/BatchEvalPython are hard

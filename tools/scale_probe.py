@@ -273,7 +273,11 @@ def graph_sweep(spark, sizes: list[int]) -> None:
         edges.unpersist()
 
 
-def ingest_sweep(spark, batch_counts: list[int]) -> None:
+def ingest_sweep(
+    spark,
+    batch_counts: list[int],
+    methods: tuple = ("exact", "bloom", "bloom+compact"),
+) -> None:
     """Continuous-ingestion dedup slope: total wall-clock of
     ``ingest_deduplicated`` (availableNow, one file per trigger) for
     growing batch counts, per method. 2k docs per batch, each batch
@@ -293,7 +297,7 @@ def ingest_sweep(spark, batch_counts: list[int]) -> None:
         # "bloom+compact" = method='bloom' with compact_after=8: the
         # round-10 sidecar/compaction path that keeps the per-trigger
         # partition listing and probe-read footer count O(1)
-        for method in ("exact", "bloom", "bloom+compact"):
+        for method in methods:
             compact_after = 8 if method == "bloom+compact" else None
             root = tempfile.mkdtemp(prefix="ingest_sweep_")
             landing = os.path.join(root, "landing")
@@ -488,6 +492,12 @@ def main() -> None:
     ap.add_argument("--ingest-sweep", type=str, default=None,
                     help="comma-separated batch counts: run the "
                          "streaming ingest-dedup slope sweep instead")
+    ap.add_argument("--ingest-methods", type=str,
+                    default="exact,bloom,bloom+compact",
+                    help="comma-separated subset of the ingest-sweep "
+                         "methods (exact anti-joins the whole corpus "
+                         "per trigger, so big batch counts may want "
+                         "the bloom arms alone)")
     ap.add_argument("--skew", type=int, default=None,
                     help="fact-row count: run the AQE skew-join A/B "
                          "probe instead")
@@ -508,7 +518,9 @@ def main() -> None:
         return
     if args.ingest_sweep:
         ingest_sweep(
-            spark, [int(x) for x in args.ingest_sweep.split(",")]
+            spark,
+            [int(x) for x in args.ingest_sweep.split(",")],
+            methods=tuple(args.ingest_methods.split(",")),
         )
         spark.stop()
         return
