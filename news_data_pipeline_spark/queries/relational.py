@@ -1823,3 +1823,67 @@ def salted_events_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_units"),
         )
     )
+
+
+@register(
+    "bucketed_segment_order_totals",
+    # plain-join oracle: bucketing is a physical layout choice and must
+    # be value-invisible; the exchange-free plan property itself is
+    # pinned by tests/test_sources.py::test_bucketed_join_has_no_shuffle
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_units('o.o_totalprice', 2)}) AS BIGINT)
+               AS price_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_segment_order_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The bucketed-join storage lever under the correctness gate
+    (sources.writers.write_bucketed — SCALE.md "Storage layout"):
+    customer and orders are written bucketed by custkey into a
+    run-scoped metastore database (the shuffle happens ONCE, at write
+    time), then the metastore-backed tables join and aggregate. At
+    100 TB this is the co-located big-big join: every subsequent
+    join/aggregation on the bucket key plans with zero exchanges on
+    either side — the plan property is asserted in
+    tests/test_sources.py (with broadcast disabled so the sort-merge
+    path is visible); here the driver verifies the bucketed write/read
+    path is value-identical to the plain join. Exact 2dp integer-unit
+    money sum (functions/exact.py convention)."""
+    import tempfile
+
+    from news_data_pipeline_spark.sources.writers import write_bucketed
+
+    db = "bucketed_q"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    loc = tempfile.mkdtemp(prefix="bucketed_q_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    write_bucketed(
+        cust, "b_customer", bucket_by="c_custkey", num_buckets=8,
+        database=db,
+    )
+    write_bucketed(
+        orders, "b_orders", bucket_by="c_custkey", num_buckets=8,
+        database=db,
+    )
+    joined = spark.table(f"{db}.b_customer").join(
+        spark.table(f"{db}.b_orders"), on="c_custkey"
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(settled_units(F.col("o_totalprice"), 2))
+        .cast("long")
+        .alias("price_cents"),
+    )
