@@ -3869,6 +3869,83 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XMODAL_INDEX: dict = {}
 
 
+def _build_xmodal_artifacts(spark: SparkSession, docs: DataFrame):
+    """One frozen-index build over an arbitrary (doc_id, text) frame:
+    render + embed the vision tower once, train codebooks, store the
+    cid-carrying codes and the raw embedding column as parquet.
+    Returns ``(root_or_None, cb_rows, cent_rows)`` — the cacheable
+    artifact tuple (`_crossmodal_frozen_index` caches it per sf_dir;
+    ``tools/scale_probe.py --crossmodal-sweep`` times it at growing
+    synthetic corpus sizes)."""
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.pq import pq_encode, pq_train
+    from news_data_pipeline_spark.operators.similarity import (
+        _assign_cells,
+        dot,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        mm.fake_image_bytes(
+                            t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                        )
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    if not docs.head(1):
+        return (None, [], [])
+    import os
+    import tempfile
+
+    emb_schema = "id long, embedding array<double>"
+    root = tempfile.mkdtemp(prefix="xmodal_index_")
+    images = fan_out(docs).mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+    # the vision tower runs ONCE, at index build; the raw embedding
+    # column is itself a stored artifact (the reranker's float column)
+    mm.image_embeddings(images, "doc_id", "payload", dim=16).select(
+        "id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).write.parquet(os.path.join(root, "vectors"))
+    corpus = spark.read.schema(emb_schema).parquet(
+        os.path.join(root, "vectors")
+    )
+    cb = pq_train(corpus, id_col="id", m=4, k=16, sub_dim=4, iters=1)
+    cb_rows = [
+        (r["sub"], r["cid"], r["j"], r["value"]) for r in cb.collect()
+    ]
+    # centroid convention = first nlist corpus vectors by id — read
+    # from the stored vectors (filter pushes into the scan; no
+    # re-render)
+    cent_rows = [
+        (r["id"], list(r["embedding"]))
+        for r in corpus.where(F.col("id") < 16).orderBy("id").collect()
+    ]
+    centroids = spark.createDataFrame(
+        cent_rows, "cid bigint, c_vec array<double>"
+    )
+    cells = _assign_cells(
+        corpus,
+        centroids.withColumn("c2", dot(F.col("c_vec"), F.col("c_vec"))),
+        "id",
+        "embedding",
+        "id",
+        1,
+    ).select("id", "cid")
+    pq_encode(corpus, cb, id_col="id", sub_dim=4).join(
+        cells, on="id"
+    ).write.parquet(os.path.join(root, "codes"))
+    return (root, cb_rows, cent_rows)
+
+
 def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
     """Build-once frozen IndexIVFPQ for the crossmodal family, keyed by
     dataset directory: (corpus embeddings, centroids, codebooks, stored
@@ -3892,13 +3969,6 @@ def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
     Empty corpus: artifacts degrade to empty frames without touching
     disk (an empty parquet write round-trips, but there is nothing to
     amortize)."""
-    from news_data_pipeline_spark.operators import multimodal as mm
-    from news_data_pipeline_spark.operators.pq import pq_encode, pq_train
-    from news_data_pipeline_spark.operators.similarity import (
-        _assign_cells,
-        dot,
-    )
-
     cb_schema = "sub int, cid int, j int, value double"
     cent_schema = "cid bigint, c_vec array<double>"
     emb_schema = "id long, embedding array<double>"
@@ -3909,75 +3979,8 @@ def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
-
-        def build(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": pdf["doc_id"],
-                        "payload": [
-                            mm.fake_image_bytes(
-                                t or "", 4 + int(i) % 8, 4 + int(i) % 4
-                            )
-                            for i, t in zip(pdf["doc_id"], pdf["text"])
-                        ],
-                    }
-                )
-
-        if not docs.head(1):
-            art = (None, [], [])
-            _XMODAL_INDEX[sf_dir] = art
-        else:
-            import os
-            import tempfile
-
-            root = tempfile.mkdtemp(prefix="xmodal_index_")
-            images = fan_out(docs).mapInPandas(
-                build, "doc_id long, payload binary"
-            )
-            # the vision tower runs ONCE, at index build; the raw
-            # embedding column is itself a stored artifact (the
-            # reranker's float column)
-            mm.image_embeddings(images, "doc_id", "payload", dim=16).select(
-                "id", F.col("embedding").cast("array<double>").alias(
-                    "embedding"
-                )
-            ).write.parquet(os.path.join(root, "vectors"))
-            corpus = spark.read.schema(emb_schema).parquet(
-                os.path.join(root, "vectors")
-            )
-            cb = pq_train(corpus, id_col="id", m=4, k=16, sub_dim=4, iters=1)
-            cb_rows = [
-                (r["sub"], r["cid"], r["j"], r["value"])
-                for r in cb.collect()
-            ]
-            # centroid convention = first nlist corpus vectors by id —
-            # read from the stored vectors (filter pushes into the scan;
-            # no re-render)
-            cent_rows = [
-                (r["id"], list(r["embedding"]))
-                for r in corpus.where(F.col("id") < 16)
-                .orderBy("id")
-                .collect()
-            ]
-            centroids = spark.createDataFrame(cent_rows, cent_schema)
-            cells = _assign_cells(
-                corpus,
-                centroids.withColumn(
-                    "c2", dot(F.col("c_vec"), F.col("c_vec"))
-                ),
-                "id",
-                "embedding",
-                "id",
-                1,
-            ).select("id", "cid")
-            pq_encode(corpus, cb, id_col="id", sub_dim=4).join(
-                cells, on="id"
-            ).write.parquet(os.path.join(root, "codes"))
-            art = (root, cb_rows, cent_rows)
-            _XMODAL_INDEX[sf_dir] = art
+        art = _build_xmodal_artifacts(spark, docs)
+        _XMODAL_INDEX[sf_dir] = art
     root, cb_rows, cent_rows = art
     if root is None:
         return (

@@ -360,6 +360,153 @@ def ingest_sweep(
             shutil.rmtree(root, ignore_errors=True)
 
 
+def crossmodal_sweep(spark, doc_counts: list[int]) -> None:
+    """Frozen-index economics vs corpus size: for each synthetic corpus
+    size, time (a) the one-time index BUILD (render + embed + train +
+    encode + store — ``_build_xmodal_artifacts``) and (b) a warm
+    RETRIEVAL against the stored artifacts (text tower + LUT +
+    stored-cid ADC probe + exact rerank), vs (c) the in-plan-build
+    query shape (``multimodal_crossmodal_topk``'s flow) that re-derives
+    everything per run. The 100-TB claim under test: build cost is
+    linear in the corpus and paid once; retrieval cost grows only with
+    the probed cells + rerank set, so the frozen/in-plan gap widens
+    with corpus size."""
+    import shutil
+    import statistics
+
+    import pyspark.sql.functions as SF
+
+    from news_data_pipeline_spark.operators import multimodal as mm
+    from news_data_pipeline_spark.operators.pq import (
+        pq_ivf_rerank_topk,
+        pq_train,
+    )
+    from news_data_pipeline_spark.operators.fanout import fan_out
+    from news_data_pipeline_spark.queries.llmdata import (
+        _build_xmodal_artifacts,
+    )
+
+    def synth_docs(n):
+        words = SF.array(
+            *[
+                SF.concat(
+                    SF.lit("w"),
+                    SF.pmod(
+                        SF.hash(SF.col("id") * 17 + SF.lit(i)),
+                        SF.lit(50_000),
+                    ).cast("string"),
+                )
+                for i in range(24)
+            ]
+        )
+        return spark.range(n).select(
+            SF.col("id").alias("doc_id"),
+            SF.concat_ws(" ", words).alias("text"),
+        )
+
+    def render(docs):
+        def build(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "payload": [
+                            mm.fake_image_bytes(
+                                t or "", 4 + int(i) % 8, 4 + int(i) % 4
+                            )
+                            for i, t in zip(pdf["doc_id"], pdf["text"])
+                        ],
+                    }
+                )
+
+        return fan_out(docs).mapInPandas(
+            build, "doc_id long, payload binary"
+        )
+
+    for n in doc_counts:
+        docs = synth_docs(n)
+        queries = mm.text_embeddings(
+            docs.where(SF.col("doc_id") < 5)
+            .withColumn("w", (SF.lit(4) + SF.col("doc_id") % 8).cast("int"))
+            .withColumn("h", (SF.lit(4) + SF.col("doc_id") % 4).cast("int")),
+            "doc_id",
+            "text",
+            "w",
+            "h",
+            dim=16,
+        )
+        # (a) one-time build
+        t0 = time.perf_counter()
+        root, cb_rows, cent_rows = _build_xmodal_artifacts(spark, docs)
+        build_s = time.perf_counter() - t0
+        corpus = spark.read.schema(
+            "id long, embedding array<double>"
+        ).parquet(os.path.join(root, "vectors"))
+        codes = spark.read.schema(
+            "id long, sub int, code int, cid bigint"
+        ).parquet(os.path.join(root, "codes"))
+        cb = spark.createDataFrame(
+            cb_rows, "sub int, cid int, j int, value double"
+        )
+        centroids = spark.createDataFrame(
+            cent_rows, "cid bigint, c_vec array<double>"
+        )
+
+        def frozen():
+            return pq_ivf_rerank_topk(
+                queries, corpus, cb, id_col="id", sub_dim=4, k=5,
+                rerank=20, nlist=16, nprobe=4, centroids=centroids,
+                codes=codes,
+            ).collect()
+
+        def inplan():
+            emb = mm.image_embeddings(
+                render(docs), "doc_id", "payload", dim=16
+            ).localCheckpoint(eager=True)
+            cbl = pq_train(emb, id_col="id", m=4, k=16, sub_dim=4, iters=1)
+            cents = (
+                mm.image_embeddings(
+                    render(docs.where(SF.col("doc_id") < 16)),
+                    "doc_id",
+                    "payload",
+                    dim=16,
+                )
+                .select(
+                    SF.col("id").alias("cid"),
+                    SF.col("embedding").cast("array<double>").alias(
+                        "c_vec"
+                    ),
+                )
+            )
+            return pq_ivf_rerank_topk(
+                queries, emb, cbl, id_col="id", sub_dim=4, k=5,
+                rerank=20, nlist=16, nprobe=4, centroids=cents,
+            ).collect()
+
+        frozen()  # warm
+        f_ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f_rows = frozen()
+            f_ts.append(time.perf_counter() - t0)
+        inplan()  # warm
+        p_ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p_rows = inplan()
+            p_ts.append(time.perf_counter() - t0)
+        assert sorted(map(tuple, f_rows)) == sorted(map(tuple, p_rows))
+        print(
+            f"crossmodal n={n}: build {build_s:.1f}s,"
+            f" frozen retrieval {statistics.median(f_ts):.2f}s,"
+            f" in-plan {statistics.median(p_ts):.2f}s",
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def skew_sweep(spark, rows: int) -> None:
     """Hot-key join A/B — measures the skew penalty, whether AQE's
     skew split engages (read from the EXECUTED Dataset's plan:
@@ -501,6 +648,10 @@ def main() -> None:
     ap.add_argument("--skew", type=int, default=None,
                     help="fact-row count: run the AQE skew-join A/B "
                          "probe instead")
+    ap.add_argument("--crossmodal-sweep", type=str, default=None,
+                    help="comma-separated doc counts: time the frozen "
+                         "crossmodal index build vs retrieval vs the "
+                         "in-plan-build shape")
     args = ap.parse_args()
 
     spark = get_spark("scale_probe")
@@ -521,6 +672,12 @@ def main() -> None:
             spark,
             [int(x) for x in args.ingest_sweep.split(",")],
             methods=tuple(args.ingest_methods.split(",")),
+        )
+        spark.stop()
+        return
+    if args.crossmodal_sweep:
+        crossmodal_sweep(
+            spark, [int(x) for x in args.crossmodal_sweep.split(",")]
         )
         spark.stop()
         return
