@@ -575,6 +575,7 @@ def pq_ivf_residual_topk(
     nlist: int = 16,
     nprobe: int = 4,
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """IndexIVFPQ with RESIDUAL encoding — FAISS's ``by_residual=true``
@@ -654,12 +655,24 @@ def pq_ivf_residual_topk(
         rcomp = _components(res, "id", "rvec", sub_dim).localCheckpoint(
             eager=True
         )
-        cb = _train_on_components(rcomp, m=m, k=kcodes, iters=iters)
+        cb = (
+            codebooks
+            if codebooks is not None
+            else _train_on_components(rcomp, m=m, k=kcodes, iters=iters)
+        )
         codes = _assign_codes(rcomp, cb)
     else:
-        cb = pq_train(
-            res, id_col="id", vec_col="rvec", m=m, k=kcodes,
-            sub_dim=sub_dim, iters=iters,
+        # codebooks injectable for the production shape (train once at
+        # index build, serve every query from the frozen artifact —
+        # FAISS semantics); default trains in-plan with the
+        # deterministic first-kcodes seed convention
+        cb = (
+            codebooks
+            if codebooks is not None
+            else pq_train(
+                res, id_col="id", vec_col="rvec", m=m, k=kcodes,
+                sub_dim=sub_dim, iters=iters,
+            )
         )
         codes = pq_encode(
             res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
