@@ -270,28 +270,46 @@ def compact_bloom_partitions(
 
     bloom_path = f"{corpus_path}/_bloom"
     parts = _batch_partition_ids(spark, bloom_path)
+    has_sentinel = _COMPACTED_BATCH_ID in parts
     parts.discard(_COMPACTED_BATCH_ID)
     prior = _read_json_sidecar(spark, f"{bloom_path}/_covered.json") or {}
     prior_ok = (
         prior.get("num_bits") == num_bits
         and prior.get("num_hashes") == num_hashes
     )
-    covered = set(prior.get("covered", [])) if prior_ok else set()
+    # the coverage claim in _covered.json is only meaningful while the
+    # sentinel partition that BACKS it exists: if the sentinel is lost
+    # (crash between the delete and rename in the swap below, or an
+    # external cleanup) the claimed-covered bits are gone, and trusting
+    # the sidecar here would write a NEW _covered.json whose sentinel
+    # holds only this call's mergeable bits — Bloom false negatives on
+    # the previously-covered partitions (round-11 ADVICE). The in-sink
+    # flow self-heals (rebuild precedes compaction); this guard makes
+    # the standalone path equally safe.
+    trusted_prior = prior_ok and has_sentinel
+    covered = set(prior.get("covered", [])) if trusted_prior else set()
     mergeable = {
         pid
         for pid in parts
         if _bloom_partition_sizing(spark, bloom_path, pid, fmt)
         == (num_bits, num_hashes)
     }
-    if not mergeable and prior_ok:
+    if not mergeable and trusted_prior:
         return 0
     sources = [f"{bloom_path}/batch_id={pid}" for pid in sorted(mergeable)]
-    has_sentinel = _COMPACTED_BATCH_ID in _batch_partition_ids(
-        spark, bloom_path
-    )
-    if has_sentinel and prior_ok:
+    if trusted_prior:
         sources.append(f"{bloom_path}/batch_id={_COMPACTED_BATCH_ID}")
     if not sources:
+        if prior and not has_sentinel:
+            # orphaned coverage claim with no sentinel behind it —
+            # remove it so no later call can be tempted to trust it
+            fs, _ = _fs(spark, bloom_path)
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    f"{bloom_path}/_covered.json"
+                ),
+                False,
+            )
         return 0
     merged = (
         spark.read.format(fmt)

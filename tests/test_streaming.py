@@ -1298,3 +1298,143 @@ def test_compact_bloom_partitions_standalone(spark, tmp_path):
         )
         == 0
     )
+
+
+def test_compact_bloom_lost_sentinel_invalidates_coverage(spark, tmp_path):
+    """Round-11 ADVICE regression: if the ``batch_id=-1`` sentinel is
+    lost (crash between the delete and rename of the compaction swap,
+    or external cleanup) while ``_covered.json`` survives, a standalone
+    ``compact_bloom_partitions`` call must NOT re-assert the orphaned
+    coverage claim — doing so would write a new sidecar claiming
+    covered|mergeable while the new sentinel holds only mergeable's
+    bits, i.e. Bloom false negatives on the previously-covered
+    partitions and true duplicates appended by later batches."""
+    import os
+    import shutil
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    def write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / name))
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing / "*"))
+        )
+        q = stx.ingest_deduplicated(
+            stream,
+            id_col="doc_id",
+            text_col="text",
+            corpus_path=corpus_path,
+            checkpoint=str(tmp_path / "ckpt"),
+            method="bloom",
+            num_bits=64,
+            num_hashes=3,
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    write("f1", [(1, "alpha document")])
+    write("f2", [(2, "beta document")])
+    run()
+    assert (
+        stx.compact_bloom_partitions(
+            spark, corpus_path, num_bits=64, num_hashes=3
+        )
+        == 2
+    )
+    # a third batch lands after compaction
+    write("f3", [(3, "gamma document")])
+    run()
+    # simulate the crash: sentinel partition lost, sidecar survives
+    shutil.rmtree(bloom_dir / "batch_id=-1")
+    assert os.path.exists(bloom_dir / "_covered.json")
+
+    merged = stx.compact_bloom_partitions(
+        spark, corpus_path, num_bits=64, num_hashes=3
+    )
+    assert merged == 1  # only the post-compaction batch partition
+    from news_data_pipeline_spark.streaming.sinks import (
+        _read_json_sidecar,
+    )
+
+    meta = _read_json_sidecar(spark, f"{bloom_dir}/_covered.json")
+    # pre-fix this read [0, 1, 2]: a false claim — the new sentinel
+    # only holds batch 2's bits
+    assert meta["covered"] == [2]
+    # exact-parity end-to-end: partitions 0/1 are now plain missing,
+    # so the next batch rebuilds them and a replayed duplicate of
+    # doc 1 is still rejected
+    write("f4", [(1, "alpha document"), (4, "delta document")])
+    run()
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(corpus_path)
+            .select("doc_id", "text")
+            .collect(),
+        )
+    )
+    assert got == [
+        (1, "alpha document"),
+        (2, "beta document"),
+        (3, "gamma document"),
+        (4, "delta document"),
+    ]
+
+
+def test_compact_bloom_orphan_sidecar_removed(spark, tmp_path):
+    """Companion to the lost-sentinel regression: when there is
+    nothing mergeable either, the orphaned ``_covered.json`` must be
+    deleted (not silently left claiming coverage with no bits)."""
+    import os
+    import shutil
+
+    landing = tmp_path / "docs_in"
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    corpus_path = str(tmp_path / "corpus")
+    bloom_dir = tmp_path / "corpus" / "_bloom"
+
+    spark.createDataFrame(
+        [(1, "alpha document")], schema
+    ).coalesce(1).write.parquet(str(landing / "f1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing / "*"))
+    )
+    q = stx.ingest_deduplicated(
+        stream,
+        id_col="doc_id",
+        text_col="text",
+        corpus_path=corpus_path,
+        checkpoint=str(tmp_path / "ckpt"),
+        method="bloom",
+        num_bits=64,
+        num_hashes=3,
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert (
+        stx.compact_bloom_partitions(
+            spark, corpus_path, num_bits=64, num_hashes=3
+        )
+        == 1
+    )
+    shutil.rmtree(bloom_dir / "batch_id=-1")
+    assert (
+        stx.compact_bloom_partitions(
+            spark, corpus_path, num_bits=64, num_hashes=3
+        )
+        == 0
+    )
+    assert not os.path.exists(bloom_dir / "_covered.json")
