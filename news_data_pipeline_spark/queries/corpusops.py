@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from news_data_pipeline_spark.functions.exact import settled_round
 from news_data_pipeline_spark.queries.registry import register
-from news_data_pipeline_spark.sources.catalog import load_table
+from news_data_pipeline_spark.sources.catalog import (
+    dataset_fingerprint,
+    evict_stale_artifacts as _evict_stale,
+    load_table,
+)
 
 # SQL twin of operators.sampling.hash_bucket over a salted concat_ws key
 # (salt \x1f group \x1f key) — chr(31) is the unit separator literal.
@@ -623,13 +627,17 @@ def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     retraining of an identical codebook. The cache stores only the
     COLLECTED k*m*sub_dim scalar rows — the same bounded driver-side
     artifact ``pq_train`` itself materializes per Lloyd iteration —
-    keyed by the dataset directory, and rebuilds a local-relation
+    keyed by ``(dataset directory, content fingerprint)`` — the
+    fingerprint (file/size/mtime of the embeddings table, round-11
+    ADVICE) means regenerating the dataset at the same path retrains
+    rather than serving stale codebooks — and rebuilds a local-relation
     DataFrame on the CALLING session, so no session-bound object is
     ever cached. Training is deterministic (first-k seeds, settled
     integer-unit means), so a cache hit is value-identical to
     retraining; ``tests/test_pq.py`` pins that equivalence.
     """
-    rows = _PQ_CODEBOOK_ROWS.get(sf_dir)
+    key = (sf_dir, dataset_fingerprint(sf_dir, "embeddings"))
+    rows = _PQ_CODEBOOK_ROWS.get(key)
     if rows is None:
         from news_data_pipeline_spark.operators.pq import pq_train
 
@@ -638,7 +646,8 @@ def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [
             (r["sub"], r["cid"], r["j"], r["value"]) for r in cb.collect()
         ]
-        _PQ_CODEBOOK_ROWS[sf_dir] = rows
+        _evict_stale(_PQ_CODEBOOK_ROWS, sf_dir)
+        _PQ_CODEBOOK_ROWS[key] = rows
     return spark.createDataFrame(
         rows, "sub int, cid int, j int, value double"
     )
@@ -1541,7 +1550,9 @@ _PQR_ARTIFACTS: dict = {}
 
 def _pqr_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
     """Train-once frozen index artifacts for the residual-PQ family,
-    keyed by dataset directory (the same discipline as
+    keyed by (dataset directory, content fingerprint) so a regenerated
+    dataset retrains instead of serving stale artifacts (the same
+    discipline as
     ``_pq_trained_codebooks`` / ``_spq_frozen_artifacts``: only bounded
     collected rows — 16 centroids + k*m*sub_dim codebook scalars — on
     the driver; DataFrames rebuilt on the calling session). The values
@@ -1557,7 +1568,8 @@ def _pqr_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
         pq_train,
     )
 
-    art = _PQR_ARTIFACTS.get(sf_dir)
+    key = (sf_dir, dataset_fingerprint(sf_dir, "embeddings"))
+    art = _PQR_ARTIFACTS.get(key)
     if art is None:
         cent_rows = [
             (
@@ -1588,7 +1600,8 @@ def _pqr_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
             ).collect()
         ]
         art = (cent_rows, cb_rows)
-        _PQR_ARTIFACTS[sf_dir] = art
+        _evict_stale(_PQR_ARTIFACTS, sf_dir)
+        _PQR_ARTIFACTS[key] = art
     cent_rows, cb_rows = art
     return (
         spark.createDataFrame(cent_rows, "cid bigint, c_vec array<double>"),

@@ -19,7 +19,11 @@ from news_data_pipeline_spark.functions.exact import (
 from news_data_pipeline_spark.operators import dedup, similarity
 from news_data_pipeline_spark.operators.fanout import fan_out
 from news_data_pipeline_spark.queries.registry import register
-from news_data_pipeline_spark.sources.catalog import load_table
+from news_data_pipeline_spark.sources.catalog import (
+    dataset_fingerprint,
+    evict_stale_artifacts as _evict_stale,
+    load_table,
+)
 
 # DuckDB twin of functions.text.word_count / token_count — keep in sync.
 # CASE keeps parity with word_count's blank-string -> 0 special case
@@ -3947,9 +3951,13 @@ def _build_xmodal_artifacts(spark: SparkSession, docs: DataFrame):
 
 
 def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
-    """Build-once frozen IndexIVFPQ for the crossmodal family, keyed by
-    dataset directory: (corpus embeddings, centroids, codebooks, stored
-    codes). A retrieval deployment builds all four at ingest and serves
+    """Build-once frozen IndexIVFPQ for the crossmodal family, keyed
+    by (dataset directory, content fingerprint of the documents table)
+    — a dataset regenerated at the same path rebuilds the index instead
+    of serving stale artifacts, and a cached session-temp root reaped
+    by tmp cleanup is detected and rebuilt rather than failing the
+    read (both round-11 ADVICE): (corpus embeddings, centroids,
+    codebooks, stored codes). A retrieval deployment builds all four at ingest and serves
     every query from them; re-deriving them per query is bench-shape,
     not production shape (round-9 verdict on
     ``multimodal_crossmodal_topk``'s remaining cost).
@@ -3974,13 +3982,27 @@ def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
     emb_schema = "id long, embedding array<double>"
     codes_schema = "id long, sub int, code int, cid bigint"
 
-    art = _XMODAL_INDEX.get(sf_dir)
+    import os
+
+    key = (sf_dir, dataset_fingerprint(sf_dir, "documents"))
+    art = _XMODAL_INDEX.get(key)
+    if art is not None:
+        # the corpus-sized shards live in session-temp parquet, which
+        # an aggressive tmp cleaner can reap mid-session: validate the
+        # root before serving, rebuild on loss (round-11 ADVICE)
+        root = art[0]
+        if root is not None and not (
+            os.path.isdir(os.path.join(root, "vectors"))
+            and os.path.isdir(os.path.join(root, "codes"))
+        ):
+            art = None
     if art is None:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         )
         art = _build_xmodal_artifacts(spark, docs)
-        _XMODAL_INDEX[sf_dir] = art
+        _evict_stale(_XMODAL_INDEX, sf_dir)
+        _XMODAL_INDEX[key] = art
     root, cb_rows, cent_rows = art
     if root is None:
         return (

@@ -22,7 +22,11 @@ from news_data_pipeline_spark.functions.exact import (
     sql_exact_sum,
 )
 from news_data_pipeline_spark.queries.registry import register
-from news_data_pipeline_spark.sources.catalog import load_table
+from news_data_pipeline_spark.sources.catalog import (
+    dataset_fingerprint,
+    evict_stale_artifacts as _evict_stale,
+    load_table,
+)
 
 
 @register(
@@ -1687,7 +1691,9 @@ _SPQ_ARTIFACTS: dict = {}
 
 def _spq_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
     """Train-once frozen index artifacts for ``streamed_pq_codes``,
-    keyed by dataset directory (the r7 ``_pq_trained_codebooks``
+    keyed by (dataset directory, content fingerprint) — a regenerated
+    dataset retrains instead of serving stale artifacts (the r7
+    ``_pq_trained_codebooks``
     discipline: only bounded collected rows — 16 centroids +
     k*m*sub_dim codebook scalars — ever live on the driver; DataFrames
     are rebuilt on the calling session). Training is deterministic, so
@@ -1699,7 +1705,8 @@ def _spq_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
         pq_train,
     )
 
-    art = _SPQ_ARTIFACTS.get(sf_dir)
+    key = (sf_dir, dataset_fingerprint(sf_dir, "embeddings"))
+    art = _SPQ_ARTIFACTS.get(key)
     if art is None:
         cent_rows = [
             (r["vec_id"], list(r["embedding"]))
@@ -1721,7 +1728,8 @@ def _spq_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
             ).collect()
         ]
         art = (cent_rows, cb_rows)
-        _SPQ_ARTIFACTS[sf_dir] = art
+        _evict_stale(_SPQ_ARTIFACTS, sf_dir)
+        _SPQ_ARTIFACTS[key] = art
     cent_rows, cb_rows = art
     return (
         spark.createDataFrame(cent_rows, "cid bigint, c_vec array<double>"),

@@ -33,6 +33,54 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def dataset_fingerprint(sf_dir: str, *names: str) -> tuple:
+    """Content fingerprint of one or more fixture tables: sorted
+    ``(relpath, size, mtime_ns)`` of every data file under each table
+    path. The frozen-artifact memo caches (``_pq_trained_codebooks``,
+    ``_pqr_frozen_artifacts``, ``_spq_frozen_artifacts``,
+    ``_crossmodal_frozen_index``) fold this into their keys so a
+    dataset REGENERATED AT THE SAME PATH within one session can never
+    serve stale centroids/codebooks (round-11 ADVICE: keying on
+    ``sf_dir`` alone had no invalidation). A missing table fingerprints
+    as an empty entry set rather than raising — the caller's read is
+    where absence should surface.
+
+    Local-FS walk: the gate fixtures are local paths. A cluster
+    deployment would take the same triple from a Hadoop FileSystem
+    listing (``listFiles`` returns path/len/modificationTime); the key
+    shape is deliberately FS-agnostic.
+    """
+    entries = []
+    for name in names:
+        root = f"{sf_dir.rstrip('/')}/{name}.parquet"
+        if os.path.isfile(root):
+            st = os.stat(root)
+            entries.append((name, st.st_size, st.st_mtime_ns))
+        elif os.path.isdir(root):
+            for dirpath, _dirs, files in os.walk(root):
+                for fname in files:
+                    p = os.path.join(dirpath, fname)
+                    st = os.stat(p)
+                    entries.append(
+                        (
+                            os.path.relpath(p, sf_dir),
+                            st.st_size,
+                            st.st_mtime_ns,
+                        )
+                    )
+    return tuple(sorted(entries))
+
+
+def evict_stale_artifacts(cache: dict, sf_dir: str) -> None:
+    """Drop a frozen-artifact memo cache's entries for ``sf_dir``
+    (keys are ``(sf_dir, fingerprint)`` tuples) before inserting the
+    freshly-trained one: one live dataset per path, so a directory
+    regenerated many times within a session cannot grow the cache
+    unboundedly, and a stale fingerprint can never be served again."""
+    for k in [k for k in cache if isinstance(k, tuple) and k[0] == sf_dir]:
+        del cache[k]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing types for engine-wide parity.
 

@@ -275,12 +275,16 @@ def test_codebook_cache_is_value_identical_and_keyed(spark):
     # key strictly by dataset directory.
     from news_data_pipeline_spark.queries import corpusops as co
 
+    from news_data_pipeline_spark.sources.catalog import (
+        evict_stale_artifacts,
+    )
+
     sf_dir = "/root/testdata/sf0.001"
-    co._PQ_CODEBOOK_ROWS.pop(sf_dir, None)
+    evict_stale_artifacts(co._PQ_CODEBOOK_ROWS, sf_dir)
     first = sorted(
         tuple(r) for r in co._pq_trained_codebooks(spark, sf_dir).collect()
     )
-    assert sf_dir in co._PQ_CODEBOOK_ROWS
+    assert any(k[0] == sf_dir for k in co._PQ_CODEBOOK_ROWS)
 
     calls = []
     orig = pq_train
@@ -548,3 +552,137 @@ def test_residual_topk_materialize_parity(spark):
         )
     )
     assert lazy == ckpt
+
+
+def _write_synth_embeddings(spark, sf_dir, seed_shift):
+    # 40 deterministic 64-dim vectors; seed_shift mutates the content
+    rows = [
+        (
+            i,
+            [
+                float(((i * 37 + j * 11 + seed_shift) % 97) - 48)
+                for j in range(64)
+            ],
+        )
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/embeddings.parquet"
+    )
+
+
+def test_frozen_artifact_caches_invalidate_on_dataset_mutation(
+    spark, tmp_path
+):
+    """Round-11 ADVICE: memo keys carry a content fingerprint, so a
+    dataset REGENERATED AT THE SAME PATH retrains instead of serving
+    stale centroids/codebooks — across all three driver-memory artifact
+    caches (plain PQ codebooks, residual-PQ, streamed residual-PQ)."""
+    import os
+    import time
+
+    from news_data_pipeline_spark.queries import corpusops as co
+    from news_data_pipeline_spark.queries import streaming_batch as sb
+    from news_data_pipeline_spark.sources.catalog import load_table
+
+    sf_dir = str(tmp_path / "sfx")
+    os.makedirs(sf_dir)
+    _write_synth_embeddings(spark, sf_dir, 0)
+
+    cb1 = sorted(
+        tuple(r) for r in co._pq_trained_codebooks(spark, sf_dir).collect()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pqr_c1, pqr_cb1 = co._pqr_frozen_artifacts(spark, emb, sf_dir)
+    pqr1 = (
+        sorted(tuple(r) for r in pqr_c1.collect()),
+        sorted(tuple(r) for r in pqr_cb1.collect()),
+    )
+    spq_c1, spq_cb1 = sb._spq_frozen_artifacts(spark, emb, sf_dir)
+    spq1 = sorted(tuple(r) for r in spq_cb1.collect())
+
+    # regenerate the dataset at the SAME path with different content;
+    # ensure the mtime_ns actually moves even on coarse filesystems
+    time.sleep(0.05)
+    _write_synth_embeddings(spark, sf_dir, 5)
+
+    cb2 = sorted(
+        tuple(r) for r in co._pq_trained_codebooks(spark, sf_dir).collect()
+    )
+    emb2 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    pqr_c2, pqr_cb2 = co._pqr_frozen_artifacts(spark, emb2, sf_dir)
+    pqr2 = (
+        sorted(tuple(r) for r in pqr_c2.collect()),
+        sorted(tuple(r) for r in pqr_cb2.collect()),
+    )
+    spq_c2, spq_cb2 = sb._spq_frozen_artifacts(spark, emb2, sf_dir)
+    spq2 = sorted(tuple(r) for r in spq_cb2.collect())
+
+    assert cb2 != cb1  # retrained on the mutated content
+    assert pqr2 != pqr1
+    assert spq2 != spq1
+    # and the evict-on-insert keeps exactly one live entry per path
+    assert sum(1 for k in co._PQ_CODEBOOK_ROWS if k[0] == sf_dir) == 1
+    assert sum(1 for k in co._PQR_ARTIFACTS if k[0] == sf_dir) == 1
+    assert sum(1 for k in sb._SPQ_ARTIFACTS if k[0] == sf_dir) == 1
+
+
+def test_xmodal_index_invalidates_on_mutation_and_reaped_root(
+    spark, tmp_path
+):
+    """The crossmodal frozen index re-builds when the documents table
+    is regenerated at the same path AND when its session-temp parquet
+    root is reaped by tmp cleanup (round-11 ADVICE)."""
+    import os
+    import shutil
+    import time
+
+    from news_data_pipeline_spark.queries import llmdata as ld
+
+    sf_dir = str(tmp_path / "sfy")
+    os.makedirs(sf_dir)
+
+    def write_docs(texts):
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+
+    write_docs([f"alpha doc {i}" for i in range(20)])
+    emb1, cent1, cb1, codes1 = ld._crossmodal_frozen_index(spark, sf_dir)
+    first_codes = sorted(tuple(r) for r in codes1.collect())
+    first_cb = sorted(tuple(r) for r in cb1.collect())
+    root1 = next(
+        k2 for k2 in ld._XMODAL_INDEX if k2[0] == sf_dir
+    )
+    art_root = ld._XMODAL_INDEX[root1][0]
+
+    # cache hit serves the same root without rebuilding
+    _, _, _, codes_again = ld._crossmodal_frozen_index(spark, sf_dir)
+    assert sorted(tuple(r) for r in codes_again.collect()) == first_codes
+
+    # (a) reaped session-temp root: rebuild, not a failed read
+    shutil.rmtree(art_root)
+    emb_r, cent_r, cb_r, codes_r = ld._crossmodal_frozen_index(
+        spark, sf_dir
+    )
+    assert sorted(tuple(r) for r in codes_r.collect()) == first_codes
+    assert sorted(tuple(r) for r in cb_r.collect()) == first_cb
+
+    # (b) dataset regenerated at the same path: artifacts change
+    time.sleep(0.05)
+    write_docs([f"omega text {i} differs" for i in range(24)])
+    emb2, cent2, cb2, codes2 = ld._crossmodal_frozen_index(spark, sf_dir)
+    second_codes = sorted(tuple(r) for r in codes2.collect())
+    assert second_codes != first_codes
+    assert sum(1 for k in ld._XMODAL_INDEX if k[0] == sf_dir) == 1
