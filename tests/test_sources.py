@@ -90,6 +90,63 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_bucketed_join_db_cached_and_invalidated(spark, tmp_path):
+    """The registered bucketed-join query's tables are written once per
+    (sf_dir, content fingerprint) and reused; a reaped location
+    rebuilds, a mutated dataset rebuilds under a FRESH database name
+    and drops the stale one (round-11: per-invocation rewrite +
+    fixed-name clobber both closed)."""
+    import os
+    import shutil
+    import time
+
+    from news_data_pipeline_spark.queries import relational as rel
+
+    sf_dir = str(tmp_path / "sfb")
+    os.makedirs(sf_dir)
+
+    def write_fixture(n):
+        spark.createDataFrame(
+            [(i, f"SEG{i % 3}") for i in range(n)],
+            "c_custkey long, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf_dir}/customer.parquet"
+        )
+        spark.createDataFrame(
+            [(i % n, float(i) + 0.25) for i in range(n * 2)],
+            "o_custkey long, o_totalprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf_dir}/orders.parquet"
+        )
+
+    write_fixture(10)
+    db1 = rel._bucketed_join_db(spark, sf_dir)
+    assert rel._bucketed_join_db(spark, sf_dir) == db1  # cache hit
+    total1 = sum(
+        r["n_orders"]
+        for r in rel.bucketed_segment_order_totals(spark, sf_dir).collect()
+    )
+    assert total1 == 20
+
+    # reaped session-temp location: rebuild, not a failed read
+    loc1 = next(
+        v[1] for k, v in rel._BUCKETED_DBS.items() if k[0] == sf_dir
+    )
+    shutil.rmtree(loc1)
+    db2 = rel._bucketed_join_db(spark, sf_dir)
+    assert spark.catalog.tableExists(f"{db2}.b_customer")
+    assert spark.table(f"{db2}.b_orders").count() == 20
+
+    # dataset regenerated at the same path: fresh db, stale one dropped
+    time.sleep(0.05)
+    write_fixture(12)
+    db3 = rel._bucketed_join_db(spark, sf_dir)
+    assert db3 != db2
+    assert not spark.catalog.databaseExists(db2)
+    assert spark.table(f"{db3}.b_orders").count() == 24
+    assert sum(1 for k in rel._BUCKETED_DBS if k[0] == sf_dir) == 1
+
+
 def test_partition_pruning_on_partitioned_layer(spark, tmp_path):
     """A filter on the partition column must reach the scan as a
     PartitionFilter — pruning directories, not reading-then-filtering."""
