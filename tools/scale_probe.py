@@ -507,6 +507,113 @@ def crossmodal_sweep(spark, doc_counts: list[int]) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bucketed_sweep(spark, sizes: list[int]) -> None:
+    """Bucketed co-located join vs plain sort-merge join at growing
+    fact volume (SCALE.md "Storage layout") — the round-10 verdict
+    asked for the same measurement discipline the other levers got.
+    Per size: dim (n/4 keys) and fact (n rows, ~32B incompressible
+    pad so the exchange moves real bytes) are written plain AND
+    bucketed-by-key (32 buckets, write cost reported separately —
+    the lever is write-once/read-many, so the join+agg read is the
+    amortized cost); the consumer joins on the key and aggregates by
+    segment with broadcast defeated so the sort-merge shape is
+    visible. Exchange counts come from each executed plan."""
+    import statistics
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as SF
+
+    from news_data_pipeline_spark.sources.writers import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    db = f"bucketed_sweep_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="bucketed_sweep_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        for n in sizes:
+            dim_n = max(n // 4, 1)
+            dim = spark.range(dim_n).select(
+                SF.col("id").alias("k"),
+                SF.concat(
+                    SF.lit("SEG"), (SF.col("id") % 5).cast("string")
+                ).alias("seg"),
+            )
+            fact = spark.range(n).select(
+                (SF.col("id") % dim_n).alias("k"),
+                (SF.col("id") % 97).cast("double").alias("v"),
+                SF.md5(SF.col("id").cast("string")).alias("pad"),
+            )
+            plain_root = tempfile.mkdtemp(prefix="bucketed_sweep_plain_")
+            t0 = time.perf_counter()
+            dim.write.mode("overwrite").parquet(f"{plain_root}/dim")
+            fact.write.mode("overwrite").parquet(f"{plain_root}/fact")
+            t_plain_write = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            write_bucketed(
+                dim, f"dim_{n}", bucket_by="k", num_buckets=32, database=db
+            )
+            write_bucketed(
+                fact, f"fact_{n}", bucket_by="k", num_buckets=32,
+                database=db,
+            )
+            t_bucket_write = time.perf_counter() - t0
+
+            def agg(d, f_):
+                return (
+                    d.join(f_, on="k")
+                    .groupBy("seg")
+                    .agg(
+                        SF.count(SF.lit(1)).alias("cnt"),
+                        SF.sum("v").alias("s"),
+                        SF.max("pad").alias("p"),
+                    )
+                )
+
+            arms = [
+                (
+                    "plain",
+                    t_plain_write,
+                    lambda: agg(
+                        spark.read.parquet(f"{plain_root}/dim"),
+                        spark.read.parquet(f"{plain_root}/fact"),
+                    ),
+                ),
+                (
+                    "bucketed",
+                    t_bucket_write,
+                    lambda: agg(
+                        spark.table(f"{db}.dim_{n}"),
+                        spark.table(f"{db}.fact_{n}"),
+                    ),
+                ),
+            ]
+            for tag, t_write, build in arms:
+                build().collect()  # warm
+                ts, exchanges = [], None
+                for _ in range(3):
+                    frame = build()
+                    t0 = time.perf_counter()
+                    frame.collect()
+                    ts.append(time.perf_counter() - t0)
+                    exchanges = (
+                        frame._jdf.queryExecution()
+                        .executedPlan()
+                        .toString()
+                        .count("Exchange")
+                    )
+                print(
+                    f"bucketed sweep n={n} {tag}: join+agg median"
+                    f" {statistics.median(ts):.2f}s (min {min(ts):.2f}"
+                    f" max {max(ts):.2f}) write {t_write:.1f}s"
+                    f" exchanges={exchanges}",
+                    flush=True,
+                )
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def skew_sweep(spark, rows: int) -> None:
     """Hot-key join A/B — measures the skew penalty, whether AQE's
     skew split engages (read from the EXECUTED Dataset's plan:
@@ -648,6 +755,10 @@ def main() -> None:
     ap.add_argument("--skew", type=int, default=None,
                     help="fact-row count: run the AQE skew-join A/B "
                          "probe instead")
+    ap.add_argument("--bucketed-sweep", type=str, default=None,
+                    help="comma-separated fact-row counts: run the "
+                         "bucketed-join vs plain sort-merge join sweep "
+                         "(write cost reported separately) instead")
     ap.add_argument("--crossmodal-sweep", type=str, default=None,
                     help="comma-separated doc counts: time the frozen "
                          "crossmodal index build vs retrieval vs the "
@@ -672,6 +783,12 @@ def main() -> None:
             spark,
             [int(x) for x in args.ingest_sweep.split(",")],
             methods=tuple(args.ingest_methods.split(",")),
+        )
+        spark.stop()
+        return
+    if args.bucketed_sweep:
+        bucketed_sweep(
+            spark, [int(x) for x in args.bucketed_sweep.split(",")]
         )
         spark.stop()
         return
