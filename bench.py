@@ -103,14 +103,12 @@ TAIL_QUERIES = (
     # same scan class as the headline-adjacent document_language_id.
     "cms_heavy_hitters",
     "gopher_quality_flags",
-    # round-8 additions (tail 27 -> 30): crossmodal is the heaviest new
-    # composition (two embedding towers + in-plan PQ train + IVF +
-    # rerank); perplexity_buckets tracks the per-language window
-    # funnel; dup_ngram_char_coverage is the new heaviest per-doc
-    # window + coverage-join scan. Streamed twins stay out (their
-    # wall-clock is checkpoint/temp-dir plumbing, not a data-scaling
-    # signal).
-    "multimodal_crossmodal_topk",
+    # round-8 additions (tail 27 -> 30): perplexity_buckets tracks the
+    # per-language window funnel; dup_ngram_char_coverage is the new
+    # heaviest per-doc window + coverage-join scan. Streamed twins stay
+    # out (their wall-clock is checkpoint/temp-dir plumbing, not a
+    # data-scaling signal). multimodal_crossmodal_topk moved to the
+    # BUILD_COST tier in round 11.
     "perplexity_buckets",
     "dup_ngram_char_coverage",
     # round-8b additions (tail 30 -> 32): the remaining quantization
@@ -129,11 +127,26 @@ TAIL_QUERIES = (
     # path (stored-cid ADC probe + rerank against on-disk artifacts,
     # built once in the untimed warm pass — the same train-once
     # amortization as the PQ codebook artifact). This is the
-    # production retrieval shape; its in-plan-build twin
-    # multimodal_crossmodal_topk stays tracked above so the build cost
-    # remains visible. ann_recall_trained_curve stays out for the
-    # nprobe-curve reason (sweep plan depth, no new data term).
+    # production retrieval shape; its in-plan-build twin lives in the
+    # BUILD_COST tier so the build cost remains visible without
+    # dominating tail comparisons. ann_recall_trained_curve stays out
+    # for the nprobe-curve reason (sweep plan depth, no new data term).
     "crossmodal_topk_frozen",
+)
+
+# Third tier: DELIBERATELY-unoptimized build-cost trackers — queries
+# whose registered shape re-pays a one-time index/train cost per run so
+# that cost stays visible round-over-round. They are real registered
+# queries with green oracle rows, but their wall-clock is intentional
+# build work, not a retrieval-path regression signal: keeping them in
+# the tail made round-over-round tail comparisons hostage to a query
+# whose slowness is the point (round-10 verdict item 6). Reported as
+# "build_value"/"build_queries", never folded into value or tail_value.
+BUILD_COST_QUERIES = (
+    # in-plan twin of crossmodal_topk_frozen: re-renders both towers and
+    # re-trains PQ per query — the one-time build cost the frozen index
+    # amortizes (SCALE.md round-10 frozen-index economics table)
+    "multimodal_crossmodal_topk",
 )
 
 
@@ -183,7 +196,7 @@ def main() -> None:
     # generated code once so the timed passes below measure steady-state
     # data throughput, not first-run Catalyst/C2 compilation (see module
     # docstring; BENCH_BASELINE.md records the methodology A/B).
-    all_queries = HEADLINE_QUERIES + TAIL_QUERIES
+    all_queries = HEADLINE_QUERIES + TAIL_QUERIES + BUILD_COST_QUERIES
     for name in all_queries:
         run_query(qmap[name], spark, sf_dir)
 
@@ -206,9 +219,15 @@ def main() -> None:
         name: [round(min(reps[name]), 3), round(max(reps[name]), 3)]
         for name in TAIL_QUERIES
     }
+    build_timings = {name: median(reps[name]) for name in BUILD_COST_QUERIES}
+    build_minmax = {
+        name: [round(min(reps[name]), 3), round(max(reps[name]), 3)]
+        for name in BUILD_COST_QUERIES
+    }
 
     detail, compact = format_output(
-        timings, minmax, tail_timings, tail_minmax, sf
+        timings, minmax, tail_timings, tail_minmax, sf,
+        build_timings, build_minmax,
     )
     # Full-detail line first (for humans / BENCH_*_local.json), compact
     # summary LAST — the driver's stdout-tail capture must always
@@ -226,11 +245,19 @@ def format_output(
     tail_timings: dict,
     tail_minmax: dict,
     sf,
+    build_timings: dict | None = None,
+    build_minmax: dict | None = None,
 ) -> tuple[str, str]:
     """(detail_line, compact_line) — compact MUST stay small and carry
-    the driver-contract fields; pinned by tests/test_functions.py."""
+    the driver-contract fields; pinned by tests/test_functions.py.
+    ``build_*`` carries the deliberately-unoptimized build-cost tier
+    (round 11): separate from tail_value so round-over-round tail
+    comparisons track production shapes only. r10 and earlier
+    tail_value included multimodal_crossmodal_topk (~6-7 s at sf0.1);
+    compare across that boundary via the per-query detail values."""
     total = round(sum(timings.values()), 3)
     tail_total = round(sum(tail_timings.values()), 3)
+    build_total = round(sum((build_timings or {}).values()), 3)
     detail = json.dumps(
         {
             "metric": "headline_query_wall_clock_detail",
@@ -241,6 +268,9 @@ def format_output(
             "tail_value": tail_total,
             "tail_queries": tail_timings,
             "tail_queries_minmax": tail_minmax,
+            "build_value": build_total,
+            "build_queries": build_timings or {},
+            "build_queries_minmax": build_minmax or {},
             "sf": sf,
         }
     )
@@ -251,6 +281,7 @@ def format_output(
             "unit": "sec",
             "queries": timings,
             "tail_value": tail_total,
+            "build_value": build_total,
             "sf": sf,
         }
     )

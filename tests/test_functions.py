@@ -189,11 +189,27 @@ def test_bench_compact_line_stays_driver_parseable():
     minmax = {name: [1.1, 1.4] for name in bench.HEADLINE_QUERIES}
     tail = {name: 2.345 for name in bench.TAIL_QUERIES}
     tail_mm = {name: [2.1, 2.6] for name in bench.TAIL_QUERIES}
-    detail, compact = bench.format_output(timings, minmax, tail, tail_mm, 0.1)
+    build = {name: 6.789 for name in bench.BUILD_COST_QUERIES}
+    build_mm = {name: [6.1, 7.2] for name in bench.BUILD_COST_QUERIES}
+    detail, compact = bench.format_output(
+        timings, minmax, tail, tail_mm, 0.1, build, build_mm
+    )
     parsed = _json.loads(compact)
     assert parsed["metric"] == "headline_query_wall_clock"
-    assert {"value", "unit", "queries", "tail_value", "sf"} <= set(parsed)
+    assert {
+        "value", "unit", "queries", "tail_value", "build_value", "sf"
+    } <= set(parsed)
     assert parsed["value"] == round(1.234 * len(bench.HEADLINE_QUERIES), 3)
+    # build-cost trackers are reported but NEVER folded into the
+    # cross-round comparison totals (round-11 tier split)
+    assert parsed["tail_value"] == round(
+        2.345 * len(bench.TAIL_QUERIES), 3
+    )
+    assert parsed["build_value"] == round(
+        6.789 * len(bench.BUILD_COST_QUERIES), 3
+    )
+    assert set(bench.BUILD_COST_QUERIES).isdisjoint(bench.TAIL_QUERIES)
+    assert set(bench.BUILD_COST_QUERIES).isdisjoint(bench.HEADLINE_QUERIES)
     assert len(compact) < 1024  # stays inside a conservative tail window
     assert "\n" not in compact and "\n" not in detail  # one line each
 
