@@ -37,7 +37,10 @@ def default_layer_format(spark: SparkSession) -> str:
     tables — ACID overwrite and ``VERSION AS OF`` then come from the
     transaction log instead of ``VersionedLayer``'s pointer swap.
 
-    Installability checked round 10: delta-spark is NOT obtainable
+    Installability checked round 10, re-checked round 11 (unchanged:
+    ``pip download delta-spark`` fails DNS resolution, ``import
+    delta`` absent, zero delta jars under pyspark/jars or anywhere on
+    the filesystem): delta-spark is NOT obtainable
     offline in this sandbox (no pip/network for ``--packages``
     resolution, no delta jar anywhere on the filesystem, and
     ``spark.sql.extensions`` is a static conf that cannot be injected
