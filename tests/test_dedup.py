@@ -67,6 +67,43 @@ def test_ngram_jaccard_exact_value(spark):
     assert rows == {(1, 2): 0.5}
 
 
+def test_ngram_jaccard_prefix_filter_parity(spark):
+    """prefix_filter=True must emit the identical (pair, jaccard)
+    set as the bounded path — prefix indexing is a candidate-generation
+    change, verified exactly (round-11 measured non-adoption: the flag
+    stays opt-in, so parity is the contract that keeps it safe)."""
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(30)
+    ] + [
+        (100 + i, " ".join(f"w{j % 23}" for j in range(12)))
+        for i in range(4)  # exact-dup cluster
+    ] + [(200, None), (201, "short")]
+    df = spark.createDataFrame(rows, ["doc_id", "body"])
+    for t in (0.2, 0.5, 0.9):
+        base = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "body", n=2, threshold=t, max_df=50
+            ).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "body", n=2, threshold=t, max_df=50,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert pref == base, f"prefix-filter divergence at t={t}"
+    assert base  # the dup cluster guarantees a non-vacuous comparison
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(
+            df, "doc_id", "body", prefix_filter=True
+        )
+
+
 def test_simhash_near_dups_close_in_hamming(spark):
     out = dedup.simhash(docs(spark), "doc_id", "body")
     sims = {r["id"]: r["simhash"] for r in out.collect()}
