@@ -1872,20 +1872,28 @@ def _bucketed_join_db(spark: SparkSession, sf_dir: str) -> str:
     db = f"bucketed_q_{uuid.uuid4().hex[:8]}"
     loc = tempfile.mkdtemp(prefix="bucketed_q_")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-    )
-    write_bucketed(
-        cust, "b_customer", bucket_by="c_custkey", num_buckets=8,
-        database=db,
-    )
-    write_bucketed(
-        orders, "b_orders", bucket_by="c_custkey", num_buckets=8,
-        database=db,
-    )
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        write_bucketed(
+            cust, "b_customer", bucket_by="c_custkey", num_buckets=8,
+            database=db,
+        )
+        write_bucketed(
+            orders, "b_orders", bucket_by="c_custkey", num_buckets=8,
+            database=db,
+        )
+    except BaseException:
+        # a half-built database (first table written, second failed)
+        # must not linger in the metastore: it is not cached, so a
+        # retry would build a FRESH db and orphan this one for the
+        # session's lifetime
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        raise
     _BUCKETED_DBS[key] = (db, loc)
     return db
 

@@ -146,6 +146,40 @@ def test_bucketed_join_db_cached_and_invalidated(spark, tmp_path):
     assert spark.table(f"{db3}.b_orders").count() == 24
     assert sum(1 for k in rel._BUCKETED_DBS if k[0] == sf_dir) == 1
 
+    # a mid-build failure must not orphan a half-built database in the
+    # metastore (the second write fails -> db dropped, nothing cached)
+    import pytest
+
+    from news_data_pipeline_spark.sources import writers as w
+
+    time.sleep(0.05)
+    write_fixture(14)  # invalidate the cache so a build is attempted
+    dbs_before = {d.name for d in spark.catalog.listDatabases()}
+    real = w.write_bucketed
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected write failure")
+        return real(*a, **kw)
+
+    w.write_bucketed = flaky
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            rel._bucketed_join_db(spark, sf_dir)
+    finally:
+        w.write_bucketed = real
+    after = {d.name for d in spark.catalog.listDatabases()}
+    # the stale db3 is legitimately dropped on rebuild; the half-built
+    # db must not appear
+    assert dbs_before - after == {db3}
+    assert not (after - dbs_before)
+    assert sum(1 for k in rel._BUCKETED_DBS if k[0] == sf_dir) == 0
+    # and a clean retry rebuilds end-to-end
+    db4 = rel._bucketed_join_db(spark, sf_dir)
+    assert spark.table(f"{db4}.b_orders").count() == 28
+
 
 def test_partition_pruning_on_partitioned_layer(spark, tmp_path):
     """A filter on the partition column must reach the scan as a
