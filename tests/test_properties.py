@@ -1001,3 +1001,41 @@ def test_salted_join_is_physically_invisible(
         key=repr,
     )
     assert got == want
+
+
+# prefix-filtered Jaccard parity: candidate pruning may never change
+# the emitted (pair, jaccard) set, for ANY corpus/threshold (round-11
+# opt-in flag; the fixed-corpus parity test lives in test_dedup.py).
+doc_text_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(8)]),
+            min_size=0,
+            max_size=10,
+        ).map(" ".join),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(doc_text_strategy, st.sampled_from([0.15, 0.4, 0.75, 1.0]))
+@SETTINGS
+def test_ngram_jaccard_prefix_filter_parity_property(spark, texts, t):
+    from news_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, body string"
+    )
+
+    def run(pf):
+        return {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "body", n=2, threshold=t, max_df=6,
+                prefix_filter=pf,
+            ).collect()
+        }
+
+    assert run(True) == run(False)
