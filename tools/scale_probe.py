@@ -558,6 +558,21 @@ def bucketed_sweep(spark, sizes: list[int]) -> None:
                 database=db,
             )
             t_bucket_write = time.perf_counter() - t0
+            # third arm: bucketed AND sorted by the key — sort-merge can
+            # skip the per-task sorts too when each bucket is one sorted
+            # file (repartition before write so bucketBy+sortBy yields
+            # exactly one file per bucket; multiple files per bucket
+            # force Spark to re-sort)
+            t0 = time.perf_counter()
+            write_bucketed(
+                dim.repartition(32, "k"), f"dims_{n}", bucket_by="k",
+                num_buckets=32, sort_by="k", database=db,
+            )
+            write_bucketed(
+                fact.repartition(32, "k"), f"facts_{n}", bucket_by="k",
+                num_buckets=32, sort_by="k", database=db,
+            )
+            t_sorted_write = time.perf_counter() - t0
 
             def agg(d, f_):
                 return (
@@ -587,26 +602,35 @@ def bucketed_sweep(spark, sizes: list[int]) -> None:
                         spark.table(f"{db}.fact_{n}"),
                     ),
                 ),
+                (
+                    "bucketed+sorted",
+                    t_sorted_write,
+                    lambda: agg(
+                        spark.table(f"{db}.dims_{n}"),
+                        spark.table(f"{db}.facts_{n}"),
+                    ),
+                ),
             ]
             for tag, t_write, build in arms:
                 build().collect()  # warm
-                ts, exchanges = [], None
+                ts, exchanges, sorts = [], None, None
                 for _ in range(3):
                     frame = build()
                     t0 = time.perf_counter()
                     frame.collect()
                     ts.append(time.perf_counter() - t0)
-                    exchanges = (
+                    plan = (
                         frame._jdf.queryExecution()
                         .executedPlan()
                         .toString()
-                        .count("Exchange")
                     )
+                    exchanges = plan.count("Exchange")
+                    sorts = plan.count("+- Sort ") + plan.count(":- Sort ")
                 print(
                     f"bucketed sweep n={n} {tag}: join+agg median"
                     f" {statistics.median(ts):.2f}s (min {min(ts):.2f}"
                     f" max {max(ts):.2f}) write {t_write:.1f}s"
-                    f" exchanges={exchanges}",
+                    f" exchanges={exchanges} sorts={sorts}",
                     flush=True,
                 )
     finally:
