@@ -296,9 +296,15 @@ def ingest_sweep(
     for n_batches in batch_counts:
         # "bloom+compact" = method='bloom' with compact_after=8: the
         # round-10 sidecar/compaction path that keeps the per-trigger
-        # partition listing and probe-read footer count O(1)
+        # partition listing and probe-read footer count O(1).
+        # "bloom+compact:N" overrides the cadence (round-11 cadence
+        # study: how often SHOULD production compact?).
         for method in methods:
-            compact_after = 8 if method == "bloom+compact" else None
+            compact_after = None
+            if method.startswith("bloom+compact"):
+                compact_after = (
+                    int(method.split(":", 1)[1]) if ":" in method else 8
+                )
             root = tempfile.mkdtemp(prefix="ingest_sweep_")
             landing = os.path.join(root, "landing")
             for b in range(n_batches):
