@@ -513,6 +513,49 @@ def crossmodal_sweep(spark, doc_counts: list[int]) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def headline_partitions_sweep(spark, partition_counts: list[int]) -> None:
+    """Headline-suite wall-clock vs the initial shuffle-partition count
+    (``spark.sql.shuffle.partitions`` with AQE coalescing ON — the
+    engine default). The 100-TB-relevant property under test: with AQE
+    enabled the initial count is a CEILING the runtime coalesces down
+    from, so the suite should be broadly insensitive to it — nobody
+    hand-tunes per query on a 1000-executor cluster. A strong
+    sensitivity here would mean the engine's plans secretly depend on
+    the local test harness's value (32). Uses bench.py's headline tier
+    and noop-sink execution, one warm pass then two timed sweeps per
+    setting, medians per query summed."""
+    import importlib.util
+    import statistics
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from news_data_pipeline_spark.queries import query_map
+
+    qmap = query_map()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for parts in partition_counts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        for name in bench.HEADLINE_QUERIES:  # warm pass
+            bench.run_query(qmap[name], spark, sf_dir)
+        reps = {name: [] for name in bench.HEADLINE_QUERIES}
+        for _ in range(2):
+            for name in bench.HEADLINE_QUERIES:
+                reps[name].append(bench.run_query(qmap[name], spark, sf_dir))
+        total = sum(statistics.median(ts) for ts in reps.values())
+        worst = max(
+            (statistics.median(ts), name) for name, ts in reps.items()
+        )
+        print(
+            f"headline partitions={parts}: total {total:.2f}s"
+            f" (worst {worst[1]} {worst[0]:.2f}s)",
+            flush=True,
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
 def bucketed_sweep(spark, sizes: list[int]) -> None:
     """Bucketed co-located join vs plain sort-merge join at growing
     fact volume (SCALE.md "Storage layout") — the round-10 verdict
@@ -785,6 +828,10 @@ def main() -> None:
     ap.add_argument("--skew", type=int, default=None,
                     help="fact-row count: run the AQE skew-join A/B "
                          "probe instead")
+    ap.add_argument("--headline-partitions", type=str, default=None,
+                    help="comma-separated shuffle-partition counts: run "
+                         "the bench headline tier at each (AQE on) and "
+                         "report total wall-clock sensitivity instead")
     ap.add_argument("--bucketed-sweep", type=str, default=None,
                     help="comma-separated fact-row counts: run the "
                          "bucketed-join vs plain sort-merge join sweep "
@@ -813,6 +860,12 @@ def main() -> None:
             spark,
             [int(x) for x in args.ingest_sweep.split(",")],
             methods=tuple(args.ingest_methods.split(",")),
+        )
+        spark.stop()
+        return
+    if args.headline_partitions:
+        headline_partitions_sweep(
+            spark, [int(x) for x in args.headline_partitions.split(",")]
         )
         spark.stop()
         return
