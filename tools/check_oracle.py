@@ -6,6 +6,14 @@ compares row count, column names, and an order-insensitive value
 comparison (floats with tolerance). Use before every commit:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
+
+NOTE on the printed per-query seconds: checks run on ``--jobs``
+concurrent threads (default 4) sharing one Spark scheduler, so each
+query's wall-clock includes its neighbors' overlap — two queries
+submitted together report near-identical times regardless of their
+own cost. For per-query attribution (A/Bs, regression hunts) run with
+``--jobs 1`` or use a dedicated timing harness; the concurrent default
+exists to keep the full-registry gate fast, not to measure.
 """
 
 from __future__ import annotations
