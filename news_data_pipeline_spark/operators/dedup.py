@@ -375,10 +375,16 @@ def _prefix_filtered_jaccard_pairs(
     pigeonhole, so a qualifying pair must collide in BOTH prefixes and
     prefix-only postings yield complete candidates (``floor`` rather
     than ``ceil`` sidesteps float-boundary under-length prefixes: it
-    can only make the prefix longer, never lossy). Candidates verify
-    EXACTLY via ``array_intersect`` over the full kept-shingle arrays,
-    so the emitted (pair, jaccard) multiset is identical to the
-    unfiltered path's.
+    can only make the prefix longer, never lossy). The prefix is sized
+    from ``threshold − 5e-5``, not ``threshold``: the final filter
+    thresholds the 4dp-rounded jaccard, so a pair whose true J sits in
+    ``[t − 5e-5, t)`` rounds up to t and survives the settled_round
+    filter — the relaxed bound guarantees its candidate generation at
+    ANY document size, where the raw-t prefix only covered it while
+    ``5e-5·n_sh < 1`` (round-11 ADVICE). Candidates verify EXACTLY via
+    ``array_intersect`` over the full kept-shingle arrays, so the
+    emitted (pair, jaccard) multiset is identical to the unfiltered
+    path's.
 
     Returns (id_a, id_b, common) with exact kept-shingle common counts.
     Measured round 11 (sf0.1, t=0.3, max_df=100): NOT adopted — see
@@ -403,9 +409,11 @@ def _prefix_filtered_jaccard_pairs(
         .join(sizes, on="id")
         .withColumn(
             "__p",
+            # threshold − 5e-5: absorb the 4dp half-up rounding slack
+            # of the downstream settled_round filter (see docstring)
             F.greatest(
                 F.size("__arr")
-                - F.floor(F.lit(threshold) * F.col("n_sh")).cast("int")
+                - F.floor(F.lit(threshold - 5e-5) * F.col("n_sh")).cast("int")
                 + F.lit(1),
                 F.lit(0),
             ),

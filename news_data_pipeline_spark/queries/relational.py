@@ -9,6 +9,8 @@ materialization), windows always partitioned.
 
 from __future__ import annotations
 
+import threading
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -1826,6 +1828,12 @@ def salted_events_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BUCKETED_DBS: dict = {}
+# serializes the miss/drop/build/cache sequence below: the memo is
+# module-level and check_oracle runs registered queries on 4 threads
+# sharing one SparkSession, so two concurrent misses could each build,
+# then one's DROP ... CASCADE sweep would reap the other's freshly
+# created database before it was read (round-11 ADVICE)
+_BUCKETED_DBS_LOCK = threading.Lock()
 
 
 def _bucketed_join_db(spark: SparkSession, sf_dir: str) -> str:
@@ -1852,50 +1860,51 @@ def _bucketed_join_db(spark: SparkSession, sf_dir: str) -> str:
     from news_data_pipeline_spark.sources.writers import write_bucketed
 
     key = (sf_dir, dataset_fingerprint(sf_dir, "customer", "orders"))
-    hit = _BUCKETED_DBS.get(key)
-    if hit is not None:
-        db, loc = hit
-        if (
-            os.path.isdir(loc)
-            and spark.catalog.databaseExists(db)
-            and spark.catalog.tableExists(f"{db}.b_customer")
-            and spark.catalog.tableExists(f"{db}.b_orders")
-        ):
-            return db
-    # drop any stale database for this path (mutated dataset or reaped
-    # location) before rebuilding, so the metastore does not accumulate
-    # orphan entries over a long session
-    for k, (old_db, _old_loc) in list(_BUCKETED_DBS.items()):
-        if k[0] == sf_dir:
-            spark.sql(f"DROP DATABASE IF EXISTS {old_db} CASCADE")
-    evict_stale_artifacts(_BUCKETED_DBS, sf_dir)
-    db = f"bucketed_q_{uuid.uuid4().hex[:8]}"
-    loc = tempfile.mkdtemp(prefix="bucketed_q_")
-    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
-    try:
-        cust = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_mktsegment"
-        )
-        orders = load_table(spark, sf_dir, "orders").select(
-            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
-        )
-        write_bucketed(
-            cust, "b_customer", bucket_by="c_custkey", num_buckets=8,
-            database=db,
-        )
-        write_bucketed(
-            orders, "b_orders", bucket_by="c_custkey", num_buckets=8,
-            database=db,
-        )
-    except BaseException:
-        # a half-built database (first table written, second failed)
-        # must not linger in the metastore: it is not cached, so a
-        # retry would build a FRESH db and orphan this one for the
-        # session's lifetime
-        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
-        raise
-    _BUCKETED_DBS[key] = (db, loc)
-    return db
+    with _BUCKETED_DBS_LOCK:
+        hit = _BUCKETED_DBS.get(key)
+        if hit is not None:
+            db, loc = hit
+            if (
+                os.path.isdir(loc)
+                and spark.catalog.databaseExists(db)
+                and spark.catalog.tableExists(f"{db}.b_customer")
+                and spark.catalog.tableExists(f"{db}.b_orders")
+            ):
+                return db
+        # drop any stale database for this path (mutated dataset or
+        # reaped location) before rebuilding, so the metastore does not
+        # accumulate orphan entries over a long session
+        for k, (old_db, _old_loc) in list(_BUCKETED_DBS.items()):
+            if k[0] == sf_dir:
+                spark.sql(f"DROP DATABASE IF EXISTS {old_db} CASCADE")
+        evict_stale_artifacts(_BUCKETED_DBS, sf_dir)
+        db = f"bucketed_q_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="bucketed_q_")
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+        try:
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+            orders = load_table(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+            )
+            write_bucketed(
+                cust, "b_customer", bucket_by="c_custkey", num_buckets=8,
+                database=db,
+            )
+            write_bucketed(
+                orders, "b_orders", bucket_by="c_custkey", num_buckets=8,
+                database=db,
+            )
+        except BaseException:
+            # a half-built database (first table written, second
+            # failed) must not linger in the metastore: it is not
+            # cached, so a retry would build a FRESH db and orphan this
+            # one for the session's lifetime
+            spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+            raise
+        _BUCKETED_DBS[key] = (db, loc)
+        return db
 
 
 @register(

@@ -305,6 +305,11 @@ def ingest_sweep(
                 compact_after = (
                     int(method.split(":", 1)[1]) if ":" in method else 8
                 )
+                if compact_after < 1:
+                    raise ValueError(
+                        f"ingest-sweep method {method!r}: compaction "
+                        "cadence must be >= 1 trigger"
+                    )
             root = tempfile.mkdtemp(prefix="ingest_sweep_")
             landing = os.path.join(root, "landing")
             for b in range(n_batches):
@@ -350,7 +355,7 @@ def ingest_sweep(
                 text_col="text",
                 corpus_path=os.path.join(root, "corpus"),
                 checkpoint=os.path.join(root, "ckpt"),
-                method="bloom" if compact_after else method,
+                method="bloom" if compact_after is not None else method,
                 available_now=True,
                 compact_after=compact_after,
             )
@@ -536,24 +541,31 @@ def headline_partitions_sweep(spark, partition_counts: list[int]) -> None:
 
     qmap = query_map()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for parts in partition_counts:
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-        for name in bench.HEADLINE_QUERIES:  # warm pass
-            bench.run_query(qmap[name], spark, sf_dir)
-        reps = {name: [] for name in bench.HEADLINE_QUERIES}
-        for _ in range(2):
-            for name in bench.HEADLINE_QUERIES:
-                reps[name].append(bench.run_query(qmap[name], spark, sf_dir))
-        total = sum(statistics.median(ts) for ts in reps.values())
-        worst = max(
-            (statistics.median(ts), name) for name, ts in reps.items()
-        )
-        print(
-            f"headline partitions={parts}: total {total:.2f}s"
-            f" (worst {worst[1]} {worst[0]:.2f}s)",
-            flush=True,
-        )
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # restore whatever the session had (not a hard-coded 32), and do it
+    # even if a sweep setting blows up mid-run (round-11 ADVICE)
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in partition_counts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            for name in bench.HEADLINE_QUERIES:  # warm pass
+                bench.run_query(qmap[name], spark, sf_dir)
+            reps = {name: [] for name in bench.HEADLINE_QUERIES}
+            for _ in range(2):
+                for name in bench.HEADLINE_QUERIES:
+                    reps[name].append(
+                        bench.run_query(qmap[name], spark, sf_dir)
+                    )
+            total = sum(statistics.median(ts) for ts in reps.values())
+            worst = max(
+                (statistics.median(ts), name) for name, ts in reps.items()
+            )
+            print(
+                f"headline partitions={parts}: total {total:.2f}s"
+                f" (worst {worst[1]} {worst[0]:.2f}s)",
+                flush=True,
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
 
 
 def bucketed_sweep(spark, sizes: list[int]) -> None:
@@ -567,6 +579,7 @@ def bucketed_sweep(spark, sizes: list[int]) -> None:
     amortized cost); the consumer joins on the key and aggregates by
     segment with broadcast defeated so the sort-merge shape is
     visible. Exchange counts come from each executed plan."""
+    import shutil
     import statistics
     import tempfile
     import uuid
@@ -682,6 +695,10 @@ def bucketed_sweep(spark, sizes: list[int]) -> None:
                     f" exchanges={exchanges} sorts={sorts}",
                     flush=True,
                 )
+            # the db location is dropped via CASCADE below, but the
+            # plain parquet copies would otherwise accumulate one
+            # dim+fact pair per size for the whole probe run
+            shutil.rmtree(plain_root, ignore_errors=True)
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
