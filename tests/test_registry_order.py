@@ -172,3 +172,41 @@ def test_no_oracle_emits_hugeint():
         if bad:
             offenders.append((name, ",".join(bad)))
     assert not offenders, offenders
+
+
+def test_update_recorded_drops_retired_names(tmp_path):
+    """Refreshing RECORDED.txt drops rows whose query name is no longer
+    in the live registry (round-11 verdict: 5 retired probe rows made
+    the 'oldest green row' statistic point at dead queries), while live
+    rows — both pre-existing and newly green — survive the refresh."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import update_recorded
+    finally:
+        sys.path.pop(0)
+
+    from news_data_pipeline_spark.queries import QUERIES
+
+    live = sorted(QUERIES)[:2]
+    (tmp_path / "RECORDED.txt").write_text(
+        f"{live[0]} 3 deadbeef0000\nretired_zzz_probe 2 deadbeef0000\n"
+    )
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps(
+            {
+                live[1]: {"hash_match": True},
+                "retired_yyy_probe": {"hash_match": True},
+            }
+        )
+    )
+    update_recorded.main(root=str(tmp_path))
+    rows = dict(
+        line.split()[:2]
+        for line in (tmp_path / "RECORDED.txt").read_text().splitlines()
+    )
+    assert set(rows) == set(live)
+    assert rows[live[0]] == "3"
+    assert rows[live[1]] == "4"

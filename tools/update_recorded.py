@@ -19,6 +19,11 @@ line per query with a GREEN driver correctness row::
 - Merge semantics: an existing line's round/signature is kept unless a
   NEWER round has a green row, so re-running after mid-round edits
   cannot launder an unverified edit into a verified entry.
+- Retired queries: rows whose name is no longer in ``query_map()`` are
+  DROPPED at refresh (round-11 verdict: retired probe rows polluted the
+  staleness statistics — the "oldest green row" was a dead query).
+  RECORDED.txt's line count therefore always equals the subset of the
+  live registry with at least one green driver row.
 
 Usage (start of each round, commit the result)::
 
@@ -57,10 +62,10 @@ def green_names(path: str) -> set[str]:
     return out
 
 
-def main() -> None:
+def main(root: str = ROOT) -> None:
     from news_data_pipeline_spark.queries import QUERIES, query_signature
 
-    out_path = os.path.join(ROOT, "RECORDED.txt")
+    out_path = os.path.join(root, "RECORDED.txt")
     existing: dict[str, tuple[int, str]] = {}
     if os.path.isfile(out_path):
         with open(out_path) as f:
@@ -69,7 +74,7 @@ def main() -> None:
                 if len(parts) == 3 and parts[1].isdigit():
                     existing[parts[0]] = (int(parts[1]), parts[2])
 
-    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
         for name in green_names(path):
@@ -83,12 +88,18 @@ def main() -> None:
                 )
                 existing[name] = (rnd, sig)
 
+    retired = sorted(set(existing) - set(QUERIES))
+    for name in retired:
+        del existing[name]
+
     with open(out_path, "w") as f:
         for name in sorted(existing):
             rnd, sig = existing[name]
             f.write(f"{name} {rnd} {sig}\n")
     stale = sum(1 for _, s in existing.values() if s == "bootstrap-stale")
     print(f"{out_path}: {len(existing)} recorded names ({stale} forced stale)")
+    if retired:
+        print(f"dropped {len(retired)} retired: {', '.join(retired)}")
 
 
 if __name__ == "__main__":
