@@ -37,8 +37,9 @@ def default_layer_format(spark: SparkSession) -> str:
     tables — ACID overwrite and ``VERSION AS OF`` then come from the
     transaction log instead of ``VersionedLayer``'s pointer swap.
 
-    Installability checked round 10, re-checked round 11 (unchanged:
-    ``pip download delta-spark`` fails DNS resolution, ``import
+    Installability checked round 10, re-checked rounds 11 and 12
+    (r12: the index now resolves but serves no matching distribution —
+    ``pip install delta-spark`` ends "from versions: none"; ``import
     delta`` absent, zero delta jars under pyspark/jars or anywhere on
     the filesystem): delta-spark is NOT obtainable
     offline in this sandbox (no pip/network for ``--packages``
