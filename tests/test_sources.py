@@ -928,3 +928,70 @@ def test_write_layer_delta_roundtrip_or_documented_skip(spark, tmp_path):
     write_layer(df, str(tmp_path / "delta_t"), mode="overwrite", fmt="delta")
     got = read_layer(spark, str(tmp_path / "delta_t"), fmt="delta")
     assert sorted(map(tuple, got.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_orderkey_tables_bucketed_cached_and_shuffle_free(spark, tmp_path):
+    """The round-12 orderkey artifact behind the repeat-join family:
+    ``_orderkey_tables`` returns orders+lineitem bucketed by the order
+    key, so their equi-join AND a per-order aggregate run with zero
+    Exchange upstream; the database is fingerprint-cached (second call
+    reuses it) and a regenerated dataset rebuilds under a fresh name."""
+    import os
+    import time
+
+    from news_data_pipeline_spark.queries import relational as rel
+
+    sf_dir = str(tmp_path / "sfok")
+    os.makedirs(sf_dir)
+
+    def write_fixture(n):
+        spark.createDataFrame(
+            [(i, f"P{i % 3}") for i in range(n)],
+            "o_orderkey long, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf_dir}/orders.parquet"
+        )
+        spark.createDataFrame(
+            [(i % n, float(i)) for i in range(n * 3)],
+            "l_orderkey long, l_quantity double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf_dir}/lineitem.parquet"
+        )
+
+    write_fixture(20)
+    orders, lineitem = rel._orderkey_tables(spark, sf_dir)
+    db1 = next(v[0] for k, v in rel._ORDERKEY_DBS.items() if k[0] == sf_dir)
+    o2, l2 = rel._orderkey_tables(spark, sf_dir)  # cache hit, same db
+    assert (
+        next(v[0] for k, v in rel._ORDERKEY_DBS.items() if k[0] == sf_dir)
+        == db1
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 60
+        # the per-order aggregate (sole_late_suppliers' inner shape)
+        # also rides the bucketing: grouping by the bucket key needs no
+        # exchange at all
+        agg = lineitem.groupBy("l_orderkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan
+        assert agg.count() == 20
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # regenerated dataset at the same path: fresh db, stale one dropped
+    time.sleep(0.05)
+    write_fixture(24)
+    _o3, l3 = rel._orderkey_tables(spark, sf_dir)
+    db2 = next(v[0] for k, v in rel._ORDERKEY_DBS.items() if k[0] == sf_dir)
+    assert db2 != db1
+    assert not spark.catalog.databaseExists(db1)
+    assert l3.count() == 72
