@@ -1944,16 +1944,19 @@ def _orderkey_tables(
     by the orderkey — the round-12 adoption of the bucketed-join lever
     for the registry's repeat-join family (six queries re-join lineitem
     to orders on this key per invocation). Measured at sf0.1 through
-    the warm-median A/B protocol (``tools/ab_bucketed_family.py``,
-    reproduced): family total 6.91 → 4.56 s (1.52×; repeat run 1.39×),
-    write cost ~3 s amortized inside 1.3-1.9 family sweeps — and the
-    r11 synthetic sweep says the per-read gap only widens with volume
-    (2.36× at 64M fact rows) since the eliminated exchanges are the
-    term that explodes at cluster scale. Unsorted buckets deliberately:
-    sortBy only pays behind the legacy bucketed-scan conf (SCALE.md
-    round 11). Bucketing is value-invisible, so every family oracle is
-    unchanged; column pruning and filter pushdown still reach the
-    bucketed parquet scans."""
+    the INTERLEAVED warm-median A/B (``tools/ab_bucketed_family.py``;
+    sequential arms mis-attribute — SCALE.md round 12): family total
+    6.27 → 4.74 s (1.32×; independent interleaved probes 1.31×/1.30×),
+    build cost ~2.3-2.8 s amortized inside two family sweeps. The win
+    is pure co-location — the joins broadcast at sf0.1, but the
+    orderkey-keyed semi-joins and per-order aggregates consume the
+    bucketed distribution with zero Exchange — and it stacks with the
+    r11 sweep's sort-merge term (2.36× at 64M fact rows) once
+    broadcast stops being an option at scale. Unsorted buckets
+    deliberately: sortBy only pays behind the legacy bucketed-scan
+    conf (SCALE.md round 11). Bucketing is value-invisible, so every
+    family oracle is unchanged; column pruning and filter pushdown
+    still reach the bucketed parquet scans."""
     from news_data_pipeline_spark.sources.writers import write_bucketed
 
     def build(db: str) -> None:

@@ -9,31 +9,33 @@ six registered queries that all re-join ``lineitem`` to ``orders`` on
 the orderkey per invocation (priority_order_counts, shipping_priority,
 returned_items_report, nation_pair_trade, ship_lag_priority_bands,
 sole_late_suppliers) — would routing their reads through a
-fingerprint-cached bucketed copy (the ``_bucketed_join_db`` pattern)
+fingerprint-cached bucketed copy (the ``_orderkey_tables`` artifact)
 beat the plain parquet scan at sf0.1?
 
 THREE arms, each rebinding ``relational._orderkey_tables`` (the
 adopted read hook) so the REAL registered query code runs unmodified
 against each physical layout:
 
-- ``plain``: the original fixture tables — which at sf0.1 are
-  SINGLE-FILE, SINGLE-ROW-GROUP parquet, so their scans are
-  effectively one task wide;
+- ``plain``: the original fixture tables (single-file,
+  single-row-group parquet);
 - ``rewritten``: the same rows rewritten as 32 plain parquet files
-  (no bucket metadata) — isolates the multi-file scan-parallelism
-  term;
-- ``bucketed``: the adopted fingerprint-cached bucketed artifact —
-  adds the co-location term on top.
+  (no bucket metadata) — the scan-parallelism control;
+- ``bucketed``: the adopted fingerprint-cached bucketed artifact.
 
-Warm pass + 4 timed reps per arm, per-query medians, noop-sink
-execution (bench.run_query). First run's finding (round 12): at sf0.1
-the family joins are all BROADCAST (AQE: filtered orders fits), so
-the 1.39-1.52x plain->bucketed win is almost entirely the scan-
-parallelism term the rewritten arm also gets; the co-location term
-only engages at volumes where the join must sort-merge (r11 sweep:
-break-even ~16M fact rows, 2.36x at 64M). Adoption stands on the pair:
-bucketed >= rewritten at every scale, strictly better once broadcast
-stops being an option.
+INTERLEAVED timing: after warming every arm twice, the timed rounds
+run each arm once per round (B,P,R,B,P,R,...) so slow JVM warm-up
+drift cancels across arms. The first version of this probe ran the
+arms sequentially and mis-attributed the win: the first arm in a
+fresh JVM reads 1.4-4x high (the run-order/cold-start class in
+BENCH_BASELINE.md), which made "plain" look slow and the 32-file
+rewrite look like a 1.34x scan-parallelism win. Interleaved, the
+round-12 numbers are: plain 6.40 s, rewritten 6.46 s (scan
+parallelism worth ~0 at sf0.1 — the 10 MB single-task scans are page-
+cached and not the bottleneck), bucketed 4.91 s (1.30x) — the ENTIRE
+win is co-location: the orderkey-keyed semi-joins and per-order
+aggregates consume the bucketed distribution with zero Exchange.
+That is the term that stacks with the r11 sweep's sort-merge win
+(2.36x at 64M rows) once broadcast stops being an option at scale.
 
 Decision protocol: adopt only on a >=15% family-median win
 (measured-decision culture, SCALE.md); record the numbers either way.
@@ -64,8 +66,13 @@ FAMILY = (
     "sole_late_suppliers",
 )
 
+WARM_ROUNDS = 2
+TIMED_ROUNDS = 5
+
 
 def main() -> None:
+    import shutil
+
     from news_data_pipeline_spark.queries import query_map
     from news_data_pipeline_spark.queries import relational
     from news_data_pipeline_spark.session import get_spark
@@ -83,43 +90,9 @@ def main() -> None:
     spark = get_spark("ab_bucketed_family")
     qmap = query_map()
 
-    def run_arm(tag: str) -> dict[str, float]:
-        for name in FAMILY:  # warm: compile + page cache
-            bench.run_query(qmap[name], spark, sf_dir)
-        reps: dict[str, list[float]] = {name: [] for name in FAMILY}
-        for _ in range(4):
-            for name in FAMILY:
-                reps[name].append(bench.run_query(qmap[name], spark, sf_dir))
-        med = {n: statistics.median(ts) for n, ts in reps.items()}
-        for n in FAMILY:
-            print(
-                f"  {tag} {n}: median {med[n]:.3f}s"
-                f" (min {min(reps[n]):.3f} max {max(reps[n]):.3f})",
-                flush=True,
-            )
-        print(f"{tag} family total: {sum(med.values()):.3f}s", flush=True)
-        return med
-
-    # The family queries read orders/lineitem through
-    # ``relational._orderkey_tables`` (the adopted bucketed artifact);
-    # each arm rebinds that hook so the REAL registered query code runs
-    # unmodified against the arm's physical layout.
     real_orderkey_tables = relational._orderkey_tables
 
-    # plain arm: the original single-file fixture tables
-    relational._orderkey_tables = lambda s, d: (
-        load_table(s, d, "orders"), load_table(s, d, "lineitem")
-    )
-    try:
-        plain = run_arm("plain")
-    finally:
-        relational._orderkey_tables = real_orderkey_tables
-
-    # Control arm: the same tables rewritten as 32 PLAIN parquet files
-    # (no bucket metadata). The sf0.1 fixture tables are single-file
-    # single-row-group parquet, so their scans are effectively
-    # single-task; this arm separates the multi-file scan-parallelism
-    # term from the bucketed-join co-location term.
+    # rewritten arm's layout: 32 plain files, no bucket metadata
     rw_root = tempfile.mkdtemp(prefix="ab_rewritten_")
     t0 = time.perf_counter()
     load_table(spark, sf_dir, "orders").repartition(
@@ -131,33 +104,64 @@ def main() -> None:
     t_rw = time.perf_counter() - t0
     print(f"rewritten plain write (32 files each): {t_rw:.2f}s", flush=True)
 
-    relational._orderkey_tables = lambda s, d: (
-        s.read.parquet(f"{rw_root}/orders"),
-        s.read.parquet(f"{rw_root}/lineitem"),
-    )
-    try:
-        rewritten = run_arm("rewritten")
-    finally:
-        relational._orderkey_tables = real_orderkey_tables
-
-    # bucketed arm: the adopted production path itself (fingerprint-
-    # cached artifact db; the build cost is paid by the first call)
+    # bucketed arm: the adopted production artifact (build cost = first
+    # call; subsequent calls are fingerprint-cache hits)
     t0 = time.perf_counter()
     real_orderkey_tables(spark, sf_dir)
-    t_write = time.perf_counter() - t0
-    print(f"bucketed artifact build: {t_write:.2f}s", flush=True)
-    bucketed = run_arm("bucketed")
+    t_build = time.perf_counter() - t0
+    print(f"bucketed artifact build: {t_build:.2f}s", flush=True)
 
-    import shutil
+    arms = {
+        "bucketed": real_orderkey_tables,
+        "plain": lambda s, d: (
+            load_table(s, d, "orders"), load_table(s, d, "lineitem")
+        ),
+        "rewritten": lambda s, d: (
+            s.read.parquet(f"{rw_root}/orders"),
+            s.read.parquet(f"{rw_root}/lineitem"),
+        ),
+    }
+
+    def family_sweep(hook) -> dict[str, float]:
+        relational._orderkey_tables = hook
+        try:
+            return {
+                n: bench.run_query(qmap[n], spark, sf_dir) for n in FAMILY
+            }
+        finally:
+            relational._orderkey_tables = real_orderkey_tables
+
+    for _ in range(WARM_ROUNDS):
+        for hook in arms.values():
+            family_sweep(hook)
+
+    reps: dict[str, list[dict[str, float]]] = {tag: [] for tag in arms}
+    for _ in range(TIMED_ROUNDS):
+        for tag, hook in arms.items():
+            reps[tag].append(family_sweep(hook))
+
+    totals = {}
+    for tag in arms:
+        per_q = {
+            n: statistics.median([r[n] for r in reps[tag]]) for n in FAMILY
+        }
+        for n in FAMILY:
+            print(f"  {tag} {n}: median {per_q[n]:.3f}s", flush=True)
+        totals[tag] = sum(per_q.values())
+        sweep_totals = [sum(r.values()) for r in reps[tag]]
+        print(
+            f"{tag} family total {totals[tag]:.3f}s (sweep totals"
+            f" {[round(x, 2) for x in sweep_totals]})",
+            flush=True,
+        )
 
     shutil.rmtree(rw_root, ignore_errors=True)
-    p_tot, b_tot = sum(plain.values()), sum(bucketed.values())
-    r_tot = sum(rewritten.values())
     print(
-        f"RESULT plain {p_tot:.3f}s | rewritten-32-file {r_tot:.3f}s"
-        f" | bucketed {b_tot:.3f}s -> bucketed {p_tot / b_tot:.2f}x vs"
-        f" plain, {r_tot / b_tot:.2f}x vs rewritten (bucketed write"
-        f" {t_write:.2f}s, rewrite {t_rw:.2f}s)",
+        f"RESULT plain {totals['plain']:.3f}s | rewritten-32-file"
+        f" {totals['rewritten']:.3f}s | bucketed {totals['bucketed']:.3f}s"
+        f" -> bucketed {totals['plain'] / totals['bucketed']:.2f}x vs"
+        f" plain, {totals['rewritten'] / totals['bucketed']:.2f}x vs"
+        f" rewritten (build {t_build:.2f}s, rewrite {t_rw:.2f}s)",
         flush=True,
     )
     spark.stop()
