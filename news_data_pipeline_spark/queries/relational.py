@@ -1829,6 +1829,14 @@ def salted_events_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_DBS: dict = {}
 _ORDERKEY_DBS: dict = {}
+# Bucket-count policy for the orderkey artifact: 32 matches the local
+# harness's core count and keeps per-bucket bytes sane at gate/bench
+# SFs. At 64M+ rows a fixed 32 pins the bucketed scan's parallelism
+# below the plain layout's (SCALE.md round 12: priority_order_counts
+# regresses 4.2 -> 6.3 s at 64M for exactly this reason) — production
+# deployments size this to keep per-bucket bytes in the hundreds of
+# MB, i.e. thousands of buckets at 100 TB.
+_ORDERKEY_NUM_BUCKETS = 32
 # serializes each memo's miss/drop/build/cache sequence: the memos are
 # module-level and check_oracle runs registered queries on 4 threads
 # sharing one SparkSession, so two concurrent misses could each build,
@@ -1960,15 +1968,16 @@ def _orderkey_tables(
     from news_data_pipeline_spark.sources.writers import write_bucketed
 
     def build(db: str) -> None:
+        n = _ORDERKEY_NUM_BUCKETS
         write_bucketed(
             load_table(spark, sf_dir, "orders")
-            .repartition(32, "o_orderkey"),
-            "orders", bucket_by="o_orderkey", num_buckets=32, database=db,
+            .repartition(n, "o_orderkey"),
+            "orders", bucket_by="o_orderkey", num_buckets=n, database=db,
         )
         write_bucketed(
             load_table(spark, sf_dir, "lineitem")
-            .repartition(32, "l_orderkey"),
-            "lineitem", bucket_by="l_orderkey", num_buckets=32, database=db,
+            .repartition(n, "l_orderkey"),
+            "lineitem", bucket_by="l_orderkey", num_buckets=n, database=db,
         )
 
     db = _bucketed_artifact_db(
