@@ -995,3 +995,59 @@ def test_orderkey_tables_bucketed_cached_and_shuffle_free(spark, tmp_path):
     assert db2 != db1
     assert not spark.catalog.databaseExists(db1)
     assert l3.count() == 72
+
+
+def test_bucketed_artifact_db_concurrent_miss_single_build(spark, tmp_path):
+    """Round-11 ADVICE: the artifact memo is shared across the oracle
+    gate's worker threads, so two concurrent cache misses must
+    serialize — both callers get the SAME database and the loser of
+    the race must not DROP the winner's freshly built one. Races four
+    threads through a cold `_orderkey_tables` miss and checks one
+    database, consistent reads, and no metastore orphans."""
+    import os
+    import threading
+
+    from news_data_pipeline_spark.queries import relational as rel
+
+    sf_dir = str(tmp_path / "sfconc")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, "P") for i in range(30)],
+        "o_orderkey long, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+    spark.createDataFrame(
+        [(i % 30, float(i)) for i in range(90)],
+        "l_orderkey long, l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/lineitem.parquet"
+    )
+
+    dbs_before = {d.name for d in spark.catalog.listDatabases()}
+    results, errors = [], []
+    barrier = threading.Barrier(4)
+
+    def race():
+        try:
+            barrier.wait()
+            orders, lineitem = rel._orderkey_tables(spark, sf_dir)
+            # read through the handle: a dropped-under-us database
+            # would fail here
+            results.append((orders.count(), lineitem.count()))
+        except Exception as e:  # noqa: BLE001 — collected for assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=race) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    assert results == [(30, 90)] * 4
+    created = {
+        d.name for d in spark.catalog.listDatabases()
+    } - dbs_before
+    assert len(created) == 1, created  # one build, no orphans
+    assert (
+        sum(1 for k in rel._ORDERKEY_DBS if k[0] == sf_dir) == 1
+    )
