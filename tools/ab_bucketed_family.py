@@ -23,19 +23,22 @@ against each physical layout:
 - ``bucketed``: the adopted fingerprint-cached bucketed artifact.
 
 INTERLEAVED timing: after warming every arm twice, the timed rounds
-run each arm once per round (B,P,R,B,P,R,...) so slow JVM warm-up
-drift cancels across arms. The first version of this probe ran the
-arms sequentially and mis-attributed the win: the first arm in a
-fresh JVM reads 1.4-4x high (the run-order/cold-start class in
-BENCH_BASELINE.md), which made "plain" look slow and the 32-file
-rewrite look like a 1.34x scan-parallelism win. Interleaved, the
-round-12 numbers are: plain 6.40 s, rewritten 6.46 s (scan
-parallelism worth ~0 at sf0.1 — the 10 MB single-task scans are page-
-cached and not the bottleneck), bucketed 4.91 s (1.30x) — the ENTIRE
-win is co-location: the orderkey-keyed semi-joins and per-order
-aggregates consume the bucketed distribution with zero Exchange.
-That is the term that stacks with the r11 sweep's sort-merge win
-(2.36x at 64M rows) once broadcast stops being an option at scale.
+run each arm once per round, ROTATING the within-round arm order
+each round (round r starts at arm r mod 3) so neither slow JVM
+warm-up drift nor a systematic per-slot effect can masquerade as an
+arm effect. Two earlier versions each mis-attributed: (a) fully
+sequential arms read the first arm in a fresh JVM 1.4-4x high (the
+run-order/cold-start class in BENCH_BASELINE.md), making the 32-file
+rewrite look like a 1.34x scan-parallelism win; (b) interleaved but
+FIXED-order rounds (bucketed always in the coldest first slot) read
+bucketed at only 1.30x and the rewrite at ~0 — the sixth
+local-measurement trap (SCALE.md "Rotated-arm re-measure"). Rotated,
+the round-12 numbers are: plain 6.28 s, rewritten 4.90 s (scan
+parallelism IS worth ~1.28x at sf0.1 once no arm owns the cold
+slot), bucketed 4.08 s (1.54x vs plain; 1.20x vs rewritten) — the
+co-location term alone still clears the adoption bar, and it is the
+term that stacks with the r11 sweep's sort-merge win (2.36x at 64M
+rows) once broadcast stops being an option at scale.
 
 Decision protocol: adopt only on a >=15% family-median win
 (measured-decision culture, SCALE.md); record the numbers either way.
@@ -67,7 +70,7 @@ FAMILY = (
 )
 
 WARM_ROUNDS = 2
-TIMED_ROUNDS = 5
+TIMED_ROUNDS = 6  # a multiple of the arm count: every arm sees every slot
 
 
 def main() -> None:
@@ -135,10 +138,16 @@ def main() -> None:
         for hook in arms.values():
             family_sweep(hook)
 
+    # rotate the within-round arm order so no arm owns a warmth/GC slot
+    # (the fixed-order version left each arm in the same per-round
+    # position — the sixth local-measurement trap, found by the rotated
+    # user_id/custkey probes; rotation supersedes it here too)
+    order = list(arms)
     reps: dict[str, list[dict[str, float]]] = {tag: [] for tag in arms}
-    for _ in range(TIMED_ROUNDS):
-        for tag, hook in arms.items():
-            reps[tag].append(family_sweep(hook))
+    for r in range(TIMED_ROUNDS):
+        rotated = order[r % len(order):] + order[:r % len(order)]
+        for tag in rotated:
+            reps[tag].append(family_sweep(arms[tag]))
 
     totals = {}
     for tag in arms:
