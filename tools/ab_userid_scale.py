@@ -14,6 +14,13 @@ grow at 100 TB, because they stress different terms:
   sorts stay trivial. This is the co-location term the r13 adoption
   rests on — the analogue of the orderkey family's 16M/64M
   validation.
+- ``skew`` shape: the wide distribution plus one hot user holding
+  ~10% of ALL rows — the hazard case for bucketed layouts: a bucketed
+  scan is one task per bucket and cannot be split by AQE, so the hot
+  key's bucket becomes the straggler, while the plain arm's exchanges
+  can at least balance the uniform keys around the (equally
+  unsplittable, for windows/aggs) hot key and AQE skew-join splitting
+  remains available to its joins.
 - ``deep`` shape: 1500 users held, events-per-user scales (~10.7k at
   16M rows). Window partition SIZE grows; the per-user in-task sort
   becomes real work. This is the regime where the rotated probe's
@@ -81,6 +88,16 @@ FAMILY = (
     "user_retention_cohorts",
 )
 
+# The skew shape sweeps the family WITHOUT purchase_state_attribution
+# and times that query separately, once per arm: its SCD interval join
+# is equi-on-user_id with a range residual, so its per-key cost is
+# purchases(k) x state_intervals(k) — QUADRATIC in the hot key's row
+# count in ANY layout (~150 s for a 400k-row hot user at 4M rows,
+# measured both plain and bucketed). Folding a ~150 s constant into a
+# rotated multi-round sweep would burn an hour to measure noise around
+# a number that is about the operator, not the storage layout.
+SKEW_SEPARATE = "purchase_state_attribution"
+
 ORDERING_CONF = "spark.sql.legacy.bucketedTableScan.outputOrdering"
 EVENT_TYPES = ("signup", "purchase", "view", "click", "error")
 FIXTURE_USERS = 1500
@@ -94,16 +111,29 @@ TIMED_ROUNDS = 4
 def synth_events(spark, n_rows: int, shape: str):
     import pyspark.sql.functions as F
 
-    if shape == "wide":
+    if shape in ("wide", "skew"):
         n_users = max(FIXTURE_USERS, n_rows // FIXTURE_DENSITY)
     elif shape == "deep":
         n_users = FIXTURE_USERS
     else:
-        raise ValueError(f"unknown shape {shape!r} (wide|deep)")
+        raise ValueError(f"unknown shape {shape!r} (wide|deep|skew)")
     per_user = max(1, n_rows // n_users)
     step = max(1, SPAN_S // per_user)
     base = spark.range(n_rows)
     uid = (F.col("id") % n_users).alias("user_id")
+    if shape == "skew":
+        # wide distribution plus one hot key holding ~10% of all rows:
+        # the classic hazard for bucketed layouts — the hot key is
+        # pinned to ONE bucket task (a bucketed scan cannot be split
+        # by AQE), while the plain arm's shuffles can at least balance
+        # the other keys around it (windows/aggs must still co-locate
+        # the hot key; only AQE skew-JOIN splitting is forfeited)
+        uid = (
+            F.when(F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)) == 0,
+                   F.lit(0))
+            .otherwise(F.col("id") % n_users)
+            .alias("user_id")
+        )
     seq = (F.col("id") / n_users).cast("long")
     # deterministic jitter inside each step keeps ts unique per user
     jitter = F.pmod(F.xxhash64("id"), F.lit(step))
@@ -198,6 +228,10 @@ def main() -> None:
                 flush=True,
             )
 
+            swept = tuple(
+                n for n in FAMILY if shape != "skew" or n != SKEW_SEPARATE
+            )
+
             def family_sweep(hook, conf_val) -> dict[str, float]:
                 streaming_batch.load_table = hook
                 prior = spark.conf.get(ORDERING_CONF, None)
@@ -206,7 +240,7 @@ def main() -> None:
                         spark.conf.set(ORDERING_CONF, conf_val)
                     return {
                         n: bench.run_query(qmap[n], spark, sf_dir)
-                        for n in FAMILY
+                        for n in swept
                     }
                 finally:
                     streaming_batch.load_table = real_load_table
@@ -229,9 +263,9 @@ def main() -> None:
             for tag in order:
                 per_q = {
                     n: statistics.median([rr[n] for rr in reps[tag]])
-                    for n in FAMILY
+                    for n in swept
                 }
-                for n in FAMILY:
+                for n in swept:
                     print(
                         f"  [{n_rows}:{shape}:{n_buckets}] {tag} {n}:"
                         f" median {per_q[n]:.3f}s",
@@ -261,6 +295,24 @@ def main() -> None:
             line += f" (builds {t_plain:.1f}/{t_bucket:.1f}"
             line += f"/{t_sorted:.1f}s)" if t_sorted else "s)"
             print(line, flush=True)
+            if shape == "skew":
+                # the quadratic-hot-key interval join, once per arm
+                for tag in order:
+                    hook, conf_val = arms[tag]
+                    streaming_batch.load_table = hook
+                    try:
+                        t = bench.run_query(
+                            qmap[SKEW_SEPARATE], spark, sf_dir
+                        )
+                    finally:
+                        streaming_batch.load_table = real_load_table
+                    print(
+                        f"SEPARATE [{n_rows}:{shape}:{n_buckets}]"
+                        f" {SKEW_SEPARATE} {tag}: {t:.1f}s (single run"
+                        f" — per-key-quadratic interval join, see"
+                        f" SKEW_SEPARATE note)",
+                        flush=True,
+                    )
         finally:
             spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
             shutil.rmtree(plain_root, ignore_errors=True)
