@@ -302,3 +302,119 @@ def range_join(
     cond = (F.col("__bucket") == F.col("__rbucket")) & (lv >= lo) & (lv < hi)
     out = l_b.join(r_b, on=cond, how=how)
     return out.drop("__bucket", "__rbucket")
+
+
+_INTERVAL_UNITS_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+) -> DataFrame:
+    """Two-sided time-window join: pairs sharing ``on`` with
+    ``|right_ts - left_ts| <= within`` (both edges inclusive) — the
+    batch-scale form of ``streaming.ops.interval_join_streams``.
+
+    The streaming form's plan (equi-join on the key with the time
+    bound as a join residual) is per-key-quadratic in batch: the
+    sort-merge join materializes left(k) x right(k) candidates before
+    the residual filters — SCALE.md "Interval-join family rewrites"
+    measured 909 s for a 400k-row hot key at 4M rows, against 0.72 s
+    for this form (1268x), with an extra 22x constant from the
+    residual doing per-pair interval arithmetic (codegen does NOT
+    hoist single-side ``ts +/- interval`` out of a join condition;
+    jstack shows ``Instant.atZone`` per evaluation). This operator
+    bakes in both fixes:
+
+    - the time axis is bucketed at the window width (the
+      ``range_join`` trick, one epoch grid instead of value bands):
+      the left side explodes into its bucket and both neighbors, the
+      join is an equi-join on (key, bucket), and an in-window pair —
+      whose bucket distance is at most 1 — survives exactly one
+      exploded copy, so the multiset is identical with no dedup step;
+    - the window edges are projected ONCE per exploded left row
+      (``__lo``/``__hi``), so the residual is two plain timestamp
+      compares.
+
+    Buckets come from ``timestampdiff`` against a same-typed epoch
+    literal: pure wall-clock arithmetic for TIMESTAMP_NTZ (no
+    session-timezone shear against the equally tz-free residual) and
+    absolute seconds for TIMESTAMP. ``within`` accepts day-time units
+    only (second/minute/hour/day) — calendar months have no fixed
+    width to bucket by. Inner join only: each unmatched left row would
+    otherwise surface once per bucket replica.
+
+    Per-key cost falls from left(k) x right(k) to the per-epoch
+    products — linear for time-spread activity, bounded by 3x the true
+    output when everything co-buckets. Parity pinned against the
+    registered residual-join form in tests/test_psa_asof_candidate.py
+    and tools/ab_vpij_bucketed.py (three fixture SFs, DuckDB oracle,
+    synthetic skew, epoch-boundary fixtures).
+    """
+    try:
+        qty_s, unit = within.split()
+        width_s = int(qty_s) * _INTERVAL_UNITS_S[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"within={within!r} must be '<n> <unit>' with unit in "
+            f"{sorted(set(_INTERVAL_UNITS_S))}"
+        ) from None
+    if width_s < 1:
+        raise ValueError(f"within={within!r} must be at least 1 second")
+    keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"__tb", "__lo", "__hi"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"interval_join_bucketed reserves column names "
+            f"{sorted(reserved)}; inputs use {sorted(clash)} — rename "
+            "them before joining"
+        )
+    dup_out = [
+        c for c in right.columns if c not in keys and c in left.columns
+    ]
+    if dup_out:
+        raise ValueError(
+            f"interval_join_bucketed: non-key columns {dup_out} exist on "
+            "both sides — alias one side before joining"
+        )
+
+    def bucket(df: DataFrame, ts_name: str):
+        kind = df.schema[ts_name].dataType.simpleString()
+        epoch = {
+            "timestamp_ntz": "TIMESTAMP_NTZ '1970-01-01 00:00:00'",
+            "timestamp": "TIMESTAMP '1970-01-01 00:00:00'",
+        }.get(kind)
+        if epoch is None:
+            raise ValueError(
+                f"interval_join_bucketed: column {ts_name!r} is {kind}, "
+                "need timestamp or timestamp_ntz"
+            )
+        secs = F.expr(f"timestampdiff(SECOND, {epoch}, {ts_name})")
+        return F.floor(secs / width_s)
+
+    tb = bucket(left, left_ts)
+    l_x = left.withColumn(
+        "__tb", F.explode(F.array(tb - 1, tb, tb + 1))
+    ).withColumns(
+        {
+            "__lo": F.col(left_ts) - F.expr(f"interval {within}"),
+            "__hi": F.col(left_ts) + F.expr(f"interval {within}"),
+        }
+    )
+    r_b = right.withColumn("__tb", bucket(right, right_ts))
+    out = l_x.join(r_b, on=[*keys, "__tb"], how="inner").where(
+        (F.col(right_ts) >= F.col("__lo"))
+        & (F.col(right_ts) <= F.col("__hi"))
+    )
+    return out.drop("__tb", "__lo", "__hi")

@@ -667,3 +667,120 @@ def test_recall_curve_checkpoint_regime_parity(spark):
     # the per-arm re-derivations are gone: strictly fewer exchanges
     assert "ExistingRDD" in ckpt_plan
     assert ckpt_plan.count("Exchange") < lazy_plan.count("Exchange")
+
+
+def test_interval_join_bucketed_matches_naive(spark):
+    """Non-default window (2 minutes), both timestamp types, and a
+    naive residual join as the ground truth — seeded spread with ties,
+    boundary hits, and keys present on one side only."""
+    import datetime
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1, 0, 0) + datetime.timedelta(
+            seconds=s
+        )
+
+    lrows = [(i, f"k{i % 5}", t((i * 37) % 600)) for i in range(40)]
+    rrows = [(i, f"k{i % 7}", t((i * 53) % 600)) for i in range(40)]
+    for kind in ("timestamp", "timestamp_ntz"):
+        left = spark.createDataFrame(
+            lrows, f"lid long, k string, l_ts {kind}"
+        )
+        right = spark.createDataFrame(
+            rrows, f"rid long, k string, r_ts {kind}"
+        )
+        got = {
+            (r["lid"], r["rid"])
+            for r in joins.interval_join_bucketed(
+                left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+                within="2 minutes",
+            ).collect()
+        }
+        naive = {
+            (r["lid"], r["rid"])
+            for r in left.join(
+                right,
+                (left.k == right.k)
+                & (right.r_ts >= left.l_ts - F.expr("interval 2 minutes"))
+                & (right.r_ts <= left.l_ts + F.expr("interval 2 minutes")),
+            ).collect()
+        }
+        assert got == naive and got, kind
+
+
+def test_interval_join_bucketed_edges_inclusive(spark):
+    """±window is IN, ±(window+1s) is OUT, across epoch boundaries —
+    the off-by-one class the neighbor explode exists for."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 1, 0)  # on a 15-min boundary
+
+    def t(s):
+        return base + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(0, "u", t(0)), (1, "u", t(450))],
+        "lid long, k string, l_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(0, "u", t(-900)), (1, "u", t(900)), (2, "u", t(-901)),
+         (3, "u", t(901)), (4, "u", t(1350)), (5, "u", t(-450))],
+        "rid long, k string, r_ts timestamp_ntz",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in joins.interval_join_bucketed(
+            left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+            within="15 minutes",
+        ).collect()
+    }
+    assert got == {
+        (0, 0), (0, 1), (0, 5),          # exact ±900 in; ±901 out
+        (1, 1), (1, 4), (1, 5), (1, 3),  # 901 is within 900 of 450's window
+    }
+
+
+def test_interval_join_bucketed_rejects_bad_inputs(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1))],
+        "id long, k string, ts timestamp_ntz",
+    )
+    for bad_within in ("2 months", "soon", "0 minutes", "15"):
+        try:
+            joins.interval_join_bucketed(
+                df, df.withColumnRenamed("id", "rid").withColumnRenamed("ts", "rts"),
+                on="k", left_ts="ts", right_ts="rts", within=bad_within,
+            )
+            raise AssertionError(f"{bad_within!r} accepted")
+        except ValueError:
+            pass
+    # colliding non-key column names
+    try:
+        joins.interval_join_bucketed(
+            df, df, on="k", left_ts="ts", right_ts="ts", within="1 minute"
+        )
+        raise AssertionError("same-name columns accepted")
+    except ValueError:
+        pass
+    # reserved internal names
+    try:
+        joins.interval_join_bucketed(
+            df.withColumn("__tb", F.lit(1)),
+            df.withColumnRenamed("id", "rid").withColumnRenamed("ts", "rts"),
+            on="k", left_ts="ts", right_ts="rts", within="1 minute",
+        )
+        raise AssertionError("reserved __tb accepted")
+    except ValueError:
+        pass
+    # non-timestamp time column
+    try:
+        joins.interval_join_bucketed(
+            df.withColumn("ts", F.lit(5)),
+            df.withColumnRenamed("id", "rid").withColumnRenamed("ts", "rts"),
+            on="k", left_ts="ts", right_ts="rts", within="1 minute",
+        )
+        raise AssertionError("integer ts accepted")
+    except ValueError:
+        pass

@@ -60,7 +60,6 @@ sys.path.insert(0, ROOT)
 
 QUERY = "view_purchase_interval_join"
 WARM_ROUNDS = 1
-WINDOW_S = 900  # 15 minutes — bucket width == interval half-width
 
 
 def _load(path: str, name: str):
@@ -73,58 +72,44 @@ def _load(path: str, name: str):
 
 
 def vpij_bucketed(spark, sf_dir: str):
-    """Time-bucketed rewrite: identical output multiset, candidate set
-    bounded per (user, 15-min epoch) instead of per user."""
+    """Time-bucketed rewrite via ``operators.joins.interval_join_bucketed``
+    (the operator this probe's campaign promoted into the library):
+    identical output multiset, candidate set bounded per (user, 15-min
+    epoch) instead of per user."""
     import pyspark.sql.functions as F
 
+    from news_data_pipeline_spark.operators.joins import (
+        interval_join_bucketed,
+    )
     from news_data_pipeline_spark.queries import streaming_batch
 
     events = streaming_batch.load_table(spark, sf_dir, "events")
-
-    def bucket(ts_name: str):
-        # integer-second floor in pure NTZ wall-clock space: timestampdiff
-        # does calendar arithmetic with no timezone, so the bucket grid
-        # cannot drift against the (equally tz-free) residual — a
-        # session-timezone cast could shear an in-window pair across a
-        # DST jump
-        secs = F.expr(
-            "timestampdiff(SECOND,"
-            f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_name})"
-        )
-        return F.floor(secs / WINDOW_S)
-
     views = events.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
         "user_id",
         F.col("ts").alias("view_ts"),
-    )
-    tb = bucket("view_ts")
-    views_x = views.withColumn(
-        "__tb", F.explode(F.array(tb - 1, tb, tb + 1))
     )
     purchases = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.round("value", 2).alias("purchase_value"),
-        bucket("ts").alias("__tb"),
     )
-    residual = (
-        F.col("purchase_ts") >= F.col("view_ts") - F.expr("interval 15 minutes")
-    ) & (
-        F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 15 minutes")
+    out = interval_join_bucketed(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        within="15 minutes",
     )
-    return (
-        views_x.join(purchases, on=["user_id", "__tb"], how="inner")
-        .where(residual)
-        .select(
-            "view_id",
-            "purchase_id",
-            "user_id",
-            "view_ts",
-            "purchase_ts",
-            "purchase_value",
-        )
+    return out.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
     )
 
 
