@@ -784,3 +784,37 @@ def test_interval_join_bucketed_rejects_bad_inputs(spark):
         raise AssertionError("integer ts accepted")
     except ValueError:
         pass
+
+
+def test_interval_join_bucketed_plan_is_equi_keyed(spark):
+    """The operator's entire point is the plan shape: an equi-join
+    keyed on (key, epoch bucket) — never a nested-loop over the time
+    predicate, and the window edges hoisted into a pre-join projection
+    (the residual must not re-derive ``ts ± interval`` per pair)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 3}", datetime.datetime(2024, 1, 1) +
+          datetime.timedelta(seconds=i * 100)) for i in range(50)],
+        "id long, k string, ts timestamp_ntz",
+    )
+    out = joins.interval_join_bucketed(
+        df.select(F.col("id").alias("lid"), "k", F.col("ts").alias("l_ts")),
+        df.select(F.col("id").alias("rid"), "k", F.col("ts").alias("r_ts")),
+        on="k", left_ts="l_ts", right_ts="r_ts", within="5 minutes",
+    )
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # the join is keyed on the epoch bucket, and the interval
+    # arithmetic happens in a Project (once per row), not inside the
+    # join condition
+    assert "__tb" in plan
+    join_frag = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and ("__tb" in ln or "SortMergeJoin" in ln
+                             or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln)
+    ]
+    assert join_frag, plan
+    assert not any("+ interval" in ln or "- interval" in ln for ln in join_frag), join_frag
