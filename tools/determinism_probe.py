@@ -30,6 +30,14 @@ from tools.check_oracle import frame_to_multiset  # noqa: E402
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    import os
+
+    if not os.path.isdir(sf_dir):
+        # no argparse here, so a stray flag (--help) would otherwise be
+        # consumed as sf_dir and every table read errors confusingly
+        print(__doc__.split("Usage::")[-1].strip())
+        print(f"error: sf_dir {sf_dir!r} is not a directory")
+        return 2
 
     import __spark_entry__ as entrymod
     from news_data_pipeline_spark.session import get_spark
