@@ -479,35 +479,47 @@ def event_value_bands_left_rangejoin(spark: SparkSession, sf_dir: str) -> DataFr
     """,
 )
 def view_purchase_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch twin of ``streaming.ops.interval_join_streams`` — the SAME
-    function runs here on batch frames (``withWatermark`` is a no-op
-    under batch execution), attributing each purchase to the user's
-    views within ±15 minutes. The equality on user_id keeps the plan an
-    equi-join with a residual time predicate — never a nested loop; in
-    streaming mode the same two-sided time bound is what keeps join
-    state evictable."""
-    from news_data_pipeline_spark.streaming.ops import interval_join_streams
+    """Batch side of the ±15-minute view↔purchase attribution, routed
+    through ``operators.joins.interval_join_bucketed`` (time-bucketed
+    equi-join). Semantics are identical to the streaming twin
+    ``streaming.ops.interval_join_streams`` — same key equality, same
+    two-sided inclusive bound — but the PLANS deliberately diverge:
+    the streaming form's equi-join-with-time-residual is fine there
+    (watermarks evict state, bounding per-key candidates), while in
+    batch the same plan materializes views(k) × purchases(k) pairs per
+    key before the residual filters — SCALE.md "Interval-join family
+    rewrites" measured 909 s for a 400k-row hot user at 4M rows vs
+    0.72 s bucketed (1268×). Parity between the two forms is pinned in
+    tests/test_psa_asof_candidate.py (fixtures, oracle, epoch-boundary
+    edges)."""
+    from news_data_pipeline_spark.operators.joins import interval_join_bucketed
 
     events = load_table(spark, sf_dir, "events")
     views = events.where(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("l_ts")
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
     )
     purchases = events.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         "user_id",
-        F.col("ts").alias("r_ts"),
+        F.col("ts").alias("purchase_ts"),
         F.round("value", 2).alias("purchase_value"),
     )
-    out = interval_join_streams(
-        views, purchases, on="user_id", left_ts="l_ts", right_ts="r_ts",
-        within="15 minutes", watermark="1 hour",
+    out = interval_join_bucketed(
+        views,
+        purchases,
+        on="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        within="15 minutes",
     )
     return out.select(
         "view_id",
         "purchase_id",
         "user_id",
-        F.col("l_ts").alias("view_ts"),
-        F.col("r_ts").alias("purchase_ts"),
+        "view_ts",
+        "purchase_ts",
         "purchase_value",
     )
 
@@ -941,11 +953,27 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each purchase attributed to the SCD2 state
     interval (built from the user's NON-purchase activity) that was
     active at purchase time — the as-of-correct dimension lookup that
-    naive latest-value joins get wrong. Half-open intervals partition
-    each user's timeline, so every purchase matches at most one state;
-    purchases before any activity survive via the left join. The join
-    is user-keyed equi + interval predicate: hash-partitionable, never
-    a cross product."""
+    naive latest-value joins get wrong.
+
+    The lookup routes through ``operators.joins.asof_join`` (union both
+    sides, ONE shuffle by user_id, forward-fill window) instead of the
+    interval-join form the oracle states: half-open SCD2 intervals
+    built by ``lead(valid_from) OVER (ORDER BY valid_from,
+    event_type)`` partition each user's timeline, so a purchase at
+    ``ts`` matches exactly the LAST island (in that same order) with
+    ``valid_from <= ts`` — any earlier island's ``valid_to`` is a later
+    island's ``valid_from <= ts``, and islands tied on ``valid_from``
+    produce empty intervals for all but the last tie, which
+    ``right_order=["state_type"]`` reproduces. The ``lead`` window (and
+    ``valid_to`` itself) therefore never needs to materialize. The
+    interval form's per-key cost is purchases(k) × intervals(k) —
+    ~150-240 s for a 400k-row hot user at 4M rows vs 0.9 s uniform
+    (SCALE.md "Skew probe"); the as-of form is one in-key sort (56.9×
+    under that key). Equivalence pinned in
+    tests/test_psa_asof_candidate.py (tied-island, pre-history and
+    inclusive-edge fixtures + oracle parity)."""
+    from news_data_pipeline_spark.operators.joins import asof_join
+
     events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     nonp = events.where(F.col("event_type") != "purchase")
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -959,25 +987,27 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("valid_from"))
         .drop("grp")
     )
-    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
-    scd = islands.select(
-        F.col("user_id").alias("s_user_id"),
-        F.col("event_type").alias("state_type"),
-        "valid_from",
-        F.lead("valid_from").over(w_seq).alias("valid_to"),
-    )
-    purchases = events.where(F.col("event_type") == "purchase")
-    cond = (
-        (purchases.user_id == scd.s_user_id)
-        & (scd.valid_from <= purchases.ts)
-        & (scd.valid_to.isNull() | (purchases.ts < scd.valid_to))
-    )
-    return purchases.join(scd, cond, "left").select(
-        "event_id",
+    states = islands.select(
         "user_id",
-        F.col("ts").alias("purchase_ts"),
-        "state_type",
+        F.col("event_type").alias("state_type"),
         F.col("valid_from").alias("state_since"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        purchases,
+        states,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="state_since",
+        right_cols=["state_type", "state_since"],
+        # islands tied on valid_from: the LAST by state_type wins — the
+        # only one whose half-open interval is non-empty in the oracle
+        right_order=["state_type"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts", "state_type", "state_since"
     )
 
 

@@ -1,55 +1,55 @@
-"""Parity pins for the r13 rewrite candidates of the per-key-quadratic
-interval-join family (SCALE.md round-12 skew probe):
+"""Parity pins for the r13-adopted rewrites of the per-key-quadratic
+interval-join family (SCALE.md round-12 skew probe, adopted round 13):
 
-- ``purchase_state_attribution`` -> linear as-of rewrite
-  (tools/ab_psa_asof.py::psa_asof): the final interval join costs
-  purchases(k) x state_intervals(k) pairs per key (~150-240 s for a
-  400k-row hot key at 4M rows in any storage layout); the candidate
-  replaces it with ``operators.joins.asof_join`` (one shuffle + one
-  in-key sort).
-- ``view_purchase_interval_join`` -> time-bucketed rewrite
-  (tools/ab_vpij_bucketed.py::vpij_bucketed): candidates bounded per
-  (user, 15-min epoch) instead of per user.
+- ``purchase_state_attribution`` now routes through
+  ``operators.joins.asof_join``; the pre-adoption interval-join form
+  lives on as ``tools/ab_psa_asof.py::psa_naive`` (purchases(k) x
+  state_intervals(k) pairs per key — ~150-240 s for a 400k-row hot key
+  at 4M rows in any storage layout, vs one shuffle + one in-key sort).
+- ``view_purchase_interval_join`` now routes through
+  ``operators.joins.interval_join_bucketed``; the pre-adoption
+  residual-join form lives on as
+  ``tools/ab_vpij_bucketed.py::vpij_naive``.
 
 Each probe tool's parity mode checked cell-exact equality at three
 fixture SFs, the sf0.01 DuckDB oracle, and synthetic wide/skew shapes;
-these tests keep the sf0.001 fixture comparisons plus the semantic
-edge cases in unit-test time so the equivalences cannot silently rot
-before the r13 adoptions edit the registered queries.
+these tests keep the sf0.001 REGISTERED-vs-NAIVE comparisons plus the
+semantic edge cases in unit-test time so the adopted rewrites cannot
+silently drift from the interval semantics the oracles state.
 """
 
 from __future__ import annotations
 
 import importlib.util
+import os
 
 import pyspark.sql.functions as F
 
-spec = importlib.util.spec_from_file_location(
-    "ab_psa_asof", "/root/repo/tools/ab_psa_asof.py"
-)
-ab = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(ab)
+# repo root = parent of tests/ — the pins must work from any checkout
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-vp_spec = importlib.util.spec_from_file_location(
-    "ab_vpij_bucketed", "/root/repo/tools/ab_vpij_bucketed.py"
-)
-vp = importlib.util.module_from_spec(vp_spec)
-vp_spec.loader.exec_module(vp)
 
-co_spec = importlib.util.spec_from_file_location(
-    "check_oracle", "/root/repo/tools/check_oracle.py"
-)
-co = importlib.util.module_from_spec(co_spec)
-co_spec.loader.exec_module(co)
+def _load_tool(fname: str, name: str):
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(ROOT, "tools", fname)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ab = _load_tool("ab_psa_asof.py", "ab_psa_asof")
+vp = _load_tool("ab_vpij_bucketed.py", "ab_vpij_bucketed")
+co = _load_tool("check_oracle.py", "check_oracle")
 
 SF = "/root/testdata/sf0.001"
 
 
-def test_asof_rewrite_matches_registered_query(spark):
+def test_asof_rewrite_matches_naive_interval_form(spark):
     from news_data_pipeline_spark.queries import query_map
 
     current = query_map()["purchase_state_attribution"](spark, SF)
-    ok, why = ab._compare_frames(co, current, ab.psa_asof(spark, SF))
+    ok, why = ab._compare_frames(co, current, ab.psa_naive(spark, SF))
     assert ok, why
 
 
@@ -99,9 +99,9 @@ def test_asof_rewrite_tied_and_prehistory_edges(spark, tmp_path, monkeypatch):
         if t == "events"
         else real(s, d, t),
     )
-    current = query_map()["purchase_state_attribution"](spark, SF)
-    rewrite = ab.psa_asof(spark, SF)
-    ok, why = ab._compare_frames(co, current, rewrite)
+    naive = ab.psa_naive(spark, SF)
+    rewrite = query_map()["purchase_state_attribution"](spark, SF)
+    ok, why = ab._compare_frames(co, naive, rewrite)
     assert ok, why
     got = {
         (r.event_id, r.state_type)
@@ -118,11 +118,11 @@ def test_asof_rewrite_tied_and_prehistory_edges(spark, tmp_path, monkeypatch):
     }
 
 
-def test_vpij_bucketed_matches_registered_query(spark):
+def test_vpij_bucketed_matches_naive_residual_form(spark):
     from news_data_pipeline_spark.queries import query_map
 
     current = query_map()["view_purchase_interval_join"](spark, SF)
-    ok, why = ab._compare_frames(co, current, vp.vpij_bucketed(spark, SF))
+    ok, why = ab._compare_frames(co, current, vp.vpij_naive(spark, SF))
     assert ok, why
 
 
@@ -167,9 +167,9 @@ def test_vpij_bucketed_window_and_bucket_edges(spark, tmp_path, monkeypatch):
         if t == "events"
         else real(s, d, t),
     )
-    current = query_map()["view_purchase_interval_join"](spark, SF)
-    rewrite = vp.vpij_bucketed(spark, SF)
-    ok, why = ab._compare_frames(co, current, rewrite)
+    naive = vp.vpij_naive(spark, SF)
+    rewrite = query_map()["view_purchase_interval_join"](spark, SF)
+    ok, why = ab._compare_frames(co, naive, rewrite)
     assert ok, why
     got = {(r.view_id, r.purchase_id) for r in rewrite.collect()}
     assert got == {(0, 1), (0, 2), (0, 5), (6, 7), (6, 8)}

@@ -77,6 +77,55 @@ def _load(path: str, name: str):
     return mod
 
 
+def psa_naive(spark, sf_dir: str):
+    """The interval-join form of ``purchase_state_attribution`` — the
+    registered implementation BEFORE the r13 adoption, kept verbatim so
+    the probe's naive-vs-rewrite comparison (and the parity pins in
+    tests/test_psa_asof_candidate.py) survive the adoption. This is the
+    per-key-quadratic shape: purchases(k) x state_intervals(k) pairs
+    per user before the residual filters."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from news_data_pipeline_spark.queries import streaming_batch
+
+    events = streaming_batch.load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull()
+    )
+    nonp = events.where(F.col("event_type") != "purchase")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grp = F.row_number().over(w_all) - F.row_number().over(w_type)
+    islands = (
+        nonp.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("valid_from"))
+        .drop("grp")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
+    scd = islands.select(
+        F.col("user_id").alias("s_user_id"),
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+        F.lead("valid_from").over(w_seq).alias("valid_to"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase")
+    cond = (
+        (purchases.user_id == scd.s_user_id)
+        & (scd.valid_from <= purchases.ts)
+        & (scd.valid_to.isNull() | (purchases.ts < scd.valid_to))
+    )
+    return purchases.join(scd, cond, "left").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "state_type",
+        F.col("valid_from").alias("state_since"),
+    )
+
+
 def psa_asof(spark, sf_dir: str):
     """Linear rewrite: identical islands construction, then asof_join
     instead of interval join. Output schema and semantics match
@@ -143,7 +192,10 @@ def run_parity(spark, co, qmap, oracle) -> bool:
     from news_data_pipeline_spark.queries import streaming_batch
 
     scale = _load("tools/ab_userid_scale.py", "ab_userid_scale")
-    current = qmap[QUERY]
+    # since the r13 adoption the registered query IS the as-of rewrite;
+    # the naive interval-join twin keeps this a two-form comparison
+    current = psa_naive
+    assert qmap[QUERY]  # the registered query must still exist
     failed = False
 
     for sf_dir in (
@@ -205,7 +257,9 @@ def run_timing(spark, qmap, specs: list[str]) -> None:
     scale = _load("tools/ab_userid_scale.py", "ab_userid_scale")
     bench = _load("bench.py", "bench")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    arms = {"current": qmap[QUERY], "asof": psa_asof}
+    # "naive" = the pre-r13 interval-join form; the registered query
+    # (qmap[QUERY]) is the as-of rewrite since the r13 adoption
+    arms = {"naive": psa_naive, "asof": qmap[QUERY]}
     real_load_table = streaming_batch.load_table
 
     for item in specs:

@@ -71,6 +71,43 @@ def _load(path: str, name: str):
     return mod
 
 
+def vpij_naive(spark, sf_dir: str):
+    """The equi-join-with-time-residual form of
+    ``view_purchase_interval_join`` — the registered implementation
+    BEFORE the r13 adoption (batch execution of
+    ``streaming.ops.interval_join_streams``), kept verbatim so the
+    probe's naive-vs-rewrite comparison and the parity pins in
+    tests/test_psa_asof_candidate.py survive the adoption. Per-key cost
+    is views(k) x purchases(k) candidates before the residual filters."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.queries import streaming_batch
+    from news_data_pipeline_spark.streaming.ops import interval_join_streams
+
+    events = streaming_batch.load_table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = interval_join_streams(
+        views, purchases, on="user_id", left_ts="l_ts", right_ts="r_ts",
+        within="15 minutes", watermark="1 hour",
+    )
+    return out.select(
+        "view_id",
+        "purchase_id",
+        "user_id",
+        F.col("l_ts").alias("view_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def vpij_bucketed(spark, sf_dir: str):
     """Time-bucketed rewrite via ``operators.joins.interval_join_bucketed``
     (the operator this probe's campaign promoted into the library):
@@ -120,7 +157,10 @@ def run_parity(spark, co, qmap, oracle) -> bool:
 
     ab_psa = _load("tools/ab_psa_asof.py", "ab_psa_asof")
     scale = _load("tools/ab_userid_scale.py", "ab_userid_scale")
-    current = qmap[QUERY]
+    # since the r13 adoption the registered query IS the bucketed
+    # rewrite; the naive residual-join twin keeps this two-form
+    current = vpij_naive
+    assert qmap[QUERY]  # the registered query must still exist
     failed = False
 
     for sf_dir in (
@@ -242,7 +282,9 @@ def run_timing(spark, qmap, specs: list[str]) -> None:
     scale = _load("tools/ab_userid_scale.py", "ab_userid_scale")
     bench = _load("bench.py", "bench")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    arms = {"current": qmap[QUERY], "bucketed": vpij_bucketed}
+    # "naive" = the pre-r13 residual-join form; the registered query
+    # (qmap[QUERY]) is the bucketed rewrite since the r13 adoption
+    arms = {"naive": vpij_naive, "bucketed": qmap[QUERY]}
     real_load_table = streaming_batch.load_table
 
     for item in specs:
