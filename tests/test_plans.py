@@ -42,6 +42,60 @@ GLOBAL_WINDOW = re.compile(
     r"Window [^\n]*\n[^\n]*Sort [^\n]*\n[^\n]*Exchange SinglePartition"
 )
 
+# --- interval-join skew guard (r13, SCALE.md "Interval-join family") ------
+# A join whose condition carries a TIMESTAMP inequality materializes
+# left(k) x right(k) candidate pairs per key before the residual filters
+# — per-key-quadratic under a hot key (measured 909 s vs 0.72 s for a
+# 400k-row hot user at 4M rows). Allowed escapes:
+#   * the equi-key set includes the `__tb` time-bucket column —
+#     ``operators.joins.interval_join_bucketed``'s marker, which bounds
+#     candidates per (key, epoch);
+#   * the query name carries a documented bounded-key proof below
+#     (e.g. one side is a bounded dimension that broadcasts).
+# As-of lookups never trip this: ``operators.joins.asof_join`` has no
+# join node at all (union + forward-fill window).
+TIME_BUCKET_KEY = "__tb"
+INTERVAL_JOIN_PROOFS: dict[str, str] = {
+    # name -> one-line proof that per-key candidates are bounded
+}
+
+_TS_INEQ = {"LessThan", "LessThanOrEqual", "GreaterThan", "GreaterThanOrEqual"}
+
+
+def _jwalk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _jwalk(node.children().apply(i))
+
+
+def ts_residual_joins(df) -> list[tuple[str, list[str], int]]:
+    """Every logical Join whose condition contains a timestamp
+    inequality: (joinType, sorted equi-key attribute names, #inequalities).
+    Walks the OPTIMIZED logical plan so post-join ``where()`` residuals
+    Catalyst pushed into the join condition are seen."""
+    out = []
+    for n in _jwalk(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() != "Join":
+            continue
+        cond = n.condition()
+        if not cond.isDefined():
+            continue
+        n_ineq, eq_names = 0, set()
+        for e in _jwalk(cond.get()):
+            kind = e.nodeName()
+            if kind in _TS_INEQ:
+                t = e.children().apply(0).dataType().typeName()
+                if t.startswith("timestamp"):
+                    n_ineq += 1
+            elif kind == "EqualTo":
+                for side in (0, 1):
+                    c = e.children().apply(side)
+                    if c.nodeName() == "AttributeReference":
+                        eq_names.add(c.name())
+        if n_ineq:
+            out.append((str(n.joinType()), sorted(eq_names), n_ineq))
+    return out
+
 
 @pytest.mark.parametrize("name", sorted(query_map()))
 def test_no_scale_antipatterns(spark, name):
@@ -54,6 +108,14 @@ def test_no_scale_antipatterns(spark, name):
         f"{name}: unpartitioned Window (single-partition exchange at "
         f"scale):\n{m.group(0)}"
     )
+    for join_type, eq_keys, n_ineq in ts_residual_joins(df):
+        assert TIME_BUCKET_KEY in eq_keys or name in INTERVAL_JOIN_PROOFS, (
+            f"{name}: {join_type} join carries {n_ineq} timestamp-"
+            f"inequality residual(s) over equi-keys {eq_keys} — per-key-"
+            "quadratic under a hot key. Route it through asof_join / "
+            "interval_join_bucketed, or add a bounded-key proof to "
+            "INTERVAL_JOIN_PROOFS"
+        )
     # Correctness harnesses canonicalize results by sorting/hashing
     # scalar cells; a top-level array/map column crashes that step
     # (pandas cannot factorize ndarray cells). Surface collections as
@@ -78,6 +140,51 @@ def test_global_window_detector_catches_the_antipattern(spark):
         "rn", F.row_number().over(Window.orderBy("id"))
     )
     assert GLOBAL_WINDOW.search(plan_of(spark, bad)) is not None
+
+
+def test_interval_residual_detector_catches_naive_join(spark):
+    """The skew guard must flag the quadratic shape it exists for: a
+    key-equi join with a raw time-window residual (the pre-r13
+    ``view_purchase_interval_join`` form), and must NOT flag the
+    bucketed rewrite (whose residual is licensed by the ``__tb``
+    equi-key) or the as-of form (no join node at all)."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.joins import (
+        asof_join,
+        interval_join_bucketed,
+    )
+
+    left = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).cast("timestamp_ntz").alias("l_ts"),
+    )
+    right = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 90).cast("timestamp_ntz").alias("r_ts"),
+    )
+    naive = left.join(
+        right.withColumnRenamed("k", "rk"),
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr("interval 15 minutes"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("interval 15 minutes")),
+    )
+    hits = ts_residual_joins(naive)
+    assert hits and all(TIME_BUCKET_KEY not in keys for _, keys, _ in hits), hits
+
+    bucketed = interval_join_bucketed(
+        left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+        within="15 minutes",
+    )
+    assert all(
+        TIME_BUCKET_KEY in keys for _, keys, _ in ts_residual_joins(bucketed)
+    )
+
+    asof = asof_join(
+        left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+        right_cols=["r_ts"],
+    )
+    assert ts_residual_joins(asof) == []
 
 
 def test_runtime_bloom_filter_reaches_fact_scan(spark):
