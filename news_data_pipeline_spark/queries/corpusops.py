@@ -375,34 +375,94 @@ def nfc_normalized_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- compression-ratio repetitiveness (rows-only: no SQL zlib) ------------
-@register("compression_ratio_bands", oracle=None)
-def compression_ratio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+# --- compression-ratio repetitiveness (invariant oracle, r13) -------------
+@register(
+    "compression_ratio_invariants",
+    # No SQL engine exposes a zlib scalar, so exact band VALUES are not
+    # oracle-expressible — but a correct ratio's INVARIANTS are (the
+    # pca_projection_invariants pattern, replacing the rows-only
+    # ``compression_ratio_bands`` registration):
+    #   * conservation: every non-null non-empty text gets exactly one
+    #     band (summed FROM the band histogram), and null/empty texts
+    #     get none — both recomputable in DuckDB from the raw column;
+    #   * band bounds: zlib output is between 8 bytes (2B header + 4B
+    #     adler32 + a non-empty deflate stream) and deflateBound
+    #     (stored-block worst case, < len + len/256 + 64), so every
+    #     band lies in [floor(80/blen), floor(10 + 10/256 + 640/blen)]
+    #     for ANY conforming zlib — violations are literally 0;
+    #   * a constructed 8192-byte 2-periodic string must land in band 0
+    #     (run-length floor: any level-6 zlib emits < 10% of input).
+    # Exact band values stay pinned against stdlib zlib cell-for-cell
+    # in tests/test_functions.py (the histogram parity test).
+    oracle="""
+    SELECT 'n_docs_banded' AS invariant, CAST(count(*) AS BIGINT) AS value
+    FROM documents WHERE text IS NOT NULL AND text <> ''
+    UNION ALL
+    SELECT 'n_null_band', CAST(count(*) AS BIGINT)
+    FROM documents WHERE text IS NULL OR text = ''
+    UNION ALL SELECT 'n_band_out_of_bounds', CAST(0 AS BIGINT)
+    UNION ALL SELECT 'repeat_text_band', CAST(0 AS BIGINT)
+    """,
+)
+def compression_ratio_invariants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Zlib compression-ratio quality bands
     (functions.arrow_text.compression_ratio, Arrow-batched): templated/
-    repetitive text compresses low, natural prose sits ~0.3-0.6.
-
-    Rows-only at the driver BY DOCUMENTED DECISION (round 8, closing
-    VERDICT r7 "what's wrong #3"): no SQL engine exposes a zlib
-    scalar, and a surrogate co-column (e.g. distinct-trigram counts)
-    cannot make BAND membership oracle-checkable because membership
-    itself needs zlib — any hashed column the oracle can't recompute
-    fails the whole row. The exact oracle lives in
-    tests/test_functions.py::test_compression_ratio_bands_query_matches_stdlib_zlib
-    instead: the registered query's full histogram equals a stdlib-zlib
-    recomputation cell-for-cell — driver-hash-strength evidence,
-    delivered locally. This is the registry's sole rows-only entry."""
+    repetitive text compresses low, natural prose sits ~0.3-0.6. The
+    query builds the band histogram (floor(ratio*10), the corpus-
+    quality gate's grouping) and surfaces what a correct zlib ratio
+    implies: histogram mass equals the banded-document count, null and
+    empty texts band to null, every band respects the per-document
+    zlib output bounds, and a constructed periodic string hits the
+    run-length floor. A wrong encoding (chars vs bytes), a dropped
+    null guard, an inverted ratio, or a broken band floor each break
+    at least one row."""
     from news_data_pipeline_spark.functions.arrow_text import (
         compression_ratio,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     band = F.floor(compression_ratio(F.col("text")) * 10).cast("int")
-    return (
-        docs.select(band.alias("ratio_band"))
-        .groupBy("ratio_band")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    banded = docs.select(
+        band.alias("band"), F.octet_length("text").alias("blen")
     )
+    hist = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_banded = hist.where(F.col("band").isNotNull()).select(
+        F.lit("n_docs_banded").alias("invariant"),
+        F.sum("n_docs").cast("long").alias("value"),
+    )
+    lo = F.floor(F.lit(80.0) / F.col("blen"))
+    hi = F.floor(F.lit(10.0 + 10.0 / 256.0) + F.lit(640.0) / F.col("blen"))
+    flags = banded.agg(
+        F.sum(F.when(F.col("band").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(
+            F.when(
+                F.col("band").isNotNull()
+                & ((F.col("band") < lo) | (F.col("band") > hi)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_oob"),
+    )
+    # one aggregate pass emits both flag rows (stack unpivot) — no
+    # second scan of the corpus for the second invariant
+    flag_rows = flags.select(
+        F.expr(
+            "stack(2, 'n_null_band', n_null,"
+            " 'n_band_out_of_bounds', n_oob) AS (invariant, value)"
+        )
+    )
+    repeat = spark.range(1).select(
+        F.lit("repeat_text_band").alias("invariant"),
+        F.floor(compression_ratio(F.lit("ab" * 4096)) * 10)
+        .cast("long")
+        .alias("value"),
+    )
+    return n_banded.unionAll(flag_rows).unionAll(repeat)
 
 
 # --- versioned-layer time travel ------------------------------------------

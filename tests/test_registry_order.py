@@ -110,11 +110,13 @@ def test_every_registered_query_has_an_oracle_twin():
     # rows-only entries whose operation has no SQL counterpart at all.
     # Pin both halves so a future registration can't silently weaken
     # the correctness gate by skipping an expressible oracle.
-    ROWS_ONLY_DOCUMENTED = {
-        "compression_ratio_bands",  # no SQL zlib scalar anywhere
-        # (pca got a partial oracle in r7: projection invariants —
-        # trace parity + variance==eigenvalue + zero cross-covariance)
-    }
+    # Empty since r13: compression_ratio_bands (the last rows-only
+    # entry — no SQL zlib scalar anywhere) was replaced by
+    # compression_ratio_invariants, whose oracle checks what a correct
+    # zlib ratio implies (the pca_projection_invariants pattern). The
+    # set stays so a future genuinely-SQL-inexpressible op has a
+    # documented escape hatch that this test still polices.
+    ROWS_ONLY_DOCUMENTED: set[str] = set()
     import sys
 
     sys.path.insert(0, "/root/repo")
