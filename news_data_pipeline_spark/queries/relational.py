@@ -81,8 +81,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact_sum matters doubly here: the rounded value is also the SORT
-    # key, so a half-cent flip would reorder the top-k across engines
-    orders = load_table(spark, sf_dir, "orders")
+    # key, so a half-cent flip would reorder the top-k across engines.
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # the per-customer aggregate consumes the bucketed distribution
+    # with no Exchange
+    _, orders = _custkey_tables(spark, sf_dir)
     return (
         orders.groupBy("o_custkey")
         .agg(exact_sum(F.col("o_totalprice")).alias("revenue"))
@@ -105,8 +108,10 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # past the broadcast horizon the customer⋈orders join sort-merges
+    # with zero exchanges on either side
+    customer, orders = _custkey_tables(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation")
     joined = orders.join(
         customer, orders.o_custkey == customer.c_custkey
@@ -154,8 +159,9 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # the semi-join needs no exchange on either side
+    customer, orders = _custkey_tables(spark, sf_dir)
     return semi_join(
         customer, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
     ).select("c_custkey", "c_name")
@@ -169,8 +175,9 @@ def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # the anti-join was the family's biggest single winner at 64M (4.9×)
+    customer, orders = _custkey_tables(spark, sf_dir)
     return anti_join(
         customer, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
     ).select("c_custkey", "c_name")
@@ -230,8 +237,12 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # settled-units window sum: engines evaluate window frames with
     # different internal accumulation (segment trees vs streaming), so
     # even an ordered prefix sum of doubles is not order-stable — the
-    # integer units are
-    orders = load_table(spark, sf_dir, "orders")
+    # integer units are.
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # the window's partitionBy consumes the bucketed distribution with
+    # no pre-window Exchange; the (o_orderdate, o_orderkey) tie-broken
+    # in-task sort remains (sorted layouts measured flat — SCALE.md)
+    _, orders = _custkey_tables(spark, sf_dir)
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -1829,14 +1840,16 @@ def salted_events_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUCKETED_DBS: dict = {}
 _ORDERKEY_DBS: dict = {}
-# Bucket-count policy for the orderkey artifact: 32 matches the local
-# harness's core count and keeps per-bucket bytes sane at gate/bench
-# SFs. At 64M+ rows a fixed 32 pins the bucketed scan's parallelism
-# below the plain layout's (SCALE.md round 12: priority_order_counts
-# regresses 4.2 -> 6.3 s at 64M for exactly this reason) — production
-# deployments size this to keep per-bucket bytes in the hundreds of
-# MB, i.e. thousands of buckets at 100 TB.
+_CUSTKEY_DBS: dict = {}
+# Bucket-count policy for the orderkey/custkey artifacts: 32 matches
+# the local harness's core count and keeps per-bucket bytes sane at
+# gate/bench SFs. At 64M+ rows a fixed 32 pins the bucketed scan's
+# parallelism below the plain layout's (SCALE.md round 12:
+# priority_order_counts regresses 4.2 -> 6.3 s at 64M for exactly this
+# reason) — production deployments size this to keep per-bucket bytes
+# in the hundreds of MB, i.e. thousands of buckets at 100 TB.
 _ORDERKEY_NUM_BUCKETS = 32
+_CUSTKEY_NUM_BUCKETS = 32
 # serializes each memo's miss/drop/build/cache sequence: the memos are
 # module-level and check_oracle runs registered queries on 4 threads
 # sharing one SparkSession, so two concurrent misses could each build,
@@ -1988,6 +2001,54 @@ def _orderkey_tables(
         build=build,
     )
     return spark.table(f"{db}.orders"), spark.table(f"{db}.lineitem")
+
+
+def _custkey_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(customer, orders) read from a full-column copy bucketed 32 ways
+    by the customer key — the round-13 adoption of the bucketed-join
+    lever for the registry's SECOND repeat-join family (five queries
+    re-join or re-aggregate orders against customer on this key per
+    invocation: top_customers, revenue_per_nation,
+    customers_with_orders, customers_without_orders,
+    customer_running_spend). Measured through the ROTATED interleaved
+    A/B (``tools/ab_custkey_family.py``; the round-12 fixed-order
+    pre-measure understated the arm at 1.22× — SCALE.md "Rotated-arm
+    re-measure"): family total 1.40 → 0.89 s (**1.57×**) at sf0.1,
+    build 2.7-3.9 s amortizing in ~2 family sweeps; validated past the
+    broadcast horizon at 1.79× (16M orders) and 2.44× (64M,
+    ``tools/ab_custkey_scale.py``) where the join sort-merges and the
+    layout removes both join-side exchanges. Unsorted buckets
+    deliberately: both candidate sort layouts measured flat at gate
+    volume and sort-elision needs a global legacy conf (SCALE.md
+    round 12, finding 2-3). Bucketing is value-invisible, so every
+    family oracle is unchanged; ``order_price_lag_lead`` (the probe's
+    6th member) stays on plain reads until the r14 rotation budget
+    frees a driver-sample slot for its edit."""
+    from news_data_pipeline_spark.sources.writers import write_bucketed
+
+    def build(db: str) -> None:
+        n = _CUSTKEY_NUM_BUCKETS
+        write_bucketed(
+            load_table(spark, sf_dir, "customer")
+            .repartition(n, "c_custkey"),
+            "customer", bucket_by="c_custkey", num_buckets=n, database=db,
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders")
+            .repartition(n, "o_custkey"),
+            "orders", bucket_by="o_custkey", num_buckets=n, database=db,
+        )
+
+    db = _bucketed_artifact_db(
+        spark, sf_dir,
+        memo=_CUSTKEY_DBS, prefix="bucketed_ck",
+        fingerprint_tables=("customer", "orders"),
+        table_names=("customer", "orders"),
+        build=build,
+    )
+    return spark.table(f"{db}.customer"), spark.table(f"{db}.orders")
 
 
 @register(

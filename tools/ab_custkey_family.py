@@ -126,6 +126,13 @@ def main() -> None:
             flush=True,
         )
 
+        # Since the r13 adoption the 5 PREMEASURED queries read through
+        # relational._custkey_tables (the registered bucketed artifact),
+        # so each arm rebinds BOTH hooks: _custkey_tables routes the 5
+        # adopted queries, load_table routes order_price_lag_lead (the
+        # still-plain 6th member) and the pass-through dims.
+        real_custkey_tables = relational._custkey_tables
+
         def hooked(suffix: str):
             def hook(s, d, t):
                 if t == "customer":
@@ -135,16 +142,30 @@ def main() -> None:
                 return real_load_table(s, d, t)
             return hook
 
+        def ck_plain(s, d):
+            return real_load_table(s, d, "customer"), real_load_table(
+                s, d, "orders"
+            )
+
+        def ck_hooked(suffix: str):
+            def hook(s, d):
+                return (
+                    s.table(f"{db}.customer_{suffix}"),
+                    s.table(f"{db}.orders_{suffix}"),
+                )
+            return hook
+
         arms = {
-            "plain": (real_load_table, None),
-            "bucketed": (hooked("b"), None),
-            "sorted": (hooked("bs"), None),
-            "sorted+conf": (hooked("bs"), "true"),
+            "plain": (real_load_table, ck_plain, None),
+            "bucketed": (hooked("b"), ck_hooked("b"), None),
+            "sorted": (hooked("bs"), ck_hooked("bs"), None),
+            "sorted+conf": (hooked("bs"), ck_hooked("bs"), "true"),
         }
         order = list(arms)
 
-        def family_sweep(hook, conf_val) -> dict[str, float]:
+        def family_sweep(hook, ck_hook, conf_val) -> dict[str, float]:
             relational.load_table = hook
+            relational._custkey_tables = ck_hook
             prior = spark.conf.get(ORDERING_CONF, None)
             try:
                 if conf_val is not None:
@@ -155,14 +176,16 @@ def main() -> None:
                 }
             finally:
                 relational.load_table = real_load_table
+                relational._custkey_tables = real_custkey_tables
                 if prior is None:
                     spark.conf.unset(ORDERING_CONF)
                 else:
                     spark.conf.set(ORDERING_CONF, prior)
 
         for tag in order:
-            hook, conf_val = arms[tag]
+            hook, ck_hook, conf_val = arms[tag]
             relational.load_table = hook
+            relational._custkey_tables = ck_hook
             prior = spark.conf.get(ORDERING_CONF, None)
             try:
                 if conf_val is not None:
@@ -181,6 +204,7 @@ def main() -> None:
                     spark.catalog.clearCache()
             finally:
                 relational.load_table = real_load_table
+                relational._custkey_tables = real_custkey_tables
                 if prior is None:
                     spark.conf.unset(ORDERING_CONF)
                 else:
