@@ -37,7 +37,7 @@ def default_layer_format(spark: SparkSession) -> str:
     tables — ACID overwrite and ``VERSION AS OF`` then come from the
     transaction log instead of ``VersionedLayer``'s pointer swap.
 
-    Installability checked round 10, re-checked rounds 11 and 12
+    Installability checked round 10, re-checked rounds 11, 12 and 13
     (r12: the index now resolves but serves no matching distribution —
     ``pip install delta-spark`` ends "from versions: none"; ``import
     delta`` absent, zero delta jars under pyspark/jars or anywhere on

@@ -250,11 +250,16 @@ def main() -> None:
                         spark.conf.set(ORDERING_CONF, prior)
 
             order = list(arms)
+            # round count must be a multiple of the arm count or one arm
+            # owns the cold first slot more often than the others
+            # (BENCH_BASELINE.md trap #6) — the deep shape adds a third
+            # arm, so round up rather than keep a flat TIMED_ROUNDS
+            timed_rounds = len(order) * -(-TIMED_ROUNDS // len(order))
             for _ in range(WARM_ROUNDS):
                 for tag in order:
                     family_sweep(*arms[tag])
             reps = {tag: [] for tag in arms}
-            for r in range(TIMED_ROUNDS):
+            for r in range(timed_rounds):
                 rotated = order[r % len(order):] + order[:r % len(order)]
                 for tag in rotated:
                     reps[tag].append(family_sweep(*arms[tag]))
