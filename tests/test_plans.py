@@ -187,6 +187,23 @@ def test_interval_residual_detector_catches_naive_join(spark):
     assert ts_residual_joins(asof) == []
 
 
+def test_adopted_interval_family_plan_shapes(spark):
+    """Positive pins for the r13 adoptions (the guard above only
+    LICENSES shapes; these assert the adopted queries actually have
+    them): purchase_state_attribution's as-of routing leaves NO join
+    with a timestamp residual in the plan (the lookup is a forward-fill
+    window), and view_purchase_interval_join's one residual-carrying
+    join is equi-keyed on the __tb time bucket."""
+    psa = query_map()["purchase_state_attribution"](spark, SF_DIR)
+    assert ts_residual_joins(psa) == []
+    plan = plan_of(spark, psa)
+    assert "Window" in plan, plan  # the forward-fill carries the match
+
+    vpij = query_map()["view_purchase_interval_join"](spark, SF_DIR)
+    hits = ts_residual_joins(vpij)
+    assert len(hits) == 1 and TIME_BUCKET_KEY in hits[0][1], hits
+
+
 def test_runtime_bloom_filter_reaches_fact_scan(spark):
     """Big-big joins at 100 TB lean on runtime row-level filtering: a
     selective build side injects a bloom filter that prunes the fact
