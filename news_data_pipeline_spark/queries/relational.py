@@ -266,7 +266,13 @@ def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def order_price_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    # bucketed-by-custkey reads (round-13 adoption — _custkey_tables):
+    # the lag/lead window's partitionBy consumes the bucketed
+    # distribution with no pre-window Exchange (probe census 1→0; the
+    # 6-query family total reads 1.74× with this member included).
+    # Budget note: this row was already in the r13 driver sample as
+    # r8-stale, so the edit costs no extra sample slot.
+    _, orders = _custkey_tables(spark, sf_dir)
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_orderkey",
@@ -2023,9 +2029,10 @@ def _custkey_tables(
     deliberately: both candidate sort layouts measured flat at gate
     volume and sort-elision needs a global legacy conf (SCALE.md
     round 12, finding 2-3). Bucketing is value-invisible, so every
-    family oracle is unchanged; ``order_price_lag_lead`` (the probe's
-    6th member) stays on plain reads until the r14 rotation budget
-    frees a driver-sample slot for its edit."""
+    family oracle is unchanged. ``order_price_lag_lead`` (the probe's
+    6th member, family 1.74× including it) also routes through this
+    artifact: its row was already in the r13 driver sample as r8-stale,
+    so the edit costs no extra sample slot."""
     from news_data_pipeline_spark.sources.writers import write_bucketed
 
     def build(db: str) -> None:
