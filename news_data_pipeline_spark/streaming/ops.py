@@ -177,6 +177,15 @@ def interval_join_streams(
     lets Spark evict buffered rows (state stays bounded by key-rate x
     within+watermark) instead of holding each side forever. Without the
     time bound a stream-stream join is unrunnable state growth.
+
+    STREAMS ONLY: under batch execution the watermark is a no-op and
+    this plan degenerates to an equi-join whose time bound is a
+    residual — per-key-quadratic under a hot key (SCALE.md measured
+    909 s vs 0.72 s for a 400k-row hot key at 4M rows). The batch form
+    is ``operators.joins.interval_join_bucketed`` — identical output
+    multiset (parity pinned in tests/test_psa_asof_candidate.py), and
+    the plan guard in tests/test_plans.py rejects the residual shape in
+    any registered batch query.
     """
     l_wm = left.withWatermark(left_ts, watermark)
     r_wm = right.withWatermark(right_ts, watermark)
