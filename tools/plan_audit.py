@@ -88,6 +88,52 @@ PATTERNS = {
 }
 
 
+_TS_INEQ = {"LessThan", "LessThanOrEqual", "GreaterThan", "GreaterThanOrEqual"}
+
+
+def _jwalk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _jwalk(node.children().apply(i))
+
+
+def ts_residual_joins(df) -> tuple[int, int]:
+    """(licensed, unlicensed) joins whose condition carries a timestamp
+    inequality — the per-key-quadratic interval-join shape (SCALE.md
+    round 12). Licensed = the equi-key set includes the ``__tb`` time
+    bucket (``interval_join_bucketed``); anything else is the shape
+    tests/test_plans.py rejects. Walks the optimized LOGICAL plan so
+    residuals Catalyst pushed into join conditions are seen."""
+    licensed = unlicensed = 0
+    for n in _jwalk(df._jdf.queryExecution().optimizedPlan()):
+        if n.nodeName() != "Join":
+            continue
+        cond = n.condition()
+        if not cond.isDefined():
+            continue
+        n_ineq, bucketed = 0, False
+        for e in _jwalk(cond.get()):
+            kind = e.nodeName()
+            if kind in _TS_INEQ:
+                t = e.children().apply(0).dataType().typeName()
+                if t.startswith("timestamp"):
+                    n_ineq += 1
+            elif kind == "EqualTo":
+                for side in (0, 1):
+                    c = e.children().apply(side)
+                    if (
+                        c.nodeName() == "AttributeReference"
+                        and c.name() == "__tb"
+                    ):
+                        bucketed = True
+        if n_ineq:
+            if bucketed:
+                licensed += 1
+            else:
+                unlicensed += 1
+    return licensed, unlicensed
+
+
 def audit(spark, name: str, fn) -> dict:
     df = fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().explainString(
@@ -99,6 +145,7 @@ def audit(spark, name: str, fn) -> dict:
     out = {"name": name}
     for key, pat in PATTERNS.items():
         out[key] = len(re.findall(pat, physical))
+    out["tsj_ok"], out["tsj_bad"] = ts_residual_joins(df)
     return out
 
 
@@ -146,6 +193,19 @@ def main() -> None:
                 f"- `{r['name']}`: BroadcastNestedLoopJoin x{r['bnlj']} — "
                 + (f"reviewed, bounded: {why}" if why else
                    "UNREVIEWED — verify the broadcast side is bounded")
+            )
+        if r.get("tsj_bad"):
+            flagged.append(
+                f"- `{r['name']}`: timestamp-inequality join residual "
+                f"WITHOUT the __tb bucket key x{r['tsj_bad']} — the "
+                "per-key-quadratic interval-join shape "
+                "(tests/test_plans.py rejects this; SCALE.md r12)"
+            )
+        if r.get("tsj_ok"):
+            flagged.append(
+                f"- `{r['name']}`: interval join via __tb time-bucket "
+                f"equi-key x{r['tsj_ok']} — licensed "
+                "(operators.joins.interval_join_bucketed)"
             )
     lines.append("")
     lines.append("## Flags")
