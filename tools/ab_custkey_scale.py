@@ -36,8 +36,12 @@ Usage::
 
     SPARK_DRIVER_MEMORY=32g python tools/ab_custkey_scale.py [spec ...]
 
-where each spec is ``<rows>[:<buckets>]`` (default: ``16000000
-64000000:128``).
+where each spec is ``<rows>[:<buckets>[:<shape>]]`` with shape
+``uniform`` (default) or ``skew`` — every 10th order on custkey 0, the
+bucketed layout's adversarial case: a bucketed scan side gives AQE
+skew-splitting no shuffle to rebalance, while the plain arm's
+sort-merge join is exactly the shape ``adaptive.skewJoin`` splits.
+Default specs: ``16000000 64000000:128``.
 """
 
 from __future__ import annotations
@@ -70,13 +74,25 @@ WARM_ROUNDS = 1
 TIMED_ROUNDS = 4
 
 
-def synth_tables(spark, n_orders: int):
+def synth_tables(spark, n_orders: int, shape: str = "uniform"):
+    """``uniform``: TPC-H density. ``skew``: every 10th order lands on
+    custkey 0 (a 10%-hot key on top of its uniform share — the same
+    hot-fraction convention as the user_id skew study), the adversarial
+    case for a bucketed layout: the hot key pins to ONE bucket and a
+    bucketed scan side offers no shuffle for AQE skew-splitting to
+    rebalance, while the plain arm's sort-merge join is exactly the
+    shape ``spark.sql.adaptive.skewJoin`` exists to split."""
     import pyspark.sql.functions as F
 
+    if shape not in ("uniform", "skew"):
+        raise ValueError(f"shape must be uniform|skew, got {shape!r}")
     n_cust = max(1, n_orders // ORDERS_PER_CUSTOMER)
+    custkey = F.col("id") % n_cust
+    if shape == "skew":
+        custkey = F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(custkey)
     orders = spark.range(n_orders).select(
         F.col("id").alias("o_orderkey"),
-        (F.col("id") % n_cust).alias("o_custkey"),
+        custkey.alias("o_custkey"),
         F.date_add(
             F.to_date(F.lit("1992-01-01")),
             F.pmod(F.xxhash64("id"), F.lit(SPAN_DAYS)).cast("int"),
@@ -117,12 +133,13 @@ def main() -> None:
     for item in specs:
         parts = item.split(":")
         n_orders = int(parts[0])
-        n_buckets = int(parts[1]) if len(parts) > 1 else 32
+        n_buckets = int(parts[1]) if len(parts) > 1 and parts[1] else 32
+        shape = parts[2] if len(parts) > 2 else "uniform"
         db = f"ab_cscale_{uuid.uuid4().hex[:8]}"
         plain_root = tempfile.mkdtemp(prefix="ab_cscale_plain_")
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         try:
-            orders, customer = synth_tables(spark, n_orders)
+            orders, customer = synth_tables(spark, n_orders, shape)
             t0 = time.perf_counter()
             orders.repartition(n_buckets, "o_custkey").write.mode(
                 "overwrite"
@@ -142,7 +159,7 @@ def main() -> None:
             )
             t_bucket = time.perf_counter() - t0
             print(
-                f"[{n_orders}:{n_buckets}] builds: plain {t_plain:.1f}s,"
+                f"[{n_orders}:{n_buckets}:{shape}] builds: plain {t_plain:.1f}s,"
                 f" bucketed {t_bucket:.1f}s",
                 flush=True,
             )
@@ -201,20 +218,20 @@ def main() -> None:
                 }
                 for n in FAMILY:
                     print(
-                        f"  [{n_orders}:{n_buckets}] {tag} {n}:"
+                        f"  [{n_orders}:{n_buckets}:{shape}] {tag} {n}:"
                         f" median {per_q[n]:.3f}s",
                         flush=True,
                     )
                 totals[tag] = sum(per_q.values())
                 sweep_totals = [sum(rr.values()) for rr in reps[tag]]
                 print(
-                    f"[{n_orders}:{n_buckets}] {tag} family total"
+                    f"[{n_orders}:{n_buckets}:{shape}] {tag} family total"
                     f" {totals[tag]:.2f}s (sweeps"
                     f" {[round(x, 1) for x in sweep_totals]})",
                     flush=True,
                 )
             print(
-                f"RESULT [{n_orders}:{n_buckets}] plain"
+                f"RESULT [{n_orders}:{n_buckets}:{shape}] plain"
                 f" {totals['plain']:.2f}s | bucketed"
                 f" {totals['bucketed']:.2f}s"
                 f" ({totals['plain'] / totals['bucketed']:.2f}x)"
