@@ -997,6 +997,69 @@ def test_orderkey_tables_bucketed_cached_and_shuffle_free(spark, tmp_path):
     assert l3.count() == 72
 
 
+def test_custkey_tables_bucketed_cached_and_shuffle_free(spark, tmp_path):
+    """The round-13 custkey artifact behind the second repeat-join
+    family: ``_custkey_tables`` returns customer+orders bucketed by the
+    customer key, so their equi-join AND a per-customer window (the
+    ``customer_running_spend`` shape) run with zero Exchange upstream;
+    fingerprint-cached like the orderkey twin (the shared memo
+    machinery's rebuild/invalidate behavior is pinned there and in
+    test_bucketed_join_db_cached_and_invalidated)."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from news_data_pipeline_spark.queries import relational as rel
+
+    sf_dir = str(tmp_path / "sfck")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [(i, f"Customer#{i}") for i in range(20)],
+        "c_custkey long, c_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/customer.parquet")
+    spark.createDataFrame(
+        [(i, i % 20, float(i) + 0.25, f"1995-01-{i % 28 + 1:02d}")
+         for i in range(60)],
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/orders.parquet")
+
+    customer, orders = rel._custkey_tables(spark, sf_dir)
+    db1 = next(v[0] for k, v in rel._CUSTKEY_DBS.items() if k[0] == sf_dir)
+    rel._custkey_tables(spark, sf_dir)  # cache hit, same db
+    assert (
+        next(v[0] for k, v in rel._CUSTKEY_DBS.items() if k[0] == sf_dir)
+        == db1
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == 60
+        # the per-customer running window (customer_running_spend's
+        # shape) consumes the bucketed distribution with no exchange
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        spend = orders.select(
+            "o_custkey", F.sum("o_totalprice").over(w).alias("run")
+        )
+        spend_plan = spend._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in spend_plan
+        assert spend.count() == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_bucketed_artifact_db_concurrent_miss_single_build(spark, tmp_path):
     """Round-11 ADVICE: the artifact memo is shared across the oracle
     gate's worker threads, so two concurrent cache misses must
