@@ -110,6 +110,54 @@ def test_asof_join_matches_naive_model(spark, lefts, rights):
         assert out[i] == want, (i, k, t, cands)
 
 
+# epoch seconds spanning BOTH sides of 1970 (negative seconds stress
+# the floor-division bucketing: floor rounds toward -inf, so a naive
+# int-division port would mis-bucket every pre-epoch row) and dense
+# enough around multiples of the 900 s window that exact-edge and
+# bucket-boundary pairs occur routinely
+_epoch_s = st.integers(min_value=-2700, max_value=2700)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 2), _epoch_s), min_size=1, max_size=8),
+    st.lists(st.tuples(st.integers(0, 2), _epoch_s), min_size=1, max_size=8),
+)
+@SETTINGS
+def test_interval_join_bucketed_matches_naive_model(spark, lefts, rights):
+    from news_data_pipeline_spark.operators.joins import (
+        interval_join_bucketed,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        schema="k bigint, lsec bigint, lid bigint",
+    ).select(
+        "k", "lid",
+        F.timestamp_seconds("lsec").cast("timestamp_ntz").alias("l_ts"),
+    )
+    right = spark.createDataFrame(
+        [(k, t, j) for j, (k, t) in enumerate(rights)],
+        schema="k bigint, rsec bigint, rid bigint",
+    ).select(
+        "k", "rid",
+        F.timestamp_seconds("rsec").cast("timestamp_ntz").alias("r_ts"),
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_join_bucketed(
+            left, right, on="k", left_ts="l_ts", right_ts="r_ts",
+            within="15 minutes",
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lk, lt) in enumerate(lefts)
+        for j, (rk, rt) in enumerate(rights)
+        if lk == rk and abs(rt - lt) <= 900
+    }
+    assert got == want
+
+
 @given(
     st.lists(st.floats(min_value=0, max_value=50, allow_nan=False), min_size=1, max_size=10),
     st.lists(
