@@ -432,8 +432,20 @@ def compression_ratio_invariants(
         F.lit("n_docs_banded").alias("invariant"),
         F.sum("n_docs").cast("long").alias("value"),
     )
-    lo = F.floor(F.lit(80.0) / F.col("blen"))
-    hi = F.floor(F.lit(10.0 + 10.0 / 256.0) + F.lit(640.0) / F.col("blen"))
+    # try_divide, not /: an empty-string text has blen=0 and under ANSI
+    # a plain / throws DIVIDE_BY_ZERO when evaluated. Today the when()
+    # below never evaluates it for such rows (band.isNotNull() is
+    # false and And short-circuits in both codegen and interpreted
+    # eval — verified), but that guard is an evaluation-order
+    # implementation detail, not a contract; try_divide makes it
+    # structural. NULL bounds leave the comparisons NULL and the row
+    # falls to otherwise(0), which is correct: a null-band row is the
+    # n_null_band invariant's business.
+    lo = F.floor(F.try_divide(F.lit(80.0), F.col("blen")))
+    hi = F.floor(
+        F.lit(10.0 + 10.0 / 256.0)
+        + F.try_divide(F.lit(640.0), F.col("blen"))
+    )
     flags = banded.agg(
         F.sum(F.when(F.col("band").isNull(), 1).otherwise(0))
         .cast("long")

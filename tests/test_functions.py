@@ -342,6 +342,47 @@ def test_compression_ratio_bands_match_stdlib_zlib(spark):
     }
 
 
+def test_compression_ratio_invariants_survive_empty_and_blank_texts(
+    spark, tmp_path, monkeypatch
+):
+    """Empty-string documents have blen=0: the bounds division uses
+    try_divide so the zero divisor can never throw under ANSI
+    regardless of expression evaluation order (the when()'s And guard
+    short-circuits today, but that is an implementation detail, not a
+    contract). Blank and null texts count into n_null_band; neither
+    crashes nor lands out-of-bounds."""
+    from news_data_pipeline_spark.queries import corpusops, query_map
+
+    docs = spark.createDataFrame(
+        [(1, "a natural prose document with words", "en"),
+         (2, "", "en"),
+         (3, None, "en"),
+         (4, "x", "en")],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    real = corpusops.load_table
+    monkeypatch.setattr(
+        corpusops,
+        "load_table",
+        lambda s, d, t: s.read.parquet(path) if t == "documents"
+        else real(s, d, t),
+    )
+    inv = {
+        r.invariant: r.value
+        for r in query_map()["compression_ratio_invariants"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert inv == {
+        "n_docs_banded": 2,
+        "n_null_band": 2,
+        "n_band_out_of_bounds": 0,
+        "repeat_text_band": 0,
+    }
+
+
 def test_union_evolved_widens_and_fills(spark):
     import datetime
 
