@@ -208,7 +208,7 @@ def main() -> None:
                 ),
             }
             t_sorted = 0.0
-            if shape == "deep":
+            if shape in ("wide", "deep"):
                 t0 = time.perf_counter()
                 write_bucketed(
                     ev.repartition(n_buckets, "user_id"), "events_bs",
@@ -216,6 +216,18 @@ def main() -> None:
                     sort_by=("user_id", "ts"), database=db,
                 )
                 t_sorted = time.perf_counter() - t0
+                # conf-FREE sorted arm (r13: the sorted layout beats
+                # unsorted at gate volume on the rewrite-adopted family
+                # — 1.89x/1.64x over two rotated runs — via the
+                # physical-layout term alone; this arm answers whether
+                # that term survives volume, where bigger in-task sorts
+                # could spill). The conf'd elision arm stays deep-only.
+                arms["sorted"] = (
+                    lambda s, d, t: s.table(f"{db}.events_bs")
+                    if t == "events" else real_load_table(s, d, t),
+                    None,
+                )
+            if shape == "deep":
                 arms["sorted+conf"] = (
                     lambda s, d, t: s.table(f"{db}.events_bs")
                     if t == "events" else real_load_table(s, d, t),
