@@ -427,11 +427,6 @@ def compression_ratio_invariants(
     banded = docs.select(
         band.alias("band"), F.octet_length("text").alias("blen")
     )
-    hist = banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs"))
-    n_banded = hist.where(F.col("band").isNotNull()).select(
-        F.lit("n_docs_banded").alias("invariant"),
-        F.sum("n_docs").cast("long").alias("value"),
-    )
     # try_divide, not /: an empty-string text has blen=0 and under ANSI
     # a plain / throws DIVIDE_BY_ZERO when evaluated. Today the when()
     # below never evaluates it for such rows (band.isNotNull() is
@@ -446,25 +441,45 @@ def compression_ratio_invariants(
         F.lit(10.0 + 10.0 / 256.0)
         + F.try_divide(F.lit(640.0), F.col("blen"))
     )
-    flags = banded.agg(
-        F.sum(F.when(F.col("band").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_null"),
+    # ONE aggregation tree over the zlib projection (r14 ADVICE: the
+    # histogram and the flag sums previously hung as two subtrees off
+    # ``banded`` in the same unioned plan, running the Arrow UDF —
+    # the registry's costliest per-row computation — over the corpus
+    # twice per execution). The per-row out-of-bounds flag folds into
+    # the per-band histogram; every invariant then derives from that
+    # bounded (~a dozen rows) frame in a second, corpus-free aggregate.
+    hist = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.when(
                 F.col("band").isNotNull()
                 & ((F.col("band") < lo) | (F.col("band") > hi)),
                 1,
             ).otherwise(0)
+        ).alias("n_oob"),
+    )
+    # coalesce, not bare sum (r14 ADVICE): on a corpus where every text
+    # is NULL/empty the banded filter empties and sum() would emit NULL
+    # where the oracle's COUNT(*) emits 0 — same for a fully-banded
+    # corpus and n_null_band.
+    inv = hist.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("band").isNotNull(), F.col("n_docs"))),
+            F.lit(0),
         )
         .cast("long")
-        .alias("n_oob"),
+        .alias("n_banded"),
+        F.coalesce(
+            F.sum(F.when(F.col("band").isNull(), F.col("n_docs"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.coalesce(F.sum("n_oob"), F.lit(0)).cast("long").alias("n_oob"),
     )
-    # one aggregate pass emits both flag rows (stack unpivot) — no
-    # second scan of the corpus for the second invariant
-    flag_rows = flags.select(
+    inv_rows = inv.select(
         F.expr(
-            "stack(2, 'n_null_band', n_null,"
+            "stack(3, 'n_docs_banded', n_banded, 'n_null_band', n_null,"
             " 'n_band_out_of_bounds', n_oob) AS (invariant, value)"
         )
     )
@@ -474,7 +489,7 @@ def compression_ratio_invariants(
         .cast("long")
         .alias("value"),
     )
-    return n_banded.unionAll(flag_rows).unionAll(repeat)
+    return inv_rows.unionAll(repeat)
 
 
 # --- versioned-layer time travel ------------------------------------------

@@ -29,6 +29,57 @@ from news_data_pipeline_spark.sources.catalog import (
 )
 
 
+# --- round 14: bucketed-by-user_id events artifact ------------------------
+_USERID_DBS: dict = {}
+_USERID_NUM_BUCKETS = 32
+
+
+def _userid_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` read from a full-column copy bucketed 32 ways by
+    ``user_id`` — the round-14 adoption of the bucketed-join lever for
+    the registry's THIRD repeat-join family (eight queries re-window,
+    re-join or re-aggregate events on this key per invocation:
+    user_sessions, user_lifetime_totals, events_asof_latest_order,
+    purchase_state_attribution, user_event_islands, user_decayed_value,
+    earliest_event_per_user_type, user_retention_cohorts). Measured
+    through the ROTATED interleaved A/B at THREE volumes
+    (``tools/ab_userid_sorted.py`` at gate, ``tools/ab_userid_scale.py``
+    at 16M/64M — SCALE.md "r14 pre-measure"): family total 1.43-1.60×
+    at sf0.1, 1.37× at 16M wide, 1.35× at 64M/128 buckets, build
+    2.9-3.7 s at gate amortizing in ~2 family sweeps at every size.
+    UNSORTED buckets deliberately: ``sortBy(user_id, ts)`` wins only at
+    gate-scale bucket sizes (pre-sorted runs ride the in-task sort's
+    no-spill fast path), pays a ~10× write premium at 16M, and INVERTS
+    at 64M (slower than unsorted on 6 of 8 members — SCALE.md r13
+    "layout wins don't extrapolate"); the legacy bucketed-scan
+    output-ordering conf stays rejected on session-coupling grounds
+    (r12 finding 3). Bucketing is value-invisible, so every family
+    oracle is unchanged; column pruning and filter pushdown still reach
+    the bucketed parquet scans. At 100 TB this is the co-located
+    layout for every per-user window/aggregate: the pre-window
+    exchange of the full events fact disappears on all eight plans."""
+    from news_data_pipeline_spark.queries.relational import (
+        _bucketed_artifact_db,
+    )
+    from news_data_pipeline_spark.sources.writers import write_bucketed
+
+    def build(db: str) -> None:
+        n = _USERID_NUM_BUCKETS
+        write_bucketed(
+            load_table(spark, sf_dir, "events").repartition(n, "user_id"),
+            "events", bucket_by="user_id", num_buckets=n, database=db,
+        )
+
+    db = _bucketed_artifact_db(
+        spark, sf_dir,
+        memo=_USERID_DBS, prefix="bucketed_uid",
+        fingerprint_tables=("events",),
+        table_names=("events",),
+        build=build,
+    )
+    return spark.table(f"{db}.events")
+
+
 @register(
     "tumbling_hourly_counts",
     oracle=f"""
@@ -110,7 +161,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (10-minute gap) per user via ``session_window`` —
     the same operator the streaming module uses with a watermark."""
-    events = load_table(spark, sf_dir, "events")
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir)
     return (
         events.groupBy("user_id", F.session_window("ts", "10 minutes"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -137,7 +189,8 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def earliest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming ``dropDuplicatesWithinWatermark``-style
     dedup: keep the earliest event per (user, type), deterministically."""
-    events = load_table(spark, sf_dir, "events")
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir)
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -161,7 +214,8 @@ def user_lifetime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate the applyInPandasWithState operator maintains per key."""
     from news_data_pipeline_spark.streaming.state import batch_user_totals
 
-    return batch_user_totals(load_table(spark, sf_dir, "events"))
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    return batch_user_totals(_userid_events(spark, sf_dir))
 
 
 # DuckDB twin of functions.zorder.morton_key: OR of per-bit shifts.
@@ -322,7 +376,8 @@ def events_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     from news_data_pipeline_spark.operators.joins import asof_join
 
-    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir).select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp_ntz").alias("order_ts"),
@@ -608,7 +663,8 @@ def user_event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both windows partition by user (plus type), so the shuffle keys by
     user_id and no partition ever exceeds one user's history; ties
     break on event_id so replays are deterministic."""
-    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir).where(F.col("ts").isNotNull())
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = Window.partitionBy("user_id", "event_type").orderBy(
         "ts", "event_id"
@@ -845,7 +901,8 @@ def user_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; ages are exact integer second deltas on both engines, so
     the only float work is the shared exp/sum expression. One shuffle
     (the per-user aggregate), no windows."""
-    events = load_table(spark, sf_dir, "events")
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir)
     ref = events.agg(F.max("ts").alias("__ref_ts"))
     age_days = (
         F.col("__ref_ts").cast("timestamp").cast("long")
@@ -974,7 +1031,8 @@ def purchase_state_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     inclusive-edge fixtures + oracle parity)."""
     from news_data_pipeline_spark.operators.joins import asof_join
 
-    events = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir).where(F.col("ts").isNotNull())
     nonp = events.where(F.col("event_type") != "purchase")
     w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = Window.partitionBy("user_id", "event_type").orderBy(
@@ -1076,7 +1134,8 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct cell membership); the cohort dimension rides back on
     the user-keyed join, never a cross product. Weeks are date_trunc
     boundaries so both engines bucket identically."""
-    events = load_table(spark, sf_dir, "events").where(
+    # bucketed-by-user_id read (round-14 adoption — _userid_events):
+    events = _userid_events(spark, sf_dir).where(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     firsts = events.groupBy("user_id").agg(

@@ -37,9 +37,10 @@ def default_layer_format(spark: SparkSession) -> str:
     tables — ACID overwrite and ``VERSION AS OF`` then come from the
     transaction log instead of ``VersionedLayer``'s pointer swap.
 
-    Installability checked round 10, re-checked rounds 11, 12 and 13
-    (r12: the index now resolves but serves no matching distribution —
-    ``pip install delta-spark`` ends "from versions: none"; ``import
+    Installability checked round 10, re-checked rounds 11-14
+    (r12: the index resolved but served no matching distribution —
+    ``pip install delta-spark`` ended "from versions: none"; r14: DNS
+    resolution fails outright, no network path at all; ``import
     delta`` absent, zero delta jars under pyspark/jars or anywhere on
     the filesystem): delta-spark is NOT obtainable
     offline in this sandbox (no pip/network for ``--packages``

@@ -222,6 +222,11 @@ def run_parity(spark, co, qmap, oracle) -> bool:
     # key, 200k rows keeps the quadratic arm to seconds) — the regime
     # the rewrite exists for must be parity-checked, not only timed
     real_load_table = streaming_batch.load_table
+    # since the r14 adoption the registered query reads events through
+    # streaming_batch._userid_events — rebind it alongside load_table,
+    # or the artifact builder would bucket-write the SYNTHETIC events
+    # under the real sf_dir's fingerprint key (cache poisoning)
+    real_userid_events = streaming_batch._userid_events
     for shape in ("wide", "skew"):
         root = tempfile.mkdtemp(prefix="ab_psa_parity_")
         try:
@@ -233,6 +238,9 @@ def run_parity(spark, co, qmap, oracle) -> bool:
                 if t == "events"
                 else real_load_table(s, d, t)
             )
+            streaming_batch._userid_events = (
+                lambda s, d: streaming_batch.load_table(s, d, "events")
+            )
             try:
                 ok, why = _compare_frames(
                     co,
@@ -241,6 +249,7 @@ def run_parity(spark, co, qmap, oracle) -> bool:
                 )
             finally:
                 streaming_batch.load_table = real_load_table
+                streaming_batch._userid_events = real_userid_events
             print(
                 f"parity synth 200k {shape}: {'ok' if ok else 'FAIL ' + why}",
                 flush=True,
@@ -261,6 +270,10 @@ def run_timing(spark, qmap, specs: list[str]) -> None:
     # (qmap[QUERY]) is the as-of rewrite since the r13 adoption
     arms = {"naive": psa_naive, "asof": qmap[QUERY]}
     real_load_table = streaming_batch.load_table
+    # r14 adoption: rebind _userid_events alongside load_table so the
+    # asof arm (the registered query) reads the synthetic events rather
+    # than bucket-writing them under the real sf_dir's fingerprint key
+    real_userid_events = streaming_batch._userid_events
 
     for item in specs:
         parts = item.split(":")
@@ -278,6 +291,9 @@ def run_timing(spark, qmap, specs: list[str]) -> None:
                 lambda s, d, t, _r=root: s.read.parquet(f"{_r}/events")
                 if t == "events"
                 else real_load_table(s, d, t)
+            )
+            streaming_batch._userid_events = (
+                lambda s, d: streaming_batch.load_table(s, d, "events")
             )
             try:
                 # mechanism census before timing (AQE finalizes the
@@ -316,16 +332,17 @@ def run_timing(spark, qmap, specs: list[str]) -> None:
                     tag: statistics.median(reps[tag]) for tag in arms
                 }
                 print(
-                    f"RESULT [{n_rows}:{shape}] current {med['current']:.2f}s"
+                    f"RESULT [{n_rows}:{shape}] naive {med['naive']:.2f}s"
                     f" | asof {med['asof']:.2f}s"
-                    f" ({med['current'] / med['asof']:.2f}x)"
+                    f" ({med['naive'] / med['asof']:.2f}x)"
                     f" (rounds {timed_rounds}, runs"
-                    f" {[round(x, 1) for x in reps['current']]} vs"
+                    f" {[round(x, 1) for x in reps['naive']]} vs"
                     f" {[round(x, 1) for x in reps['asof']]})",
                     flush=True,
                 )
             finally:
                 streaming_batch.load_table = real_load_table
+                streaming_batch._userid_events = real_userid_events
         finally:
             shutil.rmtree(root, ignore_errors=True)
 

@@ -172,6 +172,11 @@ def main() -> None:
     spark = get_spark("ab_userid_scale")
     qmap = query_map()
     real_load_table = streaming_batch.load_table
+    # since the r14 adoption the 8-query family reads events through
+    # streaming_batch._userid_events, not load_table — rebind it to the
+    # same arm hook so the synthetic tables actually reach the
+    # registered query code (and the plain arm stays genuinely plain)
+    real_userid_events = streaming_batch._userid_events
 
     for item in specs:
         parts = item.split(":")
@@ -246,6 +251,9 @@ def main() -> None:
 
             def family_sweep(hook, conf_val) -> dict[str, float]:
                 streaming_batch.load_table = hook
+                streaming_batch._userid_events = (
+                    lambda s, d: hook(s, d, "events")
+                )
                 prior = spark.conf.get(ORDERING_CONF, None)
                 try:
                     if conf_val is not None:
@@ -256,6 +264,7 @@ def main() -> None:
                     }
                 finally:
                     streaming_batch.load_table = real_load_table
+                    streaming_batch._userid_events = real_userid_events
                     if prior is None:
                         spark.conf.unset(ORDERING_CONF)
                     else:
@@ -317,12 +326,16 @@ def main() -> None:
                 for tag in order:
                     hook, conf_val = arms[tag]
                     streaming_batch.load_table = hook
+                    streaming_batch._userid_events = (
+                        lambda s, d: hook(s, d, "events")
+                    )
                     try:
                         t = bench.run_query(
                             qmap[SKEW_SEPARATE], spark, sf_dir
                         )
                     finally:
                         streaming_batch.load_table = real_load_table
+                        streaming_batch._userid_events = real_userid_events
                     print(
                         f"SEPARATE [{n_rows}:{shape}:{n_buckets}]"
                         f" {SKEW_SEPARATE} {tag}: {t:.1f}s (single run"

@@ -102,6 +102,11 @@ def main() -> None:
     spark = get_spark("ab_userid_sorted")
     qmap = query_map()
     real_load_table = streaming_batch.load_table
+    # since the r14 adoption the 8-query family reads events through
+    # streaming_batch._userid_events, not load_table — rebind it to the
+    # same arm hook so each arm's table actually reaches the registered
+    # query code (and the plain arm stays genuinely plain)
+    real_userid_events = streaming_batch._userid_events
 
     db = f"ab_userid_{uuid.uuid4().hex[:8]}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
@@ -144,6 +149,7 @@ def main() -> None:
 
         def family_sweep(hook, conf_val) -> dict[str, float]:
             streaming_batch.load_table = hook
+            streaming_batch._userid_events = lambda s, d: hook(s, d, "events")
             prior = spark.conf.get(ORDERING_CONF, None)
             try:
                 if conf_val is not None:
@@ -154,6 +160,7 @@ def main() -> None:
                 }
             finally:
                 streaming_batch.load_table = real_load_table
+                streaming_batch._userid_events = real_userid_events
                 if prior is None:
                     spark.conf.unset(ORDERING_CONF)
                 else:
@@ -165,6 +172,7 @@ def main() -> None:
         for tag in order:
             hook, conf_val = arms[tag]
             streaming_batch.load_table = hook
+            streaming_batch._userid_events = lambda s, d: hook(s, d, "events")
             prior = spark.conf.get(ORDERING_CONF, None)
             try:
                 if conf_val is not None:
@@ -185,6 +193,7 @@ def main() -> None:
                     spark.catalog.clearCache()
             finally:
                 streaming_batch.load_table = real_load_table
+                streaming_batch._userid_events = real_userid_events
                 if prior is None:
                     spark.conf.unset(ORDERING_CONF)
                 else:
