@@ -99,6 +99,15 @@ def test_asof_rewrite_tied_and_prehistory_edges(spark, tmp_path, monkeypatch):
         if t == "events"
         else real(s, d, t),
     )
+    # r14 adoption: the registered query reads events through
+    # _userid_events — rebind it too, or the rewrite arm reads the REAL
+    # fixture (and bucket-writes the synthetic rows under the real
+    # sf_dir's fingerprint key) while the naive arm reads the synthetic
+    monkeypatch.setattr(
+        streaming_batch,
+        "_userid_events",
+        lambda s, d: streaming_batch.load_table(s, d, "events"),
+    )
     naive = ab.psa_naive(spark, SF)
     rewrite = query_map()["purchase_state_attribution"](spark, SF)
     ok, why = ab._compare_frames(co, naive, rewrite)
