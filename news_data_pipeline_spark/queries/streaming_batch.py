@@ -260,6 +260,100 @@ def event_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_events_layer(
+    spark: SparkSession, sf_dir: str, *, num_files: int = 8
+) -> str:
+    """Write events range-clustered on the (ts, value) Morton key into
+    a fresh scratch dir and return its path — the layout half of
+    ``zorder_rectangle_scan``, split out so tests can census the SAME
+    layer's parquet footers the registered query scans. Quantization
+    bounds are fixed constants over the fixture's [2024-01-01,
+    2024-02-01) x [0, 600) envelope — they shape only the layout,
+    never any result (out-of-range rows clamp to the edge buckets and
+    merely prune worse)."""
+    import tempfile
+
+    from news_data_pipeline_spark.functions.zorder import (
+        morton_key,
+        quantize,
+    )
+    from news_data_pipeline_spark.sources.writers import write_clustered
+
+    events = load_table(spark, sf_dir, "events")
+    zk = morton_key(
+        quantize(
+            F.col("ts").cast("timestamp").cast("long"),
+            lo=1704067200.0,  # 2024-01-01 00:00:00 UTC
+            hi=1706745600.0,  # 2024-02-01 00:00:00 UTC
+        ),
+        quantize(F.col("value"), lo=0.0, hi=600.0),
+    )
+    path = tempfile.mkdtemp(prefix="zorder_layer_q_")
+    write_clustered(
+        events.withColumn("__zk", zk), path, cluster_by="__zk",
+        num_files=num_files,
+    )
+    return path
+
+
+@register(
+    "zorder_rectangle_scan",
+    # IDENTICAL result contract to a plain filtered aggregate: the
+    # Spark side routes events through a morton-clustered layer on
+    # disk and a footer-stat-bounded read; the oracle proves the
+    # storage round-trip changes nothing about the answer (clustering
+    # is value-invisible). The PRUNING property is pinned separately
+    # and mechanically in tests/test_sources.py (pyarrow row-group
+    # stats: the rectangle overlaps a bounded minority of row groups
+    # in the z-ordered layout vs ALL value-dim groups in a
+    # time-ordered one), not by local wall-clock — at fixture volume
+    # every byte is page-cached and task scheduling dominates, so
+    # bytes-not-read is invisible to timing here and decisive at
+    # 100 TB (SCALE.md round 14, "Clustered-scan lever").
+    oracle=f"""
+    SELECT event_type,
+           count(*)                 AS n_events,
+           {sql_exact_sum('value')} AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+      AND value >= 100 AND value < 250
+    GROUP BY event_type
+    """,
+)
+def zorder_rectangle_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D data skipping under the correctness gate: events are WRITTEN
+    range-clustered on ``morton_key(quantize(ts), quantize(value))``
+    (``write_clustered`` — one interleaved sort at write time, the
+    plain-parquet expression of Delta/Iceberg ``ZORDER BY``), then a
+    time-slice x value-band rectangle is read BACK off that layout and
+    aggregated. Because the morton order bounds every file/row group to
+    a small rectangle of the (ts, value) key space, the re-read's
+    footer stats prune most of the layer on BOTH dimensions — where a
+    time-ordered ingest layout can prune only time (r14 census at 16M
+    rows / 64 row groups: natural 64/64 groups overlap the value band;
+    z-ordered 9/64 — ``tools/ab_zorder_scan.py``). At 100 TB this is
+    the read-amplification fix for selective scans the repeat-join
+    bucketing family cannot address: the win is bytes never read, so
+    it GROWS with corpus size while costing one write-side sort.
+    Quantization bounds are fixed constants (they shape only the
+    layout, never the result); the filter runs on the original
+    columns, so the oracle is plain SQL over the raw table."""
+    path = _zorder_events_layer(spark, sf_dir)
+    lo_ts = F.lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    hi_ts = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    pruned = spark.read.parquet(path).where(
+        (F.col("ts") >= lo_ts)
+        & (F.col("ts") < hi_ts)
+        & (F.col("value") >= 100.0)
+        & (F.col("value") < 250.0)
+    )
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("total_value"),
+    )
+
+
 @register(
     "approx_value_percentiles",
     oracle="""

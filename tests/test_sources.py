@@ -1114,3 +1114,94 @@ def test_bucketed_artifact_db_concurrent_miss_single_build(spark, tmp_path):
     assert (
         sum(1 for k in rel._ORDERKEY_DBS if k[0] == sf_dir) == 1
     )
+
+
+def test_zorder_rectangle_scan_layer_prunes_value_dimension(spark):
+    """The registered ``zorder_rectangle_scan`` claims its layer bounds
+    the rectangle scan on BOTH dimensions where time-ordered ingest
+    cannot prune value at all. Pin that mechanically on the SAME layer
+    the query scans (``_zorder_events_layer``): census the parquet
+    row-group footer stats against the query's exact rectangle and
+    require (a) the value band misses at least one row group — the
+    natural-layout control overlaps ALL of them — and (b) the two-dim
+    intersection prunes strictly harder than nothing. Wall-clock is
+    deliberately NOT asserted: at fixture volume every byte is
+    page-cached and scheduling dominates (SCALE.md round 14)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.queries.streaming_batch import (
+        _zorder_events_layer,
+    )
+    from news_data_pipeline_spark.sources.catalog import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    lo_ts, hi_ts = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 16)
+
+    def census(path):
+        ov_val = ov_both = tot = 0
+        for fn in sorted(os.listdir(path)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fn)).metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                tot += 1
+                st_ts = md.row_group(g).column(idx["ts"]).statistics
+                st_v = md.row_group(g).column(idx["value"]).statistics
+                ts_hit = st_ts is None or not (
+                    st_ts.max < lo_ts or st_ts.min > hi_ts
+                )
+                v_hit = st_v is None or not (
+                    st_v.max < 100.0 or st_v.min > 250.0
+                )
+                ov_val += v_hit
+                ov_both += ts_hit and v_hit
+        return ov_val, ov_both, tot
+
+    zpath = _zorder_events_layer(spark, sf_dir)
+    zv, zboth, ztot = census(zpath)
+
+    # natural-ingest control: event_id order (ts ascends with it)
+    npath = tempfile.mkdtemp(prefix="zorder_natural_t_")
+    load_table(spark, sf_dir, "events").repartitionByRange(
+        8, "event_id"
+    ).write.mode("overwrite").parquet(npath)
+    nv, nboth, ntot = census(npath)
+
+    assert ztot >= 4 and ntot >= 4
+    # time-ordered ingest cannot prune the value dimension...
+    assert nv == ntot
+    # ...the morton layer must (strictly), and the 2-D intersection
+    # must beat an unpruned scan
+    assert zv < ztot
+    assert zboth < ztot
+    # and the round-trip changes no answers: same rectangle rows
+    z_rows = (
+        spark.read.parquet(zpath)
+        .where(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+            & (F.col("value") >= 100.0)
+            & (F.col("value") < 250.0)
+        )
+        .count()
+    )
+    n_rows = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"))
+            & (F.col("value") >= 100.0)
+            & (F.col("value") < 250.0)
+        )
+        .count()
+    )
+    assert z_rows == n_rows > 0
