@@ -761,15 +761,31 @@ def priority_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation covers every set map-side, same as rollup."""
     # native groupingSets API — a temp view would mutate shared session
     # state (concurrent invocations with different sf_dir would race)
-    return (
-        load_table(spark, sf_dir, "orders")
-        .groupingSets(
-            [["o_orderpriority"], ["o_orderstatus"], []],
-            "o_orderpriority",
-            "o_orderstatus",
+    orders = load_table(spark, sf_dir, "orders")
+    sets = orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    # ANSI empty-input edge (r14 degenerate sweep, tools/check_oracle
+    # over a zero-row fixture): the () grouping set is a global
+    # aggregate and must emit its row even over zero input rows —
+    # DuckDB/PostgreSQL do, Spark's groupingSets/rollup/cube emit
+    # nothing. The correction term is a global count FILTERED to
+    # n == 0: on any non-empty input it contributes no rows (so the
+    # one-pass plan above stays the whole answer), on empty input it
+    # contributes the single (NULL, NULL, 0) row ANSI requires. The
+    # count-only scan prunes every column.
+    empty_fix = (
+        orders.agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") == 0)
+        .select(
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "n_orders",
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    return sets.unionByName(empty_fix)
 
 
 @register(
