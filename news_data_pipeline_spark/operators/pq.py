@@ -39,6 +39,16 @@ from news_data_pipeline_spark.operators.fanout import fan_out
 from news_data_pipeline_spark.operators.similarity import _as_double
 
 
+def _vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v): the row-local paths' input projection — same null
+    filter and fan-out as ``_components`` without the explode."""
+    return fan_out(
+        df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        )
+    )
+
+
 def _components(df: DataFrame, id_col: str, vec_col: str, sub_dim: int) -> DataFrame:
     """(id, sub, j, x): positionally exploded vectors, subspace-keyed.
 
@@ -61,6 +71,153 @@ def _components(df: DataFrame, id_col: str, vec_col: str, sub_dim: int) -> DataF
             F.floor(F.col("p") / sub_dim).cast("int").alias("sub"),
             (F.col("p") % sub_dim + 1).alias("j"),
             "x",
+        )
+    )
+
+
+def _codebook_struct(codebook_rows: DataFrame) -> DataFrame:
+    """One-row frame carrying the whole (bounded, k*m*sub_dim scalar)
+    codebook as an array of (sub, cid, vals, c2) structs — the
+    broadcastable form the row-local encode/LUT paths fold over.
+
+    ``vals`` is the subspace centroid ordered by ``j`` (codebooks are
+    built from positional explodes, so the j domain per (sub, cid) is a
+    contiguous 1..len prefix — positional zips align with ``slice``
+    output by construction); ``c2`` is the exact settled
+    ``sum(value^2)`` the aggregate form computed, term-for-term. The
+    size guard keeps an empty codebook emitting zero rows, exactly as
+    the join form did."""
+    per_cell = codebook_rows.groupBy("sub", "cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "value"))),
+            lambda s: s["value"],
+        ).alias("vals"),
+        (
+            F.sum(settled_units(F.col("value") * F.col("value"), 12)) / 1e12
+        ).alias("c2"),
+    )
+    return per_cell.agg(
+        F.collect_list(F.struct("sub", "cid", "vals", "c2")).alias("__cb")
+    ).where(F.size("__cb") > 0)
+
+
+def _settled_dot(sv, vals) -> "F.Column":
+    """Row-local twin of the exploded-join dot: per-term 12dp settled
+    BIGINT units summed exactly (order-free), NULL when every term is
+    NULL — bit-for-bit the SUM semantics the groupBy form had (null
+    terms skipped, all-null group sums to NULL). One fold, the
+    (units, n_nonnull) pair carried in the accumulator so nothing is
+    evaluated twice."""
+    return F.aggregate(
+        F.zip_with(sv, vals, lambda x, y: settled_units(x * y, 12)),
+        F.struct(
+            F.lit(0).cast("long").alias("u"), F.lit(0).alias("k")
+        ),
+        lambda a, t: F.struct(
+            (a["u"] + F.coalesce(t, F.lit(0).cast("long"))).alias("u"),
+            (a["k"] + F.when(t.isNotNull(), 1).otherwise(0)).alias("k"),
+        ),
+        lambda a: F.when(a["k"] > 0, a["u"] / F.lit(1e12)),
+    )
+
+
+def _settled_sqdist(sv, vals) -> "F.Column":
+    """Row-local twin of the exploded-join ``||q_sub - c||^2``: settled
+    squared-difference units summed exactly, NULL when all terms are
+    NULL (same SUM semantics as ``_settled_dot``)."""
+    return F.aggregate(
+        F.zip_with(
+            sv, vals, lambda x, y: settled_units((x - y) * (x - y), 12)
+        ),
+        F.struct(
+            F.lit(0).cast("long").alias("u"), F.lit(0).alias("k")
+        ),
+        lambda a, t: F.struct(
+            (a["u"] + F.coalesce(t, F.lit(0).cast("long"))).alias("u"),
+            (a["k"] + F.when(t.isNotNull(), 1).otherwise(0)).alias("k"),
+        ),
+        lambda a: F.when(a["k"] > 0, a["u"] / F.lit(1e12)),
+    )
+
+
+def _codes_array(sub_dim: int) -> "F.Column":
+    """array<struct<sub int, code int>> of per-subspace argmin codes for
+    the vector column ``v`` against the one-row codebook array ``__cb``
+    — the ROW-LOCAL assignment (zero shuffle, zero sort; the join form
+    paid two exchanges and a sort-aggregate per pass, see
+    ``_assign_codes``). Semantics are pinned to the exploded form:
+
+    - a (sub) emits a code iff the vector has >= 1 component in that
+      subspace AND the codebook has entries for it (the inner join's
+      group-existence rule) — absent subs are filtered, not NULLed;
+    - distance = ``settled_round(-2*dot + c2, 6)`` over the identical
+      settled-unit terms, so every value compared is bit-identical;
+    - argmin tie-break is (dist asc, cid asc) via lexicographic struct
+      ``array_min``; an all-NULL subspace distance coalesces to -inf
+      for every candidate, so the tie-break degrades to min cid —
+      exactly where the sort-aggregate's null-first min landed."""
+    v = F.col("v")
+
+    def best_code(sub):
+        sv = F.slice(v, sub * sub_dim + 1, sub_dim)
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("__cb"), lambda e: e["sub"] == sub),
+                lambda e: F.struct(
+                    F.coalesce(
+                        settled_round(
+                            -2 * _settled_dot(sv, e["vals"]) + e["c2"], 6
+                        ),
+                        F.lit(float("-inf")),
+                    ).alias("d"),
+                    e["cid"].alias("cid"),
+                ),
+            )
+        )["cid"]
+
+    nsubs = (
+        F.floor((F.size(v) - F.lit(1)) / F.lit(sub_dim)).cast("int")
+        + F.lit(1)
+    )
+    subs = F.when(
+        F.size(v) > 0, F.sequence(F.lit(0), nsubs - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.filter(
+        F.transform(
+            subs,
+            lambda sub: F.struct(
+                sub.cast("int").alias("sub"), best_code(sub).alias("code")
+            ),
+        ),
+        lambda s: s["code"].isNotNull(),
+    )
+
+
+def _encode_rowlocal(
+    vecs: DataFrame,
+    codebook_rows: DataFrame,
+    sub_dim: int,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, sub, code[, *passthrough]) from an (id, v[, ...]) frame —
+    encode as a pure map over the broadcast one-row codebook, the shape
+    a 100-TB ingest pays: no exchange touches the corpus (the explode
+    of the per-row codes array is narrow). ``passthrough`` columns ride
+    along, which lets residual encodes keep their cell id without the
+    corpus-sized self-join the stored-cid layout otherwise needed."""
+    cb1 = _codebook_struct(codebook_rows)
+    return (
+        vecs.join(F.broadcast(cb1), how="cross")
+        .select(
+            "id",
+            F.explode(_codes_array(sub_dim)).alias("__sc"),
+            *passthrough,
+        )
+        .select(
+            "id",
+            F.col("__sc.sub").alias("sub"),
+            F.col("__sc.code").alias("code"),
+            *passthrough,
         )
     )
 
@@ -131,8 +288,93 @@ def pq_train(
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    comp = _components(df, id_col, vec_col, sub_dim)
-    return _train_on_components(comp, m=m, k=k, iters=iters)
+    return _train_on_vectors(
+        _vecs(df, id_col, vec_col), k=k, sub_dim=sub_dim, iters=iters
+    )
+
+
+def _train_on_vectors(
+    vecs: DataFrame, *, k: int, sub_dim: int, iters: int
+) -> DataFrame:
+    """``pq_train`` over the un-exploded (id, v) frame — the r14
+    row-local shape. Per Lloyd iteration the corpus pays ONE exchange
+    (the bounded (sub, cid, j) means aggregate) instead of the exploded
+    form's assignment aggregates plus a corpus-sized comp-x-assigned
+    equi-join: codes are computed row-locally (``_codes_array``) and
+    the components explode carries its own code, so the mean's input is
+    a single narrow pass. Arithmetic is term-identical (settled units
+    everywhere), so the trained codebook is bit-equal to the exploded
+    form's — ``tests/test_pq.py`` pins convergence and determinism.
+    """
+    spark = vecs.sparkSession
+    # seed: first k vectors' subvectors, same deterministic convention
+    cb = (
+        vecs.where(F.col("id") < k)
+        .select("id", F.posexplode("v").alias("p", "x"))
+        .select(
+            F.floor(F.col("p") / sub_dim).cast("int").alias("sub"),
+            F.col("id").cast("int").alias("cid"),
+            (F.col("p") % sub_dim + 1).alias("j"),
+            F.col("x").alias("value"),
+        )
+    )
+    schema = "sub int, cid int, j int, value double"
+    for _ in range(iters):
+        cb1 = _codebook_struct(cb)
+        # one narrow pass: explode components WITH the row-local code
+        # attached (the exploded form joined comp x assigned on
+        # (id, sub) — a corpus-sized shuffle both sides)
+        coded = (
+            vecs.join(F.broadcast(cb1), how="cross")
+            .select("v", _codes_array(sub_dim).alias("__codes"))
+            .select(F.posexplode("v").alias("p", "x"), "__codes")
+            .select(
+                F.floor(F.col("p") / sub_dim).cast("int").alias("sub"),
+                (F.col("p") % sub_dim + 1).alias("j"),
+                "x",
+                "__codes",
+            )
+            .withColumn(
+                "cid",
+                F.element_at(
+                    F.filter(
+                        F.col("__codes"),
+                        lambda s: s["sub"] == F.col("sub"),
+                    ),
+                    1,
+                )["code"],
+            )
+            .where(F.col("cid").isNotNull())
+        )
+        means = coded.groupBy("sub", "cid", "j").agg(
+            # order-free mean: 10dp settled components, exact sum —
+            # count includes null-component rows exactly like the
+            # joined form's COUNT(1) did
+            settled_round(
+                F.sum(settled_units(F.col("x"), 10))
+                / 1e10
+                / F.count(F.lit(1)),
+                6,
+            ).alias("value")
+        )
+        # empty cells keep their previous centroid; one bounded collect
+        # per iteration (k*m*sub_dim rows — the module's driver-side
+        # contract), same as the exploded form
+        cb = (
+            cb.withColumnRenamed("value", "__prev")
+            .join(means, on=["sub", "cid", "j"], how="left")
+            .select(
+                "sub",
+                "cid",
+                "j",
+                F.coalesce(F.col("value"), F.col("__prev")).alias("value"),
+            )
+        )
+        rows = [
+            (r["sub"], r["cid"], r["j"], r["value"]) for r in cb.collect()
+        ]
+        cb = spark.createDataFrame(rows, schema)
+    return cb
 
 
 def _train_on_components(
@@ -207,9 +449,14 @@ def pq_encode(
     """(id, sub, code): every vector as its per-subspace code — the
     compressed representation an index stores (pivot to an array or
     pack to bytes at the storage boundary; scalar rows keep the engine
-    join-friendly and the oracle canonicalizable)."""
-    comp = _components(df, id_col, vec_col, sub_dim)
-    return _assign_codes(comp, codebooks)
+    join-friendly and the oracle canonicalizable).
+
+    Physical shape (r14): a pure row-local map over the broadcast
+    one-row codebook (``_codes_array``) — encode pays ZERO exchanges
+    (the old exploded-join form paid two aggregates and a sort per
+    pass). At 100 TB this is the property that matters: encoding is
+    embarrassingly parallel over the ingest scan."""
+    return _encode_rowlocal(_vecs(df, id_col, vec_col), codebooks, sub_dim)
 
 
 def _adc_lut(
@@ -224,32 +471,37 @@ def _adc_lut(
     per query, broadcastable by construction. Shared by the full-scan
     ADC baseline and the IVF-pruned composition so both score candidates
     with bit-identical tables."""
-    qcomp = _components(queries, id_col, vec_col, sub_dim).withColumnRenamed(
-        "id", "query_id"
+    v = F.col("v")
+    entries = F.filter(
+        F.col("__cb"), lambda e: e["sub"] * sub_dim < F.size(v)
     )
-    cb = codebooks.select("sub", "cid", "j", "value")
-    # ||q_sub - c||^2 = sum_j (q_j - c_j)^2, settled to 1e-6 units
+    lut_arr = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["sub"].alias("sub"),
+            e["cid"].alias("code"),
+            settled_units(
+                _settled_sqdist(
+                    F.slice(v, e["sub"] * sub_dim + 1, sub_dim), e["vals"]
+                ),
+                6,
+            ).alias("__u"),
+        ),
+    )
+    # row-local twin of the exploded groupBy: one entry per codebook
+    # (sub, cid) whose subspace the query has components for (the inner
+    # join's group-existence rule), __u NULL when the subspace is
+    # all-NULL — identical rows, zero shuffles
     return (
-        qcomp.join(F.broadcast(cb), on=["sub", "j"])
-        .groupBy("query_id", "sub", "cid")
-        .agg(
-            # order-free: settled squared-difference terms, exact sum
-            (
-                F.sum(
-                    settled_units(
-                        (F.col("x") - F.col("value"))
-                        * (F.col("x") - F.col("value")),
-                        12,
-                    )
-                )
-                / 1e12
-            ).alias("__d")
-        )
+        _vecs(queries, id_col, vec_col)
+        .withColumnRenamed("id", "query_id")
+        .join(F.broadcast(_codebook_struct(codebooks)), how="cross")
+        .select("query_id", F.explode(lut_arr).alias("__e"))
         .select(
             "query_id",
-            "sub",
-            F.col("cid").alias("code"),
-            settled_units(F.col("__d"), 6).alias("__u"),
+            F.col("__e.sub").alias("sub"),
+            F.col("__e.code").alias("code"),
+            F.col("__e.__u").alias("__u"),
         )
     )
 
@@ -550,14 +802,17 @@ def pq_residual_encode(
     mergeable under continuous ingestion
     (``streaming.sinks.maintain_pq_codes``)."""
     res = pq_residuals(df, centroids, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(
-        res, codebooks, id_col="id", vec_col="rvec", sub_dim=sub_dim
-    )
-    # cell id stored WITH the code (each id has exactly one cell); on
-    # a real index this join happens once at ingest
-    return codes.join(
-        res.select(F.col("id").alias("__rid"), "cid"),
-        codes.id == F.col("__rid"),
+    # cell id stored WITH the code: the row-local encode carries it as
+    # a passthrough column — the old form re-joined codes to the
+    # residual frame on id, a corpus-sized shuffle both sides for a
+    # value already sitting on the row
+    return _encode_rowlocal(
+        res.where(F.col("rvec").isNotNull()).select(
+            "id", F.col("rvec").alias("v"), "cid"
+        ),
+        codebooks,
+        sub_dim,
+        passthrough=("cid",),
     ).select("id", "sub", "code", "cid")
 
 
@@ -661,6 +916,13 @@ def pq_ivf_residual_topk(
             else _train_on_components(rcomp, m=m, k=kcodes, iters=iters)
         )
         codes = _assign_codes(rcomp, cb)
+        # cell id stored WITH the code (each id has exactly one cell);
+        # on a real index this join happens once at ingest — the
+        # standalone form is pq_residual_encode above
+        codes_cid = codes.join(
+            res.select(F.col("id").alias("__rid"), "cid"),
+            codes.id == F.col("__rid"),
+        ).select("id", "sub", "code", "cid")
     else:
         # codebooks injectable for the production shape (train once at
         # index build, serve every query from the frozen artifact —
@@ -674,16 +936,17 @@ def pq_ivf_residual_topk(
                 sub_dim=sub_dim, iters=iters,
             )
         )
-        codes = pq_encode(
-            res, cb, id_col="id", vec_col="rvec", sub_dim=sub_dim
-        )
-    # cell id stored WITH the code (each id has exactly one cell); on
-    # a real index this join happens once at ingest — the standalone
-    # form is pq_residual_encode above
-    codes_cid = codes.join(
-        res.select(F.col("id").alias("__rid"), "cid"),
-        codes.id == F.col("__rid"),
-    ).select("id", "sub", "code", "cid")
+        # row-local encode with the cell id as a passthrough column —
+        # no corpus-sized codes-x-residuals join (r14; the same shape
+        # as pq_residual_encode)
+        codes_cid = _encode_rowlocal(
+            res.where(F.col("rvec").isNotNull()).select(
+                "id", F.col("rvec").alias("v"), "cid"
+            ),
+            cb,
+            sub_dim,
+            passthrough=("cid",),
+        ).select("id", "sub", "code", "cid")
 
     query_cells = _assign_cells(
         queries, centroids, id_col, vec_col, "query_id", nprobe
@@ -692,50 +955,36 @@ def pq_ivf_residual_topk(
         "query_id", "cid", residual
     )
     # per-(query, cell) LUT: same settled ||r_sub - c||^2 table as
-    # _adc_lut with the cell id carried through every key
-    qcomp = (
-        fan_out(qres)
-        .select(
-            "query_id",
-            "cid",
-            F.posexplode(F.col("rvec")).alias("__p", "x"),
-        )
-        .select(
-            "query_id",
-            "cid",
-            (F.floor(F.col("__p") / F.lit(sub_dim))).cast("int").alias("sub"),
-            (F.col("__p") % sub_dim + 1).alias("j"),
-            "x",
-        )
+    # _adc_lut with the cell id carried through every key — row-local
+    # over the (query, probed-cell) residual rows (r14), zero shuffles
+    rv = F.col("rvec")
+    entries = F.filter(
+        F.col("__cb"), lambda e: e["sub"] * sub_dim < F.size(rv)
+    )
+    lut_arr = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["sub"].alias("sub"),
+            e["cid"].alias("code"),
+            settled_units(
+                _settled_sqdist(
+                    F.slice(rv, e["sub"] * sub_dim + 1, sub_dim),
+                    e["vals"],
+                ),
+                6,
+            ).alias("__u"),
+        ),
     )
     lut = (
-        qcomp.join(
-            F.broadcast(
-                cb.select(
-                    "sub", F.col("cid").alias("__code"), "j", "value"
-                )
-            ),
-            on=["sub", "j"],
-        )
-        .groupBy("query_id", "cid", "sub", "__code")
-        .agg(
-            (
-                F.sum(
-                    settled_units(
-                        (F.col("x") - F.col("value"))
-                        * (F.col("x") - F.col("value")),
-                        12,
-                    )
-                )
-                / 1e12
-            ).alias("__d")
-        )
+        qres.where(rv.isNotNull())
+        .join(F.broadcast(_codebook_struct(cb)), how="cross")
+        .select("query_id", "cid", F.explode(lut_arr).alias("__e"))
         .select(
             "query_id",
             "cid",
-            "sub",
-            F.col("__code").alias("code"),
-            settled_units(F.col("__d"), 6).alias("__u"),
+            F.col("__e.sub").alias("sub"),
+            F.col("__e.code").alias("code"),
+            F.col("__e.__u").alias("__u"),
         )
     )
     scored = (

@@ -512,10 +512,54 @@ def _assign_cells(
     k-means training, and semantic dedup: broadcast the (cid, c_vec, c2)
     centroid frame, rank by 6dp-rounded -2*dot(v,c) + ||c||^2 with
     centroid-id tie-break — ONE assignment rule, so trained cells,
-    probed cells, and dedup cells can never disagree."""
-    scored = fan_out(
+    probed cells, and dedup cells can never disagree.
+
+    Physical shape (r14): for ``n_cells == 1`` — every corpus-sized
+    assignment in the family — the argmin is ROW-LOCAL: the bounded
+    centroid frame collapses to a one-row array via ``collect_list``
+    (nlist structs, broadcast), and each vector picks its cell with an
+    ``array_min`` over per-centroid (dist, cid) structs. Zero shuffle,
+    zero sort — the window form shuffled the 16x-fanned-out vector
+    payload and sorted it per id just to keep row 1 (guide §2.4: the
+    assignment is algebraically a map). Ordering is identical: struct
+    comparison is lexicographic (dist asc, cid asc), a NULL distance
+    (null vector/centroid) coalesces to -inf exactly where the window's
+    ``asc_nulls_first`` put it, and NaN sorts greatest in both forms.
+    ``n_cells > 1`` (query-side probing — bounded rows by construction)
+    keeps the window form, which a handful of query rows never feels.
+    """
+    base = fan_out(
         df.select(F.col(id_col).alias(out_id), _as_double(vec_col).alias("v"))
-    ).join(F.broadcast(centroids), how="cross")
+    )
+    if n_cells == 1:
+        # one row carrying the whole (bounded) centroid frame; the
+        # size guard keeps the empty-centroids case emitting zero rows
+        # exactly like the cross join did
+        cents = (
+            centroids.agg(
+                F.collect_list(F.struct("cid", "c_vec", "c2")).alias(
+                    "__cents"
+                )
+            ).where(F.size("__cents") > 0)
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    F.coalesce(
+                        F.round(
+                            -2 * dot(F.col("v"), c["c_vec"]) + c["c2"], 6
+                        ),
+                        F.lit(float("-inf")),
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return base.join(F.broadcast(cents), how="cross").select(
+            out_id, best["cid"].alias("cid"), "v"
+        )
+    scored = base.join(F.broadcast(centroids), how="cross")
     w = Window.partitionBy(out_id).orderBy(
         F.round(-2 * dot(F.col("v"), F.col("c_vec")) + F.col("c2"), 6),
         F.asc("cid"),
