@@ -103,10 +103,21 @@ def word_shingles(
         # out-of-bounds — no ANSI error, unlike element_at).
         lambda i: F.concat_ws(" ", *[F.get(words, i + k) for k in range(n)]),
     )
-    out = with_words.select("id", F.explode(grams).alias("shingle")).where(
-        F.length("shingle") > 0
-    )
-    return out.distinct() if distinct else out
+    # distinct=True: per-document shingle dedup is ROW-LOCAL by
+    # construction — every duplicate of an (id, shingle) pair lives in
+    # the id's own grams array, so ``array_distinct`` BEFORE the
+    # explode yields exactly ``out.distinct()``'s row set with zero
+    # shuffle (guide §2.4: a distinct on data that is already unique
+    # across rows). The old ``.distinct()`` shuffled the full exploded
+    # shingle table — measured 0.65 s of ngram_jaccard_pairs' 2.9 s at
+    # sf0.1, and at corpus scale a full extra exchange of the explode.
+    out = with_words.select(
+        "id",
+        F.explode(F.array_distinct(grams) if distinct else grams).alias(
+            "shingle"
+        ),
+    ).where(F.length("shingle") > 0)
+    return out
 
 
 def minhash_signatures(
