@@ -2499,11 +2499,19 @@ def token_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the unbounded all-terms version would be quadratic in
     vocabulary. Top-50 output plans as TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
+    # per-doc distinct is row-local: duplicates of (id, term) only ever
+    # live inside one document's split array, so array_distinct before
+    # the explode IS the .distinct() — minus its corpus-wide shuffle
+    # (the word_shingles r14 rewrite, same argument)
     toks = (
         fan_out(docs.select(F.col("doc_id").alias("id"), "text"))
-        .select("id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(F.split(F.trim("text"), r"\s+"))
+            ).alias("term"),
+        )
         .where(F.length("term") > 0)
-        .distinct()
     )
     # A/B-measured against collecting the vocabulary to a literal
     # IN-list (sf0.1: broadcast join 1.7 s vs isin 2.6-3.2 s — the
