@@ -94,30 +94,41 @@ def bm25_rank(
     to 4dp BEFORE ranking (reproducible ordering), ties break on id.
     """
     from news_data_pipeline_spark.operators.dedup import word_shingles
+    from news_data_pipeline_spark.operators.fanout import fan_out
 
     # Filter to the query terms BEFORE the (id, term) aggregation
-    # (guide §2.3 — shuffle fewer bytes): document length is the plain
-    # token count per doc (dl == sum of tf by definition), so the full
-    # corpus-wide (id, term) shuffle the old ``term_frequencies`` call
-    # paid carried every distinct (id, term) partial only to discard
-    # all but the query terms'. Identical values: dl, avgdl, N, df and
-    # every tf of a query term are unchanged; docs with no tokens never
-    # had a dl row before either. Local wall-clock is flat under host
-    # noise (rotated medians 2.2-2.3 s both arms at sf0.1) — the win is
-    # the shuffled-bytes term: the (id) partial count replaces the
-    # (id, term)-keyed corpus aggregate, and only query-term rows reach
-    # the (id, term) shuffle.
-    tokens = word_shingles(
-        df, id_col, text_col, n=1, distinct=False
-    ).withColumnRenamed("shingle", "term")
-    doclen = tokens.groupBy("id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl")
+    # (guide §2.3 — shuffle fewer bytes): the full corpus-wide
+    # (id, term) shuffle the old ``term_frequencies`` call paid carried
+    # every distinct (id, term) partial only to discard all but the
+    # query terms'. Document length needs NO aggregation at all — it is
+    # the per-row token count, computed row-locally as the size of the
+    # non-empty-token split array (dl == sum of tf by definition; the
+    # `> 0` filter keeps exactly the docs that had a doclen row before:
+    # empty/whitespace/null texts produce 0/NULL and are excluded, as
+    # docs with zero token rows were). Identical values: dl, avgdl, N,
+    # df and every tf of a query term are unchanged.
+    doclen = (
+        fan_out(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        )
+        .select(
+            "id",
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col("__t")), r"\s+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).cast("long").alias("dl"),
+        )
+        .where(F.col("dl") > 0)
     )
     stats = doclen.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
     qtf = (
-        tokens.where(F.col("term").isin(list(query_terms)))
+        word_shingles(df, id_col, text_col, n=1, distinct=False)
+        .withColumnRenamed("shingle", "term")
+        .where(F.col("term").isin(list(query_terms)))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
