@@ -735,9 +735,9 @@ def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         _evict_stale(_PQ_CODEBOOK_ROWS, sf_dir)
         _PQ_CODEBOOK_ROWS[key] = rows
-    return spark.createDataFrame(
-        rows, "sub int, cid int, j int, value double"
-    )
+    from news_data_pipeline_spark.operators.pq import _local_codebook
+
+    return _local_codebook(spark, rows)
 
 
 @register(
@@ -1021,7 +1021,17 @@ def pq_partitioned_cell_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _assign_cells(emb, cent2, "vec_id", "embedding", "id", 1).select(
         "id", "cid"
     )
-    codes = pq_encode(emb, cb, sub_dim=16).join(cells, on="id")
+    # rebalance BY CID before the partitioned write (guide §6): the
+    # row-local encode is narrow, so each of the fan-out's partitions
+    # would otherwise write its own file into every cid directory —
+    # up to partitions x nlist tiny files whose open cost the pruned
+    # probe pays. Clustering by the partition column writes one
+    # well-sized file per cell at any scale.
+    codes = (
+        pq_encode(emb, cb, sub_dim=16)
+        .join(cells, on="id")
+        .hint("rebalance", "cid")
+    )
     root = tempfile.mkdtemp(prefix="pq_cells_q_")
     path = os.path.join(root, "codes")
     write_layer(codes, path, partition_by="cid", mode="overwrite")
@@ -1690,11 +1700,11 @@ def _pqr_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
         _evict_stale(_PQR_ARTIFACTS, sf_dir)
         _PQR_ARTIFACTS[key] = art
     cent_rows, cb_rows = art
+    from news_data_pipeline_spark.operators.pq import _local_codebook
+
     return (
         spark.createDataFrame(cent_rows, "cid bigint, c_vec array<double>"),
-        spark.createDataFrame(
-            cb_rows, "sub int, cid int, j int, value double"
-        ),
+        _local_codebook(spark, cb_rows),
     )
 
 

@@ -3952,9 +3952,17 @@ def _build_xmodal_artifacts(spark: SparkSession, docs: DataFrame):
         "id",
         1,
     ).select("id", "cid")
+    # REBALANCE before the artifact write (guide §6 output sizing): the
+    # row-local encode is narrow, so without it the codes shard
+    # inherits the fan-out's partition count — 32 tiny files whose
+    # per-file open cost the PROBE side then pays on every query (the
+    # old aggregate-shaped encode was AQE-coalesced to 1 file as a side
+    # effect; measured on crossmodal_topk_frozen: 2.54 -> 3.14 s from
+    # the 32-file layout alone). The hint coalesces to
+    # advisoryPartitionSizeInBytes-sized outputs at any scale.
     pq_encode(corpus, cb, id_col="id", sub_dim=4).join(
         cells, on="id"
-    ).write.parquet(os.path.join(root, "codes"))
+    ).hint("rebalance").write.parquet(os.path.join(root, "codes"))
     return (root, cb_rows, cent_rows)
 
 
@@ -4021,10 +4029,12 @@ def _crossmodal_frozen_index(spark: SparkSession, sf_dir: str):
         )
     import os
 
+    from news_data_pipeline_spark.operators.pq import _local_codebook
+
     return (
         spark.read.schema(emb_schema).parquet(os.path.join(root, "vectors")),
         spark.createDataFrame(cent_rows, cent_schema),
-        spark.createDataFrame(cb_rows, cb_schema),
+        _local_codebook(spark, cb_rows, cb_schema),
         spark.read.schema(codes_schema).parquet(os.path.join(root, "codes")),
     )
 

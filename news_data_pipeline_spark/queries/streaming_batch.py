@@ -1931,9 +1931,11 @@ def _spq_frozen_artifacts(spark: SparkSession, emb, sf_dir: str):
         _evict_stale(_SPQ_ARTIFACTS, sf_dir)
         _SPQ_ARTIFACTS[key] = art
     cent_rows, cb_rows = art
+    from news_data_pipeline_spark.operators.pq import _local_codebook
+
     return (
         spark.createDataFrame(cent_rows, "cid bigint, c_vec array<double>"),
-        spark.createDataFrame(cb_rows, "sub int, cid int, j int, value double"),
+        _local_codebook(spark, cb_rows),
     )
 
 

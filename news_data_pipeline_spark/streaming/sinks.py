@@ -1038,6 +1038,11 @@ def maintain_pq_codes(
         if not batch.head(1):
             return
         write_layer(
+            # rebalance before the shard write (guide §6): the r14
+            # row-local encode is narrow, so the shard would otherwise
+            # inherit the batch's input partitioning — tiny files the
+            # merged reader then pays per probe; the hint coalesces to
+            # advisory-sized outputs at any batch size
             pq_residual_encode(
                 batch,
                 centroids,
@@ -1045,7 +1050,7 @@ def maintain_pq_codes(
                 id_col=id_col,
                 vec_col=vec_col,
                 sub_dim=sub_dim,
-            ),
+            ).hint("rebalance"),
             f"{codes_path}/batch_id={batch_id}",
             mode="overwrite",
             fmt=fmt,
