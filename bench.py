@@ -161,6 +161,77 @@ def run_query(fn, spark, sf_dir: str) -> float:
     return elapsed
 
 
+class ShuffleMeter:
+    """Per-query shuffle read/write bytes from the app status store
+    (r15, VERDICT item 2: give the bench a data-bound signal — at
+    sf0.1 wall-clock is scheduler-overhead-bound, so shuffle BYTES are
+    the instrument that can still see a shuffle-elimination win).
+
+    Polls ``AppStatusStore.stageList`` between timed queries — zero
+    work inside the timed region, no listener registration, works with
+    the UI disabled. Deltas are bracketed by stage id (stages created
+    after the last ``mark()``), so store eviction of old stages cannot
+    corrupt them. Metrics land on the status store asynchronously, so
+    a just-finished stage can occasionally be attributed to the next
+    query — an approximation, disclosed here; the medians over three
+    sweeps make it stable in practice. Purely ADDITIVE: timing
+    methodology, tiers and both output lines' existing fields are
+    unchanged; the detail line gains ``queries_shuffle_bytes``.
+    Any py4j failure disables the meter (values become null) rather
+    than touching the bench.
+    """
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._last = -1
+        self._ok = True
+
+    def _stages(self):
+        sc = self._spark.sparkContext
+        jvm = sc._jvm
+        store = sc._jsc.sc().statusStore()
+        seq = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        return [
+            (
+                seq.apply(i).stageId(),
+                seq.apply(i).shuffleWriteBytes(),
+                seq.apply(i).shuffleReadBytes(),
+            )
+            for i in range(seq.size())
+        ]
+
+    def mark(self) -> None:
+        if not self._ok:
+            return
+        try:
+            ids = [sid for sid, _, _ in self._stages()]
+            self._last = max(ids, default=self._last)
+        except Exception:
+            self._ok = False
+
+    def delta(self):
+        """[shuffle_write_bytes, shuffle_read_bytes] since mark()."""
+        if not self._ok:
+            return None
+        try:
+            st = self._stages()
+            wr = sum(w for sid, w, _ in st if sid > self._last)
+            rd = sum(r for sid, _, r in st if sid > self._last)
+            self._last = max(
+                [sid for sid, _, _ in st], default=self._last
+            )
+            return [wr, rd]
+        except Exception:
+            self._ok = False
+            return None
+
+
 def main() -> None:
     sf_dir = (
         sys.argv[1]
@@ -201,10 +272,17 @@ def main() -> None:
         run_query(qmap[name], spark, sf_dir)
 
     # Three timed full-suite sweeps; per-query median (see docstring).
+    # The shuffle meter brackets each timed run with status-store polls
+    # (outside the timed region) — per-query shuffle bytes ship in the
+    # DETAIL line only (r15; compact line unchanged).
+    meter = ShuffleMeter(spark)
     reps: dict[str, list[float]] = {name: [] for name in all_queries}
+    shuf_reps: dict[str, list] = {name: [] for name in all_queries}
     for _ in range(3):
         for name in all_queries:
+            meter.mark()
             reps[name].append(run_query(qmap[name], spark, sf_dir))
+            shuf_reps[name].append(meter.delta())
 
     def median(ts: list[float]) -> float:
         return round(sorted(ts)[1], 3)
@@ -225,9 +303,20 @@ def main() -> None:
         for name in BUILD_COST_QUERIES
     }
 
+    def med_shuffle(ts: list):
+        good = [t for t in ts if t is not None]
+        if not good:
+            return None
+        # median by write bytes (the exchange-produced bytes)
+        return sorted(good)[len(good) // 2]
+
+    shuffle_bytes = {
+        name: med_shuffle(shuf_reps[name]) for name in all_queries
+    }
+
     detail, compact = format_output(
         timings, minmax, tail_timings, tail_minmax, sf,
-        build_timings, build_minmax,
+        build_timings, build_minmax, shuffle_bytes,
     )
     # Full-detail line first (for humans / BENCH_*_local.json), compact
     # summary LAST — the driver's stdout-tail capture must always
@@ -247,6 +336,7 @@ def format_output(
     sf,
     build_timings: dict | None = None,
     build_minmax: dict | None = None,
+    shuffle_bytes: dict | None = None,
 ) -> tuple[str, str]:
     """(detail_line, compact_line) — compact MUST stay small and carry
     the driver-contract fields; pinned by tests/test_functions.py.
@@ -271,6 +361,10 @@ def format_output(
             "build_value": build_total,
             "build_queries": build_timings or {},
             "build_queries_minmax": build_minmax or {},
+            # r15 addition (VERDICT item 2): per-query [shuffle_write,
+            # shuffle_read] bytes (median sweep) — the data-bound
+            # signal sf0.1 wall-clock cannot carry. Detail line only.
+            "queries_shuffle_bytes": shuffle_bytes or {},
             "sf": sf,
         }
     )

@@ -81,6 +81,16 @@ def word_shingles(
     is the one unavoidable row-expansion. ``distinct=False`` skips the
     dedup shuffle for consumers whose aggregate is duplicate-insensitive
     (MinHash: min over a multiset == min over its set).
+
+    PRECONDITION for ``distinct=True`` (ADVICE r14): input ``id_col``
+    values must be UNIQUE — the dedup is row-local (``array_distinct``
+    before the explode), which equals a global ``(id, shingle)``
+    distinct only when every id owns exactly one row. A corpus with a
+    document ingested twice under the same id would emit duplicate
+    (id, shingle) pairs where the pre-r14 global ``.distinct()``
+    collapsed them. Every registered caller reads id-keyed tables;
+    dedupe upstream (``dedup_exact`` / ``dedup_incremental_exact``)
+    before shingling anything re-ingested.
     """
     # Materialize the words array as a column FIRST: referencing the raw
     # split(...) expression inside the transform lambda would re-split

@@ -107,12 +107,28 @@ def _codebook_struct(codebook_rows: DataFrame) -> DataFrame:
 
     rows = getattr(codebook_rows, "_ndps_cb_rows", None)
     if rows is None:
-        rows = [
-            (r["sub"], r["cid"], r["j"], r["value"])
-            for r in codebook_rows.select(
-                "sub", "cid", "j", "value"
-            ).collect()
-        ]
+        # Bounded-codebook contract enforced at the API boundary
+        # (ADVICE r14): a lazy caller-supplied frame is collected ONCE
+        # per frame object (memoized below — pq_ivf_residual_topk
+        # builds encode + LUT off the same frame), and a frame larger
+        # than any real codebook (k*m*sub_dim scalars; 16*4*16 = 1024
+        # at the registered settings) fails loudly instead of OOMing
+        # the driver. limit(cap+1) bounds the transfer itself.
+        collected = codebook_rows.select(
+            "sub", "cid", "j", "value"
+        ).limit(_CODEBOOK_MAX_ROWS + 1).collect()
+        if len(collected) > _CODEBOOK_MAX_ROWS:
+            raise ValueError(
+                "pq codebook frame exceeds the bounded-codebook "
+                f"contract ({_CODEBOOK_MAX_ROWS} scalar rows); "
+                "codebooks are k*m*sub_dim rows by construction — a "
+                "corpus-sized frame is a caller error"
+            )
+        rows = [(r["sub"], r["cid"], r["j"], r["value"]) for r in collected]
+        try:
+            codebook_rows._ndps_cb_rows = rows
+        except Exception:
+            pass
     spark = codebook_rows.sparkSession
     schema = (
         "__cb array<struct<sub:int,cid:int,"
@@ -203,12 +219,16 @@ def _codes_array(sub_dim: int) -> "F.Column":
       for every candidate, so the tie-break degrades to min cid —
       exactly where the sort-aggregate's null-first min landed.
 
-    The returned Column is MEMOIZED per ``sub_dim``: it is a pure
-    unresolved expression tree over the column NAMES ``v``/``__cb``
-    (Column objects are immutable and re-resolve per plan), and
-    building its nested higher-order lambdas costs hundreds of py4j
-    round-trips — real driver latency on every query construction."""
-    cached = _CODES_ARRAY_CACHE.get(sub_dim)
+    The returned Column is MEMOIZED per (gateway, ``sub_dim``): it is
+    a pure unresolved expression tree over the column NAMES
+    ``v``/``__cb`` (Column objects are immutable and re-resolve per
+    plan), and building its nested higher-order lambdas costs hundreds
+    of py4j round-trips — real driver latency on every query
+    construction. The cache key includes the active JVM gateway
+    (``_gateway_key``, ADVICE r14) so a SparkContext/JVM restart in a
+    long-lived process rebuilds instead of handing back stale py4j
+    handles."""
+    cached = _CODES_ARRAY_CACHE.get((_gateway_key(), sub_dim))
     if cached is not None:
         return cached
     v = F.col("v")
@@ -246,19 +266,33 @@ def _codes_array(sub_dim: int) -> "F.Column":
         ),
         lambda s: s["code"].isNotNull(),
     )
-    _CODES_ARRAY_CACHE[sub_dim] = out
+    _CODES_ARRAY_CACHE[(_gateway_key(), sub_dim)] = out
     return out
 
 
 _CODES_ARRAY_CACHE: dict = {}
 _LUT_ARRAY_CACHE: dict = {}
 
+#: bounded-codebook contract ceiling for driver-side collection —
+#: 64x the registered k*m*sub_dim = 1024 scalar rows, far above any
+#: real codebook and far below anything that could hurt the driver.
+_CODEBOOK_MAX_ROWS = 65536
+
+
+def _gateway_key() -> int:
+    """Identity of the live SparkContext, used to key the Column-object
+    memo caches: cached expression trees hold py4j references tied to
+    one JVM gateway, so a context restart must miss the cache."""
+    from pyspark import SparkContext
+
+    return id(SparkContext._active_spark_context)
+
 
 def _lut_array(sub_dim: int, vec_name: str):
     """(entries, lut_arr) Column pair for the row-local ADC lookup
     table over vector column ``vec_name`` — memoized like
-    ``_codes_array`` (same py4j-construction argument)."""
-    key = (sub_dim, vec_name)
+    ``_codes_array`` (same py4j-construction + gateway-key argument)."""
+    key = (_gateway_key(), sub_dim, vec_name)
     cached = _LUT_ARRAY_CACHE.get(key)
     if cached is not None:
         return cached

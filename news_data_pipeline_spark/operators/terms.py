@@ -68,6 +68,21 @@ def tf_idf_top_terms(
     )
 
 
+def doclen_expr(text):
+    """Row-local document length: the count of non-empty tokens under
+    the SAME split-on-whitespace rule as ``word_shingles`` (the shared
+    tokenizer) — ``dl == sum of tf`` by definition. Factored out of
+    ``bm25_rank`` so the parity with the shared tokenizer is pinned at
+    the operator boundary (``tests/test_terms.py``); any tokenizer
+    change must keep this expression in sync or the test trips."""
+    return F.size(
+        F.filter(
+            F.split(F.trim(text), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    ).cast("long")
+
+
 def bm25_rank(
     df: DataFrame,
     id_col: str,
@@ -111,15 +126,7 @@ def bm25_rank(
         fan_out(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         )
-        .select(
-            "id",
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.col("__t")), r"\s+"),
-                    lambda w: F.length(w) > 0,
-                )
-            ).cast("long").alias("dl"),
-        )
+        .select("id", doclen_expr(F.col("__t")).alias("dl"))
         .where(F.col("dl") > 0)
     )
     stats = doclen.agg(
@@ -365,6 +372,7 @@ def tfidf_cosine_pairs(
     *,
     max_df: int | float = 0.1,
     min_cosine: float = 0.3,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, n_shared_terms, cosine): near-duplicate /
     same-story document pairs by cosine similarity in sparse TF-IDF
@@ -398,14 +406,21 @@ def tfidf_cosine_pairs(
     physical plan (norms + both posting sides, each carrying the 1-row
     doc-count broadcast — the four audited BNLJ flags in PLANS.md).
     Measured at sf0.1 on local[32], persisting weights
-    (MEMORY_AND_DISK) is a net LOSS — 2.1 s vs 1.7 s — because the
-    cache write costs more than three parallel recomputes of a cheap
-    tokenize+join. The lazy form is therefore the default. On a real
-    cluster where the input is 100 TB and tokenization dominates,
-    invert that: write the (id, term, uw) weights frame to a table
-    (or ``persist``) first and run norms + pairs from it — one corpus
-    scan instead of four; same output, so the oracle contract is
-    unaffected.
+    (MEMORY_AND_DISK) is a net LOSS — 2.1 s vs 1.7 s (r6) — because
+    the cache write costs more than three parallel recomputes of a
+    cheap tokenize+join. RE-MEASURED r15 on a cluster-shaped fixture
+    (tools/ab_r15_scale.py, 400k docs x 30 Zipf tokens, rotated):
+    ``materialize=True`` (eager localCheckpoint of weights) STILL
+    loses, 18.7 s vs 10.6 s lazy — the checkpoint write of the
+    corpus-sized weights frame costs more than the overlapped
+    recomputes even when tokenize dominates, because the recomputes
+    run in parallel inside one job while the checkpoint serializes
+    the pipeline. The lazy form stays the default at every measured
+    size; ``materialize=True`` remains for deployments where the
+    input scan itself is the bottleneck (100 TB I/O-bound), where
+    one-scan-instead-of-four is an I/O-bandwidth argument no local
+    fixture can exhibit. Same output either way — the oracle contract
+    is unaffected.
     """
     fractional = isinstance(max_df, float) and not isinstance(max_df, bool)
     if fractional and not 0.0 < max_df <= 1.0:
@@ -435,6 +450,14 @@ def tfidf_cosine_pairs(
             ),
         )
     )
+    if materialize:
+        # weights recur FOUR times (norms + both posting sides + the
+        # doc-count broadcast rides in each) — on inputs where the
+        # tokenize+join subtree dominates, computing it once wins; at
+        # sf0.1 the lazy form keeps winning (module docstring and the
+        # r15 cluster-shaped A/B in tools/ab_r15_scale.py), hence the
+        # opt-in flag rather than a new default.
+        weights = weights.localCheckpoint(eager=True)
     norms = weights.groupBy("id").agg(
         F.sum(F.col("uw") * F.col("uw")).alias("norm2")
     )

@@ -4446,31 +4446,53 @@ def _recall_nprobe_curve(
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k-vs-nprobe sweep over the first ``n_eval`` vectors as
-    eval queries. The exact top-k and the per-cell size table recur
-    lazily under EVERY sweep arm; below ``ckpt_eval_threshold``
-    (default ``CKPT_EVAL_THRESHOLD``) they stay lazy — the measured
-    winner at 10 eval queries — and at/above it both are eagerly
-    localCheckpoint'ed, because the exact arm's brute-force q × corpus
-    cosine grows linearly with the eval set while the checkpoint cost
-    does not (the crossmodal round-9 materialization lesson applied at
-    the size where it starts to pay). Both regimes are value-identical
+    eval queries — ONE multi-arm plan (r15).
+
+    The pre-r15 shape unioned one full ``ivf_topk`` pipeline per
+    nprobe: 5 corpus cell-assignments, 5 candidate scorings, 5 lazy
+    re-derivations of the exact brute-force arm and of the cell-size
+    table (~160 Exchange nodes at the registered sweep). But every arm
+    differs ONLY in how many of the query's ranked probe cells it
+    keeps, so the sweep is algebraically one plan: assign corpus cells
+    once, rank each query's probe cells once up to max(nprobe), score
+    each (query, candidate) cosine ONCE with its probe rank attached,
+    then explode a literal nprobe array and filter ``r <= nprobe``
+    (guide §2.4 — the unioned arms re-computed identical subtrees the
+    optimizer cannot share). Per-arm semantics are pinned to
+    ``ivf_topk`` exactly: same assignment rule (`_assign_cells`
+    ordering), same 6dp cosine, same (cosine DESC, neighbor ASC)
+    top-k tie-break, self-pairs excluded, NULL cosines dropped.
+
+    Empty-input semantics match the old per-arm aggregates: the output
+    always has one row per nprobe (a literal nprobe frame LEFT-joins
+    the grouped hits/reads), ``n_exact`` coalesces to 0, ``n_hits`` /
+    ``vectors_read`` stay NULL exactly where the old empty-input
+    ``agg`` produced NULL.
+
+    Below ``ckpt_eval_threshold`` (default ``CKPT_EVAL_THRESHOLD``)
+    the exact arm and cell sizes stay lazy; at/above it both are
+    eagerly localCheckpoint'ed (they are each referenced once in the
+    multi-arm plan, so the checkpoint is now pure plan-truncation
+    insurance for large eval sets). Both regimes are value-identical
     (pinned by ``tests/test_joins_similarity.py``).
 
     ``centroids`` optionally injects a trained (cid, centroid) frame
-    (``kmeans_iterate`` output) for every arm — the second tuning axis
+    (``kmeans_iterate`` output) — the second tuning axis
     (``ann_recall_trained_curve``); default is the family's pinned
     first-``nlist``-by-id convention."""
+    from news_data_pipeline_spark.operators.fanout import fan_out
+    from news_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        dot,
+        l2_norm,
+    )
+
     queries = emb.where(F.col("vec_id") < n_eval)
     exact = similarity.cosine_topk(
         emb, queries, id_col="vec_id", k=k
     ).select("query_id", "neighbor_id")
 
-    from news_data_pipeline_spark.operators.similarity import (
-        _assign_cells,
-        dot,
-    )
-
-    cent_for_ivf = centroids  # raw frame (or None) for each ivf_topk arm
     if centroids is None:
         centroids = emb.orderBy("vec_id").limit(nlist).select(
             F.col("vec_id").alias("cid"),
@@ -4484,10 +4506,11 @@ def _recall_nprobe_curve(
     centroids = centroids.withColumn(
         "c2", dot(F.col("c_vec"), F.col("c_vec"))
     )
-    cell_sizes = (
-        _assign_cells(emb, centroids, "vec_id", "embedding", "nid", 1)
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n"))
+    corpus_cells = _assign_cells(
+        emb, centroids, "vec_id", "embedding", "neighbor_id", 1
+    )
+    cell_sizes = corpus_cells.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n")
     )
     threshold = (
         CKPT_EVAL_THRESHOLD
@@ -4497,48 +4520,124 @@ def _recall_nprobe_curve(
     if n_eval >= threshold:
         exact = exact.localCheckpoint(eager=True)
         cell_sizes = cell_sizes.localCheckpoint(eager=True)
-    arms = []
-    for n in nprobes:
-        approx = similarity.ivf_topk(
-            emb, queries, k=k, nlist=nlist, nprobe=n,
-            centroids=cent_for_ivf,
-        ).select("query_id", F.col("neighbor_id").alias("__hit"))
-        joined = exact.join(
+
+    # each query's probe cells ranked 1..max(nprobe) — the window form
+    # of _assign_cells(n_cells=max) with the rank KEPT, same ordering
+    max_np = max(nprobes)
+    qbase = fan_out(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("q_vec"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(
+            -2 * dot(F.col("q_vec"), F.col("c_vec")) + F.col("c2"), 6
+        ),
+        F.asc("cid"),
+    )
+    query_probe = (
+        qbase.join(F.broadcast(centroids), how="cross")
+        .withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") <= max_np)
+        .select("query_id", "cid", "q_vec", F.col("__r").alias("r"))
+    )
+
+    # score each (query, candidate) cosine ONCE, probe rank attached —
+    # identical expressions to ivf_topk's scored frame
+    np_arr = F.array(*[F.lit(int(n)).cast("int") for n in nprobes])
+    cand = (
+        corpus_cells.withColumn("c_nrm", l2_norm(F.col("v")))
+        .join(
+            F.broadcast(
+                query_probe.withColumn("q_nrm", l2_norm(F.col("q_vec")))
+            ),
+            on="cid",
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "r",
+            F.round(
+                dot(F.col("q_vec"), F.col("v"))
+                / F.nullif(F.col("q_nrm") * F.col("c_nrm"), F.lit(0.0)),
+                6,
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim").isNotNull())
+    )
+    multi = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        "r",
+        F.explode(np_arr).alias("nprobe"),
+    ).where(F.col("r") <= F.col("nprobe"))
+    wn = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    approx = (
+        multi.withColumn("rank", F.row_number().over(wn))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("nprobe").alias("__np"),
+            F.col("query_id").alias("__qid"),
+            F.col("neighbor_id").alias("__hit"),
+        )
+    )
+
+    exact_np = exact.select(
+        "query_id", "neighbor_id", F.explode(np_arr).alias("nprobe")
+    )
+    hits = (
+        exact_np.join(
             approx,
             on=[
-                exact.query_id == approx.query_id,
-                exact.neighbor_id == approx.__hit,
+                exact_np.nprobe == approx.__np,
+                exact_np.query_id == approx.__qid,
+                exact_np.neighbor_id == approx.__hit,
             ],
             how="left",
-        ).select("__hit")
-        hits = joined.agg(
+        )
+        .groupBy("nprobe")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_exact"),
             F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_hits"),
         )
-        reads = (
-            _assign_cells(
-                queries, centroids, "vec_id", "embedding", "query_id", n
-            )
-            .join(cell_sizes, on="cid")
-            .agg(F.sum("n").cast("long").alias("vectors_read"))
+    )
+    reads = (
+        query_probe.select("cid", "r")
+        .join(cell_sizes, on="cid")
+        .select("r", "n", F.explode(np_arr).alias("nprobe"))
+        .where(F.col("r") <= F.col("nprobe"))
+        .groupBy("nprobe")
+        .agg(F.sum("n").cast("long").alias("vectors_read"))
+    )
+    np_lit = spark.createDataFrame(
+        [(int(n),) for n in nprobes], "nprobe int"
+    )
+    return (
+        np_lit.join(hits, on="nprobe", how="left")
+        .join(reads, on="nprobe", how="left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact"
+            ),
+            "n_hits",
+            settled_round(
+                F.col("n_hits")
+                / F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("recall_at_5"),
+            "vectors_read",
         )
-        arms.append(
-            hits.crossJoin(reads).select(
-                F.lit(n).cast("int").alias("nprobe"),
-                "n_exact",
-                "n_hits",
-                settled_round(
-                    F.col("n_hits") / F.col("n_exact").cast("double"), 4
-                ).alias("recall_at_5"),
-                "vectors_read",
-            )
-        )
-    out = arms[0]
-    for arm in arms[1:]:
-        out = out.unionByName(arm)
-    return out
+    )
 
 
 @register(

@@ -68,6 +68,41 @@ def test_sq_adc_ranks_by_dequantized_distance(spark):
     ) / 1e6
 
 
+def test_sq_adc_rowlocal_matches_join_form(spark):
+    """The r15 row-local scoring path (``corpus=``) must be
+    value-identical to the stored-codes join form — same pairs, same
+    settled distances, same ranks — including the edge rows the join
+    form's semantics pin: a constant dimension (hi == lo), a NULL
+    vector (dropped), vectors of DIFFERENT lengths (terms iterate the
+    shared 1..min(len) prefix), and a NULL component (codes 0, its
+    dequantized diff still scores against a non-null query component).
+    """
+    rows = [
+        (0, [0.0, 7.0, 1.0]),
+        (1, [10.0, 7.0, 2.0]),
+        (2, [5.0, 7.0, None]),   # null component
+        (3, [4.9, 7.0]),         # shorter vector
+        (4, None),               # null vector
+        (5, [2.5, 7.0, 3.0]),
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    bounds = sq_train(vecs)
+    codes = sq_encode(vecs, bounds)
+    q = vecs.where(F.col("vec_id") < 3)
+    join_form = sq_adc_topk(q, codes, bounds, k=10).collect()
+    rowlocal = sq_adc_topk(
+        q, None, bounds, k=10, corpus=vecs
+    ).collect()
+    assert sorted(
+        [(r.query_id, r.neighbor_id, r.sq_dist, r.rank) for r in join_form]
+    ) == sorted(
+        [(r.query_id, r.neighbor_id, r.sq_dist, r.rank) for r in rowlocal]
+    )
+    assert len(join_form) > 0
+
+
 def test_sq_null_vector_dropped(spark):
     vecs = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<double>"

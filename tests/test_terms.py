@@ -50,6 +50,56 @@ def test_bm25_prefers_rare_term_and_saturates_tf(spark):
     assert rows[1]["bm25"] < 4 * rows[2]["bm25"]
 
 
+def test_bm25_doclen_matches_shared_tokenizer(spark):
+    """ADVICE r14: ``bm25_rank`` computes dl with an inline
+    split/trim/length-filter instead of the shared ``word_shingles``
+    tokenizer. Pin the parity at the operator boundary — dl must equal
+    the shared tokenizer's per-doc token count (== sum of tf over all
+    terms) on texts exercising the edge rules (leading/trailing/mixed
+    whitespace, tabs/newlines, empty and whitespace-only docs, which
+    must have NO dl row at all) — so a future tokenizer change that
+    desynchronizes dl from tf trips here."""
+    import pyspark.sql.functions as F
+
+    from news_data_pipeline_spark.operators.dedup import word_shingles
+    from news_data_pipeline_spark.operators.terms import bm25_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "  a  b\tc \n d  "),
+            (2, "solo"),
+            (3, "   "),       # whitespace-only: no tokens, no dl row
+            (4, ""),          # empty: no tokens, no dl row
+            (5, "x y x y x"),
+        ],
+        ["doc_id", "body"],
+    )
+    expected = {
+        r["id"]: r["n"]
+        for r in word_shingles(df, "doc_id", "body", n=1, distinct=False)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # the operator's OWN dl expression (factored to doclen_expr so this
+    # parity is pinned at the boundary, not against a test-local copy)
+    from news_data_pipeline_spark.operators.terms import doclen_expr
+
+    doclen = (
+        df.select(
+            F.col("doc_id").alias("id"),
+            doclen_expr(F.col("body")).alias("dl"),
+        )
+        .where(F.col("dl") > 0)
+    )
+    got = {r["id"]: r["dl"] for r in doclen.collect()}
+    assert got == expected
+    # and end-to-end: with every doc matched, the operator's ranking
+    # runs off that dl — smoke that scoring still works on the edges
+    out = bm25_rank(df, "doc_id", "body", ["a", "solo", "x"], k=10)
+    assert {r["id"] for r in out.collect()} == {1, 2, 5}
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 
